@@ -1,0 +1,202 @@
+"""Star-schema analytical queries over the TPC-H-ish fixtures.
+
+The reference's only joins are broadcast dimension lookups (SURVEY.md
+§2.3 J1–J3); expressed as Spark joins the same primitive generalizes
+to real multi-table equi/semi/anti joins, declared here over the
+driver's star schema.  Catalyst picks broadcast-hash for the small
+dimensions automatically (AQE re-plans at runtime); we hint
+``F.broadcast`` on dims we know are tiny so the plan is stable at any
+scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trafik_etl_modular_spark.functions.scalars import (
+    davg,
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+)
+from trafik_etl_modular_spark.queries.common import t
+from trafik_etl_modular_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: groupBy 2 keys + 8 aggregates.
+# Two-phase hash aggregation (partial map-side combine → final) is
+# automatic in Spark; at 100 TB the 4-group output means the final
+# shuffle is 4 rows — the plan is scan-bound, which is optimal.
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {oracle_dsum('l_quantity', 2)} AS sum_qty,
+  {oracle_dsum('l_extendedprice', 2)} AS sum_base_price,
+  {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+  {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+  {oracle_davg('l_quantity', 2)} AS avg_qty,
+  {oracle_davg('l_extendedprice', 2)} AS avg_price,
+  {oracle_davg('l_discount', 4)} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("tpch_q1_pricing_summary", sql=_Q1_SQL, tags=("agg", "tpch"))
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape: scan → filter (pushed to parquet) → 2-key hash agg."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            davg("l_quantity", 2).alias("avg_qty"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            davg("l_discount", 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3-style shipping priority: 3-way join + agg + deterministic top-k.
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = f"""
+SELECT
+  l_orderkey,
+  {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("tpch_q3_shipping_priority", sql=_Q3_SQL, tags=("join", "agg", "topk", "tpch"))
+def tpch_q3(spark, sf_dir):
+    """customer⋈orders⋈lineitem revenue top-10.
+
+    customer/orders are tiny relative to lineitem at any SF ratio the
+    fixtures use, so the filtered customer side is broadcast; the
+    orders⋈lineitem join shuffles on orderkey only after both sides
+    were filtered (predicate pushdown to parquet).  LIMIT plans as
+    TakeOrderedAndProject — no global sort materialization.
+    """
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5-style region revenue: 5-way join, dims broadcast.
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = f"""
+SELECT
+  n_name,
+  {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('EUROPE', 'ASIA')
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@query("tpch_q5_region_revenue", sql=_Q5_SQL, tags=("join", "agg", "tpch"))
+def tpch_q5(spark, sf_dir):
+    """Fact-to-dims star join; nation/region broadcast (25 / 5 rows),
+    so the only shuffle is lineitem⋈orders on orderkey + final agg."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name").isin("EUROPE", "ASIA"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS shapes).
+# ---------------------------------------------------------------------------
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+)
+"""
+
+
+@query("join_semi_customers_with_big_orders", sql=_SEMI_SQL, tags=("join",))
+def join_semi(spark, sf_dir):
+    """LEFT SEMI join — EXISTS without duplicating the left side."""
+    cust = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+@query("join_anti_customers_without_orders", sql=_ANTI_SQL, tags=("join",))
+def join_anti(spark, sf_dir):
+    """LEFT ANTI join — NOT EXISTS."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
