@@ -1,0 +1,68 @@
+"""Benchmark runner: executes every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is timed to full materialization (collect) — scan,
+shuffles, and Python/Arrow boundaries all included. Errors surface as
+"error:<name>" entries rather than aborting the run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trafik_etl_modular_spark import get_spark  # noqa: E402
+from trafik_etl_modular_spark.registry import REGISTRY, _load_all  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    _load_all()
+    spark = get_spark("bench")
+
+    # JVM/codegen warmup so the first measured query isn't charged
+    # for session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    total = 0.0
+    for name in sorted(REGISTRY):
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        try:
+            n = len(q.fn(spark, sf_dir).collect())
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            total += dt
+        except Exception as e:  # noqa: BLE001
+            errors[f"error:{name}"] = f"{type(e).__name__}: {e}"[:200]
+
+    out = {
+        "metric": "total_wall_sec_all_queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

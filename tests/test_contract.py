@@ -1,0 +1,39 @@
+"""Driver-contract invariants: registry structure, column-name parity
+prerequisites, schema stability — cheap checks (analysis only, no
+job execution) that catch drift before the expensive oracle sweep."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, osql = E.queries(), E.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 40
+
+
+def test_rows_only_queries_are_documented():
+    qs, osql = E.queries(), E.oracle_sql()
+    rows_only = set(qs) - set(osql)
+    # every rows-only query must say why in its docstring
+    for name in rows_only:
+        doc = qs[name].__doc__ or ""
+        assert "rows-only" in doc.lower(), f"{name} lacks rows-only rationale"
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_query_analyzes(spark, sf_dir, name):
+    """Every query must at least pass Catalyst analysis (schema
+    resolution) against the fixture — no execution."""
+    if name.startswith("streaming_"):
+        pytest.skip("streaming queries execute eagerly; covered by oracle sweep")
+    df = E.queries()[name](spark, sf_dir)
+    assert df.schema is not None and len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0

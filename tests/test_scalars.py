@@ -1,0 +1,77 @@
+"""Unit tests for the scalar family (SURVEY.md §2.8) — the semantics
+DuckDB can't express directly are pinned here with handcrafted frames
+(SURVEY.md §5 test-strategy note)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trafik_etl_modular_spark.functions.scalars import (
+    derive_status,
+    fmt_utc_z,
+    parse_iso_utc,
+    status_rank,
+    truncate_ellipsis,
+    wkt_point_lat,
+    wkt_point_lon,
+)
+
+NOW = "2024-01-16 00:00:00"
+
+
+def test_parse_iso_utc_variants(spark):
+    df = spark.createDataFrame(
+        [("2024-01-10T08:00:00Z",), ("2024-01-10T08:00:00+00:00",), ("garbage",), (None,)],
+        "s string",
+    )
+    out = [r[0] for r in df.select(parse_iso_utc("s").alias("t")).collect()]
+    assert out[0] is not None and out[0].isoformat().startswith("2024-01-10T08:00")
+    assert out[1] == out[0]
+    assert out[2] is None  # F1: unparseable → NULL, reference returns None
+    assert out[3] is None
+
+
+def test_fmt_utc_z_roundtrip(spark):
+    df = spark.createDataFrame([("2024-01-10T08:00:05Z",)], "s string")
+    out = df.select(fmt_utc_z(parse_iso_utc("s")).alias("z")).collect()[0][0]
+    assert out == "2024-01-10T08:00:05Z"
+
+
+def test_status_derivation_cases(spark):
+    # (start, end, expected) around injected now — F3 truth table
+    rows = [
+        ("2024-01-20 00:00:00", None, "KOMMANDE"),          # future start
+        ("2024-01-10 00:00:00", "2024-01-20 00:00:00", "PÅGÅR"),  # spanning now
+        ("2024-01-10 00:00:00", None, "PÅGÅR"),             # open-ended
+        ("2024-01-01 00:00:00", "2024-01-02 00:00:00", None),     # expired → drop
+    ]
+    df = spark.createDataFrame([(a, b) for a, b, _ in rows], "s string, e string")
+    out = df.select(
+        derive_status(
+            F.col("s").cast("timestamp"), F.col("e").cast("timestamp"), F.lit(NOW).cast("timestamp")
+        ).alias("st")
+    ).collect()
+    assert [r[0] for r in out] == [exp for _, _, exp in rows]
+
+
+def test_status_rank(spark):
+    df = spark.createDataFrame([("PÅGÅR",), ("KOMMANDE",), ("weird",), (None,)], "s string")
+    out = [r[0] for r in df.select(status_rank("s").alias("r")).collect()]
+    assert out == [0, 1, 9, 9]
+
+
+def test_wkt_point_extraction(spark):
+    df = spark.createDataFrame(
+        [("POINT (11.97 57.70)",), ("LINESTRING (1 2, 3 4)",), (None,)], "g string"
+    )
+    out = df.select(
+        wkt_point_lon("g").alias("lon"), wkt_point_lat("g").alias("lat")
+    ).collect()
+    assert (out[0]["lon"], out[0]["lat"]) == (11.97, 57.70)  # F4 swaps to (lat,lon)
+    assert out[1]["lon"] is None and out[2]["lon"] is None
+
+
+def test_truncate_ellipsis(spark):
+    df = spark.createDataFrame([("x" * 30,), ("short",)], "s string")
+    out = [r[0] for r in df.select(truncate_ellipsis("s", 24).alias("t")).collect()]
+    assert out[0] == "x" * 24 + "…" and out[1] == "short"

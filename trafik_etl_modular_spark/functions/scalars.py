@@ -66,9 +66,10 @@ def oracle_davg(expr: str, scale: int = 4) -> str:
 def parse_iso_utc(col: Column | str) -> Column:
     """F1 — ISO-8601 string (optionally 'Z'-suffixed) → UTC timestamp,
     NULL on unparseable input (reference: transform.py:18-23 returns
-    None on failure; Spark's non-ANSI to_timestamp matches)."""
+    None on failure). `try_to_timestamp`, because Spark 4 defaults to
+    ANSI mode where a plain cast would throw on garbage."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_timestamp(F.regexp_replace(c, "Z$", "+00:00"))
+    return F.try_to_timestamp(F.regexp_replace(c, "Z$", "+00:00"))
 
 
 def fmt_utc_z(col: Column | str) -> Column:

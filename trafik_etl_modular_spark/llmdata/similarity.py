@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+  * brute-force cosine top-k — the exact baseline; a narrow
+    map-side dot product (zip_with + aggregate, JVM-side) followed by
+    TakeOrderedAndProject.  Scales linearly; right up to ~10⁸ vectors
+    per query batch.
+  * bucketed ANN (IVF-style by coarse key, or random-hyperplane LSH) —
+    restrict the dot products to the probe's bucket(s): candidate
+    volume drops by the bucket fan-out; the shuffle is on bucket keys.
+
+The left-fold dot product (aggregate over zip_with) is evaluated
+strictly left-to-right in both Spark and the SQL mirror's
+list_reduce, so scores are bit-identical — no rounding slop in the
+oracle comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def to_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a strict left fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every corpus vector against one probe.
+
+    `query_vec` is a single-row frame — broadcast, so scoring is a
+    map-only stage over the corpus; the only shuffle is the top-k
+    reduction (TakeOrderedAndProject keeps k rows per partition)."""
+    q = query_vec.select(
+        F.col(id_col).alias("__qid"), to_double_array(vec_col).alias("__qvec")
+    )
+    corpus = embeddings.select(
+        F.col(id_col), to_double_array(vec_col).alias("__vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("__qid"))
+    return (
+        scored.select(
+            F.col(id_col),
+            cosine(F.col("__vec"), F.col("__qvec")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bucketed_topk(
+    embeddings: DataFrame,
+    query_vec: DataFrame,
+    bucket_col: str = "label",
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse bucket.
+
+    With a trained coarse quantizer the bucket is argmin-centroid; the
+    fixture provides `label` as the coarse key, which exercises the
+    identical plan: bucket-pruned scan (predicate pushdown on the
+    bucket column) → map-side cosine → top-k."""
+    q = query_vec.select(
+        F.col(id_col).alias("__qid"),
+        to_double_array(vec_col).alias("__qvec"),
+        F.col(bucket_col).alias("__qbucket"),
+    )
+    corpus = embeddings.select(
+        F.col(id_col), F.col(bucket_col), to_double_array(vec_col).alias("__vec")
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(q),
+            (corpus[bucket_col] == F.col("__qbucket")) & (F.col(id_col) != F.col("__qid")),
+        )
+    )
+    return (
+        scored.select(
+            F.col(id_col),
+            cosine(F.col("__vec"), F.col("__qvec")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def near_dup_pairs_by_bucket(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed: all-pairs ONLY
+    within a bucket (equi-join shuffle on the bucket key), never the
+    full corpus product."""
+    base = embeddings.select(
+        F.col(id_col), F.col(bucket_col), to_double_array(vec_col).alias("__vec")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a.__vec"), F.col("b.__vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -56,6 +56,16 @@ def build_incidents(spark: SparkSession, sf_dir: str, keep_expired: bool = False
         .alias("end_time_utc"),
         F.expr("ts + (event_id % 90) * INTERVAL 1 MINUTE").alias("modified_time_utc"),
         F.col("value").alias("severity_value"),
+        # WGS84-shaped coordinates with deterministic gaps (reference rows
+        # can lack geometry — P9 dropna at streamlit_app.py:250-251, J3
+        # imputation at 392-399). Pure integer-derived doubles: identical
+        # IEEE results in any engine.
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(55.0) + (F.col("event_id") % 1000) / F.lit(100.0))
+        .alias("latitude"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(11.0) + (F.col("event_id") % 700) / F.lit(100.0))
+        .alias("longitude"),
         F.col("event_id"),
     )
     inc = inc.withColumn(
@@ -94,6 +104,10 @@ incidents AS (
            ELSE ts + (event_id % 48) * INTERVAL 1 HOUR END AS end_time_utc,
       ts + (event_id % 90) * INTERVAL 1 MINUTE AS modified_time_utc,
       value AS severity_value,
+      CASE WHEN event_id % 5 = 0 THEN NULL
+           ELSE 55.0 + (event_id % 1000) / 100.0 END AS latitude,
+      CASE WHEN event_id % 3 = 0 THEN NULL
+           ELSE 11.0 + (event_id % 700) / 100.0 END AS longitude,
       event_id,
       CASE
         WHEN ts > {SQL_NOW} THEN 'KOMMANDE'

@@ -1,0 +1,169 @@
+"""Aggregation family (SURVEY.md §2.4, A1–A7) plus the grouping-set /
+pivot / distinct-agg extensions the reference lacks but Spark gives
+nearly for free (§2.4 note).
+
+All group-bys here are two-phase hash aggregates (partial map-side
+combine → shuffle on the group key → final), so the shuffle volume is
+the number of groups, not rows — the property that makes them hold at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trafik_etl_modular_spark.functions.scalars import (
+    davg,
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+)
+from trafik_etl_modular_spark.queries.common import t
+from trafik_etl_modular_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# ROLLUP — daily/type hierarchy with supergroup totals.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = f"""
+SELECT
+  CAST(ts AS DATE) AS day,
+  event_type,
+  COUNT(*) AS n,
+  {oracle_dsum('value', 2)} AS total_value
+FROM events
+GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
+"""
+
+
+@query("agg_rollup_daily_type", sql=_ROLLUP_SQL, tags=("agg",))
+def agg_rollup(spark, sf_dir):
+    """ROLLUP(day, event_type): per-cell, per-day and grand totals in
+    one pass (Spark expands to grouping sets; still partial-agg'd)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.rollup(F.to_date("ts").alias("day"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), dsum("value", 2).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping combinations over lineitem flags.
+# ---------------------------------------------------------------------------
+
+_CUBE_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*) AS n,
+  {oracle_dsum('l_quantity', 2)} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_cube_flag_status", sql=_CUBE_SQL, tags=("agg",))
+def agg_cube(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity", 2).alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — returnflag × linestatus matrix (explicit pivot values keep
+# the schema static, which both engines and the oracle hash need).
+# ---------------------------------------------------------------------------
+
+_PIVOT_SQL = f"""
+SELECT
+  l_returnflag,
+  {oracle_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)} AS qty_open,
+  {oracle_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 2)} AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_pivot_linestatus", sql=_PIVOT_SQL, tags=("agg",))
+def agg_pivot(spark, sf_dir):
+    """Pivot as conditional aggregation — identical plan to
+    .pivot(values=[...]) but with explicit, oracle-stable column names."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")), 2).alias("qty_open"),
+        dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")), 2).alias("qty_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct + per-group distinct counts.
+# ---------------------------------------------------------------------------
+
+_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("agg_distinct_users_per_type", sql=_DISTINCT_SQL, tags=("agg",))
+def agg_distinct(spark, sf_dir):
+    """Exact distinct per group — Spark plans expand + two-stage agg;
+    at scale prefer approx_count_distinct (below) when ±2% is fine."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+@query("agg_approx_distinct_users", sql=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct (rows-only check — sketch results are
+    engine-specific by design; the scale path for 100 TB distincts).
+    Sanity-tested against the exact count in tests/."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moment-based stats, deterministically (sum / sum-of-squares via
+# exact decimal, variance assembled in double).
+# ---------------------------------------------------------------------------
+
+_STATS_SQL = f"""
+SELECT
+  event_type,
+  COUNT(*) AS n,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value,
+  {oracle_davg('value', 2)} AS avg_value,
+  ({oracle_dsum('value * value', 4)}
+    - {oracle_dsum('value', 2)} * {oracle_dsum('value', 2)} / COUNT(*)
+  ) / (COUNT(*) - 1) AS var_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("agg_value_stats", sql=_STATS_SQL, tags=("agg",))
+def agg_value_stats(spark, sf_dir):
+    """min/max/avg/sample-variance per type. Variance from exact
+    decimal moments (sum, sum of squares) so partition order can't
+    perturb the result — stock var_samp is a double accumulation and
+    wouldn't hash-match a sequential engine."""
+    ev = t(spark, sf_dir, "events")
+    s1 = dsum("value", 2)
+    s2 = dsum(F.col("value") * F.col("value"), 4)
+    n = F.count("*")
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        davg("value", 2).alias("avg_value"),
+        ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var_value"),
+    )

@@ -1,0 +1,171 @@
+"""Deduplication & upsert family (SURVEY.md §2.5 W1–W3, §2.1 S6).
+
+The reference's two dedups relied on pandas input order
+(`keep="first"` after the API's recency sort, transform.py:110-118);
+here every dedup is a window with an explicit total order — the
+documented deviation (SURVEY.md §7.4) that makes results reproducible
+under any partitioning.
+
+The MERGE/upsert (S6, `INSERT ... ON CONFLICT DO UPDATE` at
+/root/reference/src/trv/load_sqlite.py:43-62) is expressed as its
+pure-relational equivalent: union + latest-wins window.  On a real
+lakehouse this is Delta `MERGE INTO`; the relational form is also
+exactly what `foreachBatch` applies per micro-batch in streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trafik_etl_modular_spark.queries.common import t
+from trafik_etl_modular_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Library operator: latest-wins on an arbitrary key.
+# ---------------------------------------------------------------------------
+
+
+def latest_wins(df: DataFrame, keys: list[str], order: list) -> DataFrame:
+    """Keep exactly one row per key — the first under `order` (which
+    must be a total order for determinism). One hash shuffle on the
+    keys; row_number cuts within partitions, so memory is bounded by
+    the per-key group, not the table."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — latest-version-wins per entity.
+# ---------------------------------------------------------------------------
+
+_W2_SQL = """
+SELECT entity_id, event_id, ts, value
+FROM (
+  SELECT (event_id % 700) AS entity_id, event_id, ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY (event_id % 700)
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("dedup_latest_wins", sql=_W2_SQL, tags=("dedup", "window"))
+def dedup_latest_wins(spark, sf_dir):
+    """W2 — keep the most recent version of each entity
+    (reference transform.py:116-118: sort by modified desc, drop
+    duplicates keep-first). event_id%700 manufactures ~N/700-way
+    version chains from the fixture."""
+    ev = t(spark, sf_dir, "events").withColumn("entity_id", F.col("event_id") % 700)
+    return latest_wins(
+        ev, ["entity_id"], [F.desc("ts"), F.desc("event_id")]
+    ).select("entity_id", "event_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# W1 — composite-natural-key dedup.
+# ---------------------------------------------------------------------------
+
+_W1_SQL = """
+SELECT user_id, event_type, event_id, ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("dedup_composite_key", sql=_W1_SQL, tags=("dedup", "window"))
+def dedup_composite_key(spark, sf_dir):
+    """W1 — dedup on a composite natural key (reference
+    transform.py:110-114 deduped on 4 text/time columns), explicit
+    recency tiebreak replacing pandas' input-order dependence."""
+    ev = t(spark, sf_dir, "events")
+    return latest_wins(
+        ev, ["user_id", "event_type"], [F.desc("ts"), F.desc("event_id")]
+    ).select("user_id", "event_type", "event_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# W3 — plain distinct on a projection.
+# ---------------------------------------------------------------------------
+
+_W3_SQL = """
+SELECT DISTINCT user_id, event_type
+FROM events
+"""
+
+
+@query("dedup_distinct_projection", sql=_W3_SQL, tags=("dedup",))
+def dedup_distinct(spark, sf_dir):
+    """W3 — the `seen_ids`-set analog: distinct over the projected key
+    (endpoints.py:177-202). Spark plans it as a hash aggregate with
+    map-side partials, so the shuffle carries unique keys only."""
+    return t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# S6 — keyed upsert (MERGE) as union + latest-wins.
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Pure-relational MERGE: updates win over base on key collision.
+
+    Equivalent to Delta `MERGE INTO ... WHEN MATCHED UPDATE SET *
+    WHEN NOT MATCHED INSERT *` (SURVEY.md §2.1 S6).  At lake scale
+    this rewrite is scoped to the partitions updates touch (partition
+    pruning on the join key's date); relational form shown here.
+    """
+    tagged = base.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("__src"))
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+_MERGE_SQL = """
+SELECT event_id, user_id, value, src
+FROM (
+  SELECT event_id, user_id, value, src,
+         ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY src DESC) AS rn
+  FROM (
+    SELECT event_id, user_id, value, 0 AS src
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, user_id, value + 1000 AS value, 1 AS src
+    FROM events WHERE event_id % 3 = 0
+  )
+) WHERE rn = 1
+"""
+
+
+@query("merge_upsert_latest_wins", sql=_MERGE_SQL, tags=("dedup", "merge"))
+def merge_upsert_query(spark, sf_dir):
+    """S6 — base (even ids) merged with an updates batch (ids %3==0,
+    value+1000): matched keys take the update, unmatched keys insert.
+    `src` is kept in the output so the oracle verifies precedence,
+    not just membership."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id", "value")
+    updates = ev.filter(F.col("event_id") % 3 == 0).select(
+        "event_id", "user_id", (F.col("value") + 1000).alias("value")
+    )
+    merged = merge_upsert(
+        base.withColumn("src", F.lit(0)),
+        updates.withColumn("src", F.lit(1)),
+        ["event_id"],
+    )
+    return merged.select("event_id", "user_id", "value", "src")

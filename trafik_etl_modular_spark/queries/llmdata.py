@@ -1,0 +1,340 @@
+"""Query entries for the training-data pipeline operators
+(llmdata/*) — text analysis, dedup, similarity search, multimodal.
+
+Oracle notes: the shingle/token pipelines use 1-based element_at on
+the Spark side to mirror DuckDB's 1-based list indexing; cosine
+scores are strict left folds in both engines (bit-identical, no
+rounding slop). MinHash/SimHash signatures hash with xxhash64 — an
+engine-specific function — so those two queries are rows-only checked
+by the driver and cross-validated against exact Jaccard in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trafik_etl_modular_spark.llmdata.dedup import (
+    jaccard,
+    minhash_near_dups,
+    shingles,
+    simhash_candidate_pairs,
+    simhash_signatures,
+)
+from trafik_etl_modular_spark.llmdata.multimodal import extract_features, with_binary_payload
+from trafik_etl_modular_spark.llmdata.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    near_dup_pairs_by_bucket,
+)
+from trafik_etl_modular_spark.llmdata.text import (
+    char_fingerprint,
+    predict_lang,
+    quality_score,
+    stopword_count,
+    token_count,
+    tokens,
+)
+from trafik_etl_modular_spark.queries.common import t
+from trafik_etl_modular_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq_tokens,
+       length(text) AS n_chars_measured,
+       n_chars
+FROM documents
+"""
+
+
+@query("text_token_stats", sql=_TOKEN_STATS_SQL, tags=("llmdata", "text"))
+def text_token_stats(spark, sf_dir):
+    """Token counting per document — whitespace tokens, distinct
+    tokens, char length (validates the fixture's n_chars)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(tokens("text"))).alias("n_uniq_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        "n_chars",
+    )
+
+
+_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+            x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS INTEGER) AS n_stopwords,
+       0.7 * (least(CAST(len(string_split(text, ' ')) AS DOUBLE), 200.0) / 200.0)
+         + 0.3 * least(
+             (CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5,
+             1.0) AS quality
+FROM documents
+"""
+
+
+@query("text_quality_score", sql=_QUALITY_SQL, tags=("llmdata", "text"))
+def text_quality(spark, sf_dir):
+    """Length/stopword-ratio quality heuristic, pure Catalyst
+    expressions (llmdata/text.py:quality_score)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        stopword_count("text").alias("n_stopwords"),
+        quality_score("text").alias("quality"),
+    )
+
+
+_LANGID_SQL = """
+SELECT doc_id, lang AS labeled_lang,
+  CASE
+    WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+    WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+    WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+    WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+    ELSE 'es'
+  END AS predicted_lang
+FROM (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS hits_en,
+    len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS hits_de,
+    len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est'))) AS hits_fr,
+    len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y','es'))) AS hits_es
+  FROM documents
+)
+"""
+
+
+@query("text_langid", sql=_LANGID_SQL, tags=("llmdata", "text"))
+def text_langid(spark, sf_dir):
+    """Marker-word language-ID heuristic (argmax of per-language
+    stopword hits, 'und' when nothing matches)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predict_lang("text").alias("predicted_lang"),
+    )
+
+
+_FPRINT_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(
+           CAST(0 AS BIGINT),
+           list_transform(range(1, length(text) + 1),
+                          i -> ascii(substring(text, i, 1)))),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+
+@query("text_fingerprint", sql=_FPRINT_SQL, tags=("llmdata", "text"))
+def text_fingerprint(spark, sf_dir):
+    """Polynomial rolling hash over characters — deterministic
+    order-sensitive document fingerprint, identical left fold in both
+    engines."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", char_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact_documents", sql=_EXACT_DEDUP_SQL, tags=("llmdata", "dedup"))
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash the content, keep the smallest id per hash.
+    The shuffle carries 16-byte hashes + ids, not document bodies —
+    the property that matters at 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_JACCARD_PAIRS_SQL = """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a
+JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+"""
+
+
+@query("dedup_ngram_jaccard_pairs", sql=_JACCARD_PAIRS_SQL, tags=("llmdata", "dedup"))
+def dedup_jaccard_pairs(spark, sf_dir):
+    """3-shingle Jaccard near-dup pairs, blocked by `source` so the
+    pair space is per-block, not corpus². (MinHash-LSH below replaces
+    the block key with signature bands when no natural block exists.)"""
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "source", shingles("text", 3).alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jaccard(F.col("a.s"), F.col("b.s")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+@query("dedup_minhash_lsh", sql=None, tags=("llmdata", "dedup"))
+def dedup_minhash(spark, sf_dir):
+    """MinHash(64) + LSH(16 bands × 4 rows) near-dup pairs verified by
+    exact Jaccard ≥ 0.6. xxhash64 signatures are engine-specific →
+    rows-only driver check; recall vs exact Jaccard is asserted in
+    tests/test_llmdata.py."""
+    docs = t(spark, sf_dir, "documents")
+    return minhash_near_dups(docs, threshold=0.6).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash_candidates", sql=None, tags=("llmdata", "dedup"))
+def dedup_simhash(spark, sf_dir):
+    """SimHash-64 signatures + pigeonhole (4×16-bit chunk) candidate
+    pairs with Hamming distance ≤ 3 (the pigeonhole bound the 4-chunk bucketing guarantees). Engine-specific hashing →
+    rows-only check + unit tests."""
+    docs = t(spark, sf_dir, "documents")
+    signed = simhash_signatures(docs)
+    return (
+        simhash_candidate_pairs(signed)
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {_cos_sql('e.embedding', 'q.qvec')} AS cosine
+FROM embeddings e, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 20
+"""
+
+
+@query("sim_topk_cosine_bruteforce", sql=_TOPK_SQL, tags=("llmdata", "similarity", "topk"))
+def sim_topk(spark, sf_dir):
+    """Exact cosine top-20 for probe vec_id=0: broadcast the probe,
+    map-side left-fold dot product, TakeOrderedAndProject top-k."""
+    emb = t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+
+
+_ANN_SQL = f"""
+WITH q AS (SELECT embedding AS qvec, label AS qlabel FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {_cos_sql('e.embedding', 'q.qvec')} AS cosine
+FROM embeddings e, q
+WHERE vec_id <> 0 AND e.label = q.qlabel
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("sim_ann_bucketed", sql=_ANN_SQL, tags=("llmdata", "similarity", "topk"))
+def sim_ann(spark, sf_dir):
+    """IVF-style ANN: score only the probe's coarse bucket (`label` as
+    the coarse key) — bucket-pruned scan instead of full corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    return bucketed_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+_NEARDUP_EMB_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
+"""
+
+
+@query("sim_neardup_embeddings", sql=_NEARDUP_EMB_SQL, tags=("llmdata", "similarity"))
+def sim_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, bucketed by label (all-pairs
+    only within a bucket — the join shuffles on the bucket key)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return near_dup_pairs_by_bucket(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+_MM_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_hash,
+       hex(encode(substring(text, 1, 8))) AS header_hex
+FROM documents
+"""
+
+
+@query("multimodal_payload_stats", sql=_MM_SQL, tags=("llmdata", "multimodal"))
+def multimodal_payload_stats(spark, sf_dir):
+    """Binary-column plumbing that IS oracle-checkable: utf-8 payload
+    byte length, content hash, header bytes in hex."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        F.md5("text").alias("content_hash"),
+        F.hex(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("header_hex"),
+    )
+
+
+@query("multimodal_extract_features", sql=None, tags=("llmdata", "multimodal"))
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched (mapInPandas) feature extraction over binary
+    payloads with a deterministic FAKE decode (real codecs absent in
+    this container — llmdata/multimodal.py). Rows-only check; batch
+    shape and schema unit-tested."""
+    docs = t(spark, sf_dir, "documents")
+    return extract_features(with_binary_payload(docs)).orderBy("doc_id")

@@ -1,0 +1,74 @@
+"""Registered queries that RUN Structured Streaming (file-source
+micro-batches driven to completion, memory/foreachBatch sinks) and
+return batch frames whose contents are deterministic — so even the
+streaming operators get full DuckDB-oracle checks:
+
+  * windowed agg  — same result as the batch tumbling query;
+  * streaming dedup — key SET is batch-order independent;
+  * foreachBatch upsert — recency-wins state is batch-order
+    independent by construction.
+"""
+
+from __future__ import annotations
+
+from trafik_etl_modular_spark.functions.scalars import oracle_dsum
+from trafik_etl_modular_spark.registry import query
+from trafik_etl_modular_spark.streaming.pipeline import (
+    dedup_within_watermark,
+    hourly_windowed_counts,
+    upsert_sink_run,
+)
+
+_HOURLY_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       {oracle_dsum('value', 2)} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("streaming_hourly_window", sql=_HOURLY_SQL, tags=("streaming", "agg"))
+def streaming_hourly_window(spark, sf_dir):
+    """Watermarked tumbling 1-hour window over the event stream —
+    complete-mode emission equals the batch group-by, which is exactly
+    what the oracle checks."""
+    return hourly_windowed_counts(spark, sf_dir)
+
+
+_DEDUP_KEYS_SQL = """
+SELECT DISTINCT event_id % 700 AS entity_id
+FROM events
+ORDER BY entity_id
+"""
+
+
+@query("streaming_dedup_within_watermark", sql=_DEDUP_KEYS_SQL, tags=("streaming", "dedup"))
+def streaming_dedup(spark, sf_dir):
+    """dropDuplicatesWithinWatermark on the entity key (streaming form
+    of the reference's seen_ids set). First-arrival rows depend on
+    micro-batch order, so the checked result is the deduped KEY SET,
+    which doesn't."""
+    return dedup_within_watermark(spark, sf_dir)
+
+
+_UPSERT_SQL = """
+SELECT entity_id, event_id, ts, value
+FROM (
+  SELECT (event_id % 700) AS entity_id, event_id, ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY (event_id % 700)
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("streaming_foreachbatch_upsert", sql=_UPSERT_SQL, tags=("streaming", "merge"))
+def streaming_upsert(spark, sf_dir):
+    """foreachBatch keyed upsert with recency-wins MERGE semantics —
+    final state must equal the batch latest-wins dedup regardless of
+    micro-batching, and the oracle asserts precisely that."""
+    return upsert_sink_run(spark, sf_dir)

@@ -170,7 +170,7 @@ _SEMI_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
 WHERE c_custkey IN (
-  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+  SELECT o_custkey FROM orders WHERE o_totalprice > 450000
 )
 """
 
@@ -179,7 +179,7 @@ WHERE c_custkey IN (
 def join_semi(spark, sf_dir):
     """LEFT SEMI join — EXISTS without duplicating the left side."""
     cust = t(spark, sf_dir, "customer")
-    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
@@ -188,15 +188,17 @@ def join_semi(spark, sf_dir):
 _ANTI_SQL = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
 """
 
 
-@query("join_anti_customers_without_orders", sql=_ANTI_SQL, tags=("join",))
+@query("join_anti_customers_no_urgent_orders", sql=_ANTI_SQL, tags=("join",))
 def join_anti(spark, sf_dir):
-    """LEFT ANTI join — NOT EXISTS."""
+    """LEFT ANTI join — NOT EXISTS (customers with no urgent orders)."""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

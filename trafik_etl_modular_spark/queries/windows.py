@@ -1,0 +1,167 @@
+"""Window-function family (SURVEY.md §2.5 context + §7.3 step 5-6).
+
+The reference's only window-shaped computations are its two dedups
+(see queries/dedup.py); these queries declare the general forms —
+top-N per group, running totals, ranking, lag-based sessionization —
+that the same Spark primitive unlocks.
+
+Every window carries a TOTAL order (unique tiebreaker) so results are
+deterministic under any partitioning — pandas relied on input order
+(SURVEY.md §7.4 W1 caveat); we never do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from trafik_etl_modular_spark.queries.common import t
+from trafik_etl_modular_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Top-N per group.
+# ---------------------------------------------------------------------------
+
+_TOP3_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@query("window_top3_orders_per_customer", sql=_TOP3_SQL, tags=("window", "topk"))
+def window_top3(spark, sf_dir):
+    """Canonical top-N-per-group: one hash shuffle on the partition
+    key, in-partition sort, early row_number cutoff. At skewed scale,
+    AQE splits oversized partitions; no global sort ever happens."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running (cumulative) total per partition — exact decimal so the
+# cumulative sums hash-match a sequential engine at every prefix.
+# ---------------------------------------------------------------------------
+
+_RUNNING_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_revenue
+FROM lineitem
+"""
+
+
+@query("window_running_revenue_per_supplier", sql=_RUNNING_SQL, tags=("window",))
+def window_running(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.sum(F.col("l_extendedprice").cast(T.DecimalType(38, 2)))
+        .over(w)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dense_rank with legitimate ties.
+# ---------------------------------------------------------------------------
+
+_RANK_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, price_rank
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         DENSE_RANK() OVER (
+           PARTITION BY p_brand ORDER BY p_retailprice DESC
+         ) AS price_rank
+  FROM part
+) WHERE price_rank <= 5
+"""
+
+
+@query("window_dense_rank_parts", sql=_RANK_SQL, tags=("window",))
+def window_dense_rank(spark, sf_dir):
+    """dense_rank is tie-stable (equal keys share a rank), so no
+    synthetic tiebreaker is needed for determinism — every row with
+    rank ≤ 5 appears in both engines."""
+    part = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        part.withColumn("price_rank", F.dense_rank().over(w))
+        .filter(F.col("price_rank") <= 5)
+        .select("p_brand", "p_partkey", "p_retailprice", "price_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: lag-gap flagging + cumulative session ids.
+# ---------------------------------------------------------------------------
+
+_SESSION_SQL = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) <= 1800000000
+                THEN 0 ELSE 1 END AS is_new
+    FROM events
+  )
+)
+GROUP BY user_id
+"""
+
+
+@query("window_sessionize_users", sql=_SESSION_SQL, tags=("window", "sessionize"))
+def window_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum as session id → per-user session counts.
+    One shuffle on user_id serves both windows and the final agg
+    (same partitioning reused across stages)."""
+    ev = t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond-exact gap (cast-to-long would truncate to seconds and
+    # disagree with the oracle at 30:00.x boundaries).
+    gap_ok = (
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wo)
+    ) <= 1_800_000_000
+    flagged = ev.withColumn("is_new", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)))
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessioned.groupBy("user_id").agg(
+        F.countDistinct("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

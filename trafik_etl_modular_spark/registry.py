@@ -48,6 +48,7 @@ _QUERY_MODULES = [
     "trafik_etl_modular_spark.queries.dedup",
     "trafik_etl_modular_spark.queries.joins",
     "trafik_etl_modular_spark.queries.events_json",
+    "trafik_etl_modular_spark.queries.presentation",
     "trafik_etl_modular_spark.queries.llmdata",
     "trafik_etl_modular_spark.queries.streaming",
 ]

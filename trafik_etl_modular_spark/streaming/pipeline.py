@@ -1,0 +1,159 @@
+"""Structured Streaming reproductions of the reference's streaming
+semantics (SURVEY.md §2.9): incremental ingest with watermarks,
+tumbling event-time window aggregation, within-watermark dedup, and
+a foreachBatch upsert sink (the Delta-MERGE analog).
+
+The reference encodes these as a daily cron + cursor pagination + PK
+upsert (/root/reference/src/trv/endpoints.py:166-207,
+load_sqlite.py:43-62); here they are actual streaming operators.  For
+tests and driver checks the parquet fixture drives the stream via the
+file source and `processAllAvailable()` — semantically the same
+micro-batch path a Kafka source would take.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trafik_etl_modular_spark.catalog import _ensure_session_confs, table_path
+
+_counter = itertools.count()
+
+# Parquet schema of the events fixture as stored on disk (ts is raw
+# nanos — see catalog.load_table).
+_EVENTS_DDL = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file source requires a DIRECTORY; the fixture is a single
+    parquet file (and /root/testdata is read-only). Stage a symlink
+    under /tmp once per sf_dir."""
+    import hashlib
+    import os
+
+    src = table_path(sf_dir, "events")
+    d = f"/tmp/trafik_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture. maxFilesPerTrigger
+    keeps micro-batches bounded; in production this is the Kafka /
+    cloud-files source with the same downstream plan."""
+    _ensure_session_confs(spark)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(_EVENTS_DDL)
+        .option("maxFilesPerTrigger", "1")
+        .load(_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Drive a streaming frame to completion synchronously into a
+    memory sink; return the sink contents as a batch frame."""
+    name = f"stream_sink_{next(_counter)}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def hourly_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1-hour window: counts + exact decimal sums
+    per (window, event_type). Complete mode so every window is emitted
+    for the batch-oracle comparison."""
+    from trafik_etl_modular_spark.functions.scalars import dsum
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), dsum("value", 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on the entity key: dropDuplicatesWithinWatermark
+    keeps the first arrival per key while state is bounded by the
+    watermark (the streaming form of the reference's `seen_ids` set,
+    endpoints.py:177-202)."""
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "entity_id", F.col("event_id") % 700
+    )
+    deduped = (
+        ev.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["entity_id"])
+        .select("entity_id")
+    )
+    out = _run_to_memory(deduped, "append")
+    # First-arrival content is micro-batch-order dependent; the KEY SET
+    # is deterministic. Return the sorted key set.
+    return out.select("entity_id").distinct().orderBy("entity_id")
+
+
+def upsert_sink_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch keyed upsert: every micro-batch MERGEs into the
+    accumulated state with latest-wins on (entity_id) — the
+    pure-relational form of `foreachBatch + MERGE INTO` (S6).
+
+    State is held as a per-run temp view ("the table"); on a
+    lakehouse the body of `apply_batch` is a Delta MERGE with the
+    identical join condition.
+    """
+    state: dict[str, DataFrame] = {}
+
+    def latest_per_entity(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("entity_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        upd = batch_df.withColumn("entity_id", F.col("event_id") % 700).select(
+            "entity_id", "event_id", "ts", "value"
+        )
+        prev = state.get("table")
+        merged = upd if prev is None else prev.unionByName(upd)
+        # Recency-wins MERGE: the (ts, event_id) tiebreak makes the
+        # final state independent of how the stream was micro-batched —
+        # the idempotent at-least-once semantics the reference's keyed
+        # upsert provides across overlapping daily re-fetches.
+        state["table"] = latest_per_entity(merged).localCheckpoint(eager=True)
+
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return state["table"].orderBy("entity_id")
