@@ -1,0 +1,151 @@
+"""Python Data Source + UDTF paginated XML feed (SURVEY.md S1-S4/U4)
+and the partitioned sink with MERGE compaction (S5/S6)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from trafik_etl_modular_spark.sources.xml_feed import (
+    fetch_with_retry,
+    make_pages_udtf,
+    parse_situation_xml,
+    register_xml_feed,
+)
+
+PAGE_TMPL = """<Response><Situation>
+  <Id>S{p}A</Id><ModifiedTime>2024-01-1{p}T08:00:00Z</ModifiedTime>
+  <PublicationTime>2024-01-1{p}T07:00:00Z</PublicationTime>
+  <Deviation><Id>D{p}1</Id><Message>Roadwork {p}</Message>
+    <MessageType>Roadwork</MessageType><LocationDescriptor>E6</LocationDescriptor>
+    <RoadNumber>E6</RoadNumber><CountyNo>14</CountyNo>
+    <StartTime>2024-01-1{p}T00:00:00Z</StartTime>
+    <Geometry><WGS84>POINT (11.97 57.70)</WGS84></Geometry>
+  </Deviation>
+  <Deviation><Id>D{p}2</Id><Message>Accident {p}</Message>
+    <MessageType>Accident</MessageType><CountyNo>1</CountyNo>
+    <StartTime>2024-01-1{p}T06:00:00Z</StartTime>
+  </Deviation>
+</Situation>
+<Situation><Id>S{p}B</Id><ModifiedTime>2024-01-1{p}T09:00:00Z</ModifiedTime>
+  <PublicationTime>2024-01-1{p}T08:30:00Z</PublicationTime>
+</Situation></Response>"""
+
+
+@pytest.fixture(scope="module")
+def feed_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("xml_feed")
+    for p in range(1, 5):
+        (d / f"page_{p:03d}.xml").write_text(PAGE_TMPL.format(p=p))
+    return str(d)
+
+
+def test_parse_xml_flatten_semantics():
+    rows = parse_situation_xml(PAGE_TMPL.format(p=1), page=0)
+    # 2 deviations from S1A; S1B (no deviations) vanishes — inner explode
+    assert len(rows) == 2
+    sids = {r[0] for r in rows}
+    assert sids == {"S1A"}
+    # parent fields repeated, missing fields None
+    assert rows[0][1] == "2024-01-11T08:00:00Z"
+    assert rows[1][10] is None  # D12 has no EndTime
+    assert rows[0][11] == "POINT (11.97 57.70)"  # nested Geometry/WGS84
+
+
+def test_fetch_retry_recovers():
+    attempts = {"n": 0}
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise ConnectionError("503")
+        return "<ok/>"
+
+    assert fetch_with_retry(flaky) == "<ok/>"
+    assert attempts["n"] == 3
+
+    with pytest.raises(RuntimeError, match="after 5 attempts"):
+        fetch_with_retry(lambda: (_ for _ in ()).throw(ConnectionError("down")))
+
+
+def test_datasource_reads_pages_in_partitions(spark, feed_dir):
+    register_xml_feed(spark)
+    df = (
+        spark.read.format("xml_feed")
+        .option("path", feed_dir)
+        .option("pagesPerSplit", "2")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 8  # 4 pages × 2 deviations
+    assert df.select("page").distinct().count() == 4
+    # the source plans multiple partitions (page spans)
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_udtf_pagination_with_seen_ids(spark, feed_dir):
+    spark.udtf.register("read_pages", make_pages_udtf())
+    out = spark.sql(f"SELECT * FROM read_pages('{feed_dir}', 20)").collect()
+    assert len(out) == 8
+    assert {r["deviation_id"] for r in out} == {
+        f"D{p}{i}" for p in range(1, 5) for i in (1, 2)
+    }
+
+
+def test_partitioned_sink_and_merge(spark, tmp_path):
+    from trafik_etl_modular_spark.pipelines.sink import (
+        merge_into_incidents,
+        read_incidents,
+        write_incidents,
+    )
+
+    path = str(tmp_path / "incidents_tbl")
+    base = spark.createDataFrame(
+        [
+            ("A", "2024-01-10 08:00:00", "2024-01-10 08:00:00", 1.0),
+            ("B", "2024-01-10 09:00:00", "2024-01-10 09:00:00", 2.0),
+            ("C", "2024-01-11 09:00:00", "2024-01-11 09:00:00", 3.0),
+        ],
+        "incident_id string, start_time_utc string, modified_time_utc string, v double",
+    ).withColumn("start_time_utc", F.col("start_time_utc").cast("timestamp"))
+    write_incidents(base, path)
+
+    # partition directories exist (date-partitioned layout)
+    assert glob.glob(os.path.join(path, "event_date=2024-01-10"))
+
+    updates = spark.createDataFrame(
+        [
+            ("B", "2024-01-10 09:00:00", "2024-01-12 00:00:00", 20.0),  # newer version
+            ("D", "2024-01-10 11:00:00", "2024-01-12 00:00:00", 4.0),  # new key
+        ],
+        "incident_id string, start_time_utc string, modified_time_utc string, v double",
+    ).withColumn("start_time_utc", F.col("start_time_utc").cast("timestamp"))
+    merge_into_incidents(spark, path, updates)
+
+    got = {
+        r["incident_id"]: r["v"] for r in read_incidents(spark, path).collect()
+    }
+    assert got == {"A": 1.0, "B": 20.0, "C": 3.0, "D": 4.0}
+
+
+def test_centroid_udf_and_hybrid(spark):
+    from trafik_etl_modular_spark.functions.geo import centroid_lat_lon
+
+    df = spark.createDataFrame(
+        [
+            ("POINT (11.97 57.70)",),
+            ("LINESTRING (10.0 50.0, 12.0 52.0)",),
+            ("garbage",),
+            (None,),
+        ],
+        "g string",
+    )
+    lat, lon = centroid_lat_lon("g")
+    out = df.select(lat.alias("lat"), lon.alias("lon")).collect()
+    assert (out[0]["lat"], out[0]["lon"]) == (57.70, 11.97)  # JVM fast path
+    assert (out[1]["lat"], out[1]["lon"]) == (51.0, 11.0)  # vertex mean
+    assert out[2]["lat"] is None and out[3]["lat"] is None

@@ -1,0 +1,91 @@
+"""Storage sink: partitioned parquet table + MERGE-style compaction
+(SURVEY.md §2.1 S5/S6 — the lakehouse replacement for SQLite DDL +
+B-tree indexes + `INSERT ... ON CONFLICT`).
+
+Layout decisions (§7.1):
+  * partition by `event_date = to_date(start_time_utc)` — the
+    dashboard's 30-day predicate (S7) becomes partition pruning; the
+    reference's `start_time_utc` B-tree index is this, for free.
+  * per-partition file sizing via repartition on the partition key
+    before write (small-file control); on Delta this would be
+    OPTIMIZE/Z-ORDER on `county_name` — parquet min/max stats give
+    data skipping on sorted columns.
+  * upsert = partition-scoped rewrite: only partitions present in the
+    updates batch are rewritten (union + latest-wins within those),
+    not the whole table — the pure-parquet equivalent of Delta
+    `MERGE INTO`, with rewrite volume ∝ touched partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trafik_etl_modular_spark.queries.dedup import latest_wins
+
+
+def write_incidents(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Initial load: date-partitioned parquet, one shuffle to co-locate
+    partition data (repartition on the partition column so each date
+    writes a bounded file count, not one file per task)."""
+    (
+        df.withColumn("event_date", F.to_date("start_time_utc"))
+        .repartition(F.col("event_date"))
+        .write.mode(mode)
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
+def read_incidents(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def merge_into_incidents(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str = "incident_id",
+    order_cols: tuple[str, ...] = ("modified_time_utc",),
+) -> None:
+    """Partition-scoped MERGE: rewrite only the event_date partitions
+    the updates touch.
+
+    1. derive the touched partition set from the updates (driver-side
+       collect of a tiny distinct list);
+    2. read ONLY those partitions from the existing table (partition
+       pruning via the filter);
+    3. union + latest-wins on the key;
+    4. dynamic-partition-overwrite those partitions atomically-enough
+       for parquet (Delta MERGE is the transactional upgrade).
+    """
+    upd = updates.withColumn("event_date", F.to_date("start_time_utc")).withColumn(
+        "__src", F.lit(1)
+    )
+    touched = [r[0] for r in upd.select("event_date").distinct().collect()]
+    if not touched:
+        return
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged = upd
+    if os.path.exists(path):
+        existing = (
+            read_incidents(spark, path)
+            .filter(F.col("event_date").isin(touched))
+            .withColumn("__src", F.lit(0))
+        )
+        merged = existing.unionByName(upd, allowMissingColumns=True)
+
+    ordering = [F.desc(c) for c in order_cols] + [F.desc("__src")]
+    resolved = latest_wins(merged, [key], ordering).drop("__src")
+    # Materialize BEFORE the write — the plan reads the same path it
+    # overwrites, which Spark (rightly) refuses to run lazily.
+    resolved = resolved.localCheckpoint(eager=True)
+    (
+        resolved.repartition(F.col("event_date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )

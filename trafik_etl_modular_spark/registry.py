@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "trafik_etl_modular_spark.queries.presentation",
     "trafik_etl_modular_spark.queries.llmdata",
     "trafik_etl_modular_spark.queries.streaming",
+    "trafik_etl_modular_spark.queries.source_feed",
 ]
 
 

@@ -1,0 +1,168 @@
+"""Paginated XML feed source (SURVEY.md §2.1 S1–S4, §2.10 U4).
+
+The reference pulls Situation XML from an HTTP API with cursor
+pagination, retry/backoff, and query pushdown
+(/root/reference/src/trv/client.py:31-60, endpoints.py:60-207).
+Re-expressed Spark-natively, twice:
+
+  * :class:`XmlFeedDataSource` — a PySpark 4 **Python Data Source**
+    (`spark.dataSource.register` + `spark.read.format("xml_feed")`).
+    Partition planning splits the page range across executors, each
+    reading its own page span — the DSv2 shape where a real HTTP
+    endpoint would be fetched in parallel.
+  * :func:`read_pages_udtf` — the same iterator as a **UDTF**
+    (lateral-join-able), mirroring the reference's
+    generator-as-table-function.
+
+No network in this environment, so the transport is pluggable: pages
+come from a directory of XML files (the landing-zone pattern — in
+production a fetcher daemon writes the same files and Spark
+Auto-Loader-style streams them).  The XML parse + flatten + cursor
+semantics are the real thing.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+FEED_SCHEMA_DDL = (
+    "situation_id string, modified_time string, publication_time string, "
+    "deviation_id string, message string, message_type string, "
+    "location_descriptor string, road_number string, county_no int, "
+    "start_time string, end_time string, wgs84 string, page int"
+)
+
+
+def parse_situation_xml(xml_text: str, page: int) -> list[tuple]:
+    """S3 — parse one page of Situation XML, one row per Deviation,
+    parent fields repeated; missing fields → None; inner explode
+    (deviation-less Situations emit nothing)."""
+    rows: list[tuple] = []
+    root = ET.fromstring(xml_text)
+    for sit in root.iter("Situation"):
+        sid = sit.findtext("Id")
+        mod = sit.findtext("ModifiedTime")
+        pub = sit.findtext("PublicationTime")
+        for dev in sit.findall("Deviation"):
+            county = dev.findtext("CountyNo")
+            rows.append(
+                (
+                    sid,
+                    mod,
+                    pub,
+                    dev.findtext("Id"),
+                    dev.findtext("Message"),
+                    dev.findtext("MessageType"),
+                    dev.findtext("LocationDescriptor"),
+                    dev.findtext("RoadNumber"),
+                    int(county) if county and county.isdigit() else None,
+                    dev.findtext("StartTime"),
+                    dev.findtext("EndTime"),
+                    dev.findtext("Geometry/WGS84"),
+                    page,
+                )
+            )
+    return rows
+
+
+def fetch_with_retry(fetch, max_attempts: int = 5, base_delay: float = 0.05) -> str:
+    """S1 — exponential backoff + jitter-free retry envelope around a
+    transport callable (reference client.py:26-29,37-59 retries 5× on
+    429/5xx; deterministic delays here for testability)."""
+    last: Exception | None = None
+    for attempt in range(max_attempts):
+        try:
+            return fetch()
+        except Exception as e:  # noqa: BLE001 — transport errors are retryable
+            last = e
+            time.sleep(min(base_delay * (2**attempt), 1.0))
+    raise RuntimeError(f"feed fetch failed after {max_attempts} attempts") from last
+
+
+class _PageSpan(InputPartition):
+    def __init__(self, paths: list[str], start_page: int):
+        self.paths = paths
+        self.start_page = start_page
+
+
+class XmlFeedReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.dir = options["path"]
+        self.pages_per_split = int(options.get("pagesPerSplit", "4"))
+        self.max_pages = int(options.get("maxPages", "20"))
+
+    def partitions(self):
+        files = sorted(
+            f for f in os.listdir(self.dir) if f.endswith(".xml")
+        )[: self.max_pages]
+        spans = []
+        for i in range(0, len(files), self.pages_per_split):
+            chunk = [os.path.join(self.dir, f) for f in files[i : i + self.pages_per_split]]
+            spans.append(_PageSpan(chunk, i))
+        return spans or [_PageSpan([], 0)]
+
+    def read(self, partition: _PageSpan) -> Iterator[tuple]:
+        for offset, path in enumerate(partition.paths):
+            xml_text = fetch_with_retry(lambda p=path: open(p, encoding="utf-8").read())
+            yield from parse_situation_xml(xml_text, partition.start_page + offset)
+
+
+class XmlFeedDataSource(DataSource):
+    """spark.read.format("xml_feed").option("path", dir).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "xml_feed"
+
+    def schema(self) -> str:
+        return FEED_SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> XmlFeedReader:
+        return XmlFeedReader(self.options)
+
+
+def register_xml_feed(spark) -> None:
+    spark.dataSource.register(XmlFeedDataSource)
+
+
+# ---------------------------------------------------------------------------
+# U4 — the same pagination as a UDTF (generator-as-table-function),
+# with the reference's cursor semantics: stop on empty page, short
+# page, or no-new-ids (endpoints.py:166-207).
+# ---------------------------------------------------------------------------
+
+
+def make_pages_udtf():
+    """Returns a PySpark @udtf class reading a page directory with
+    per-run seen-id dedup — `SELECT * FROM read_pages('<dir>')`."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=FEED_SCHEMA_DDL)
+    class ReadPages:
+        def eval(self, feed_dir: str, max_pages: int = 20):
+            seen: set[str] = set()
+            files = sorted(
+                f for f in os.listdir(feed_dir) if f.endswith(".xml")
+            )[:max_pages]
+            for page, fname in enumerate(files):
+                xml_text = fetch_with_retry(
+                    lambda p=os.path.join(feed_dir, fname): open(p, encoding="utf-8").read()
+                )
+                rows = parse_situation_xml(xml_text, page)
+                if not rows:  # empty page → stop (cursor exhausted)
+                    return
+                new = [r for r in rows if r[3] not in seen]
+                if not new:  # no new ids → stop
+                    return
+                for r in new:
+                    if r[3] is not None:
+                        seen.add(r[3])
+                    yield r
+
+    return ReadPages
