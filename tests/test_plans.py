@@ -1,0 +1,105 @@
+"""Physical-plan audits (SURVEY.md §4): the scale properties the
+engine is designed around must be visible in the plans Catalyst
+actually produces — pushdown, pruning, broadcast, partial
+aggregation, sorted-limit, codegen, and the absence of cartesian
+products in candidate generation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trafik_etl_modular_spark.catalog import load_table
+from trafik_etl_modular_spark.pipelines.incidents import build_incidents
+from trafik_etl_modular_spark.registry import REGISTRY, _load_all
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return qe.explainString(jmode)
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    """S2/P1: predicate reaches the parquet scan (PushedFilters) and
+    the scan schema is pruned to the selected columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _explain(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+    # ReadSchema carries only the two needed columns, not all 16
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """O2: orderBy + limit plans TakeOrderedAndProject (per-partition
+    top-k then merge), never a global sort of the full relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.orderBy(F.desc("l_extendedprice")).limit(10)
+    assert "TakeOrderedAndProject" in _explain(df, "simple")
+
+
+def test_dimension_join_is_broadcast(spark, sf_dir):
+    """J1/J2: the 25-row county dim joins as a broadcast hash join —
+    zero shuffle of the fact side at any scale."""
+    plan = _explain(build_incidents(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregation_is_two_phase(spark, sf_dir):
+    """A1: groupBy count plans partial (map-side) + final hash
+    aggregation, so the shuffle moves one row per (partition, key)."""
+    ev = load_table(spark, sf_dir, "events")
+    plan = _explain(ev.groupBy("event_type").count(), "formatted")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_hot_path_is_codegen(spark, sf_dir):
+    """Scalar pipeline stays inside WholeStageCodegen — no
+    row-at-a-time Python in the normalize path."""
+    df = build_incidents(spark, sf_dir)
+    df.collect()  # AQE finalizes (and codegen-annotates) only executed plans
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan, f"no WholeStageCodegen stage:\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_candidate_generation_never_cartesian(spark, sf_dir):
+    """The near-dup / similarity operators must generate candidates by
+    equi-join (bucket/band/chunk keys), never a cross product — the
+    property that makes them viable at corpus scale."""
+    _load_all()
+    for name in (
+        "dedup_ngram_jaccard_pairs",
+        "dedup_minhash_lsh",
+        "dedup_simhash_candidates",
+        "sim_neardup_embeddings",
+    ):
+        plan = _explain(REGISTRY[name].fn(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_sink_scan_prunes_partitions(spark, tmp_path):
+    """S5/S7: a date predicate over the partitioned incidents layout
+    scans only matching partitions (partition pruning, the engine's
+    replacement for the reference's B-tree index)."""
+    from trafik_etl_modular_spark.pipelines.sink import read_incidents, write_incidents
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(f"I{i}", f"2024-01-{(i % 20) + 1:02d} 08:00:00") for i in range(200)],
+        "incident_id string, start_time_utc string",
+    ).withColumn("start_time_utc", F.col("start_time_utc").cast("timestamp"))
+    write_incidents(df, path)
+
+    scan = read_incidents(spark, path).filter(F.col("event_date") == "2024-01-03")
+    plan = _explain(scan)
+    # partition filter present; and the scan reports a pruned file set
+    assert "PartitionFilters: [" in plan and "event_date" in plan
+    assert scan.count() == 10
