@@ -18,6 +18,7 @@ from trafik_etl_modular_spark.streaming.pipeline import (
     hourly_windowed_counts,
     upsert_sink_run,
 )
+from trafik_etl_modular_spark.streaming.sessionize import streaming_sessionize
 
 _HOURLY_SQL = f"""
 SELECT date_trunc('hour', ts) AS window_start,
@@ -72,3 +73,43 @@ def streaming_upsert(spark, sf_dir):
     final state must equal the batch latest-wins dedup regardless of
     micro-batching, and the oracle asserts precisely that."""
     return upsert_sink_run(spark, sf_dir)
+
+
+# Same sessionization SQL as the batch `window_sessionize_users`
+# query: the custom stateful operator must converge to the identical
+# session set.
+_SESSIONIZE_SQL = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) <= 1800000000
+                THEN 0 ELSE 1 END AS is_new
+    FROM events
+  )
+)
+GROUP BY user_id
+"""
+
+
+@query(
+    "streaming_sessionize_stateful",
+    sql=_SESSIONIZE_SQL,
+    tags=("streaming", "sessionize", "stateful"),
+)
+def streaming_sessionize_stateful(spark, sf_dir):
+    """applyInPandasWithState gap sessionization over a 4-micro-batch
+    time-ordered stream; update emissions reduced to final sessions.
+    The oracle is the BATCH sessionization SQL — the stateful operator
+    must produce the identical per-user session stats regardless of
+    micro-batch boundaries."""
+    return streaming_sessionize(spark, sf_dir)

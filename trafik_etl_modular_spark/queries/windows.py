@@ -165,3 +165,53 @@ def window_sessionize(spark, sf_dir):
         F.countDistinct("session_id").cast("long").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Built-in session_window (the native Spark form of sessionization;
+# in streaming it is the watermarked session-window aggregation).
+# ---------------------------------------------------------------------------
+
+# Spark's session_window continues a session while ts < prev_ts + gap
+# (STRICT <, unlike the lag-based query's <=); the oracle mirrors that.
+_SESSION_WINDOW_SQL = """
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) < 1800000000
+                THEN 0 ELSE 1 END AS is_new
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
+"""
+
+
+@query("window_session_window_native", sql=_SESSION_WINDOW_SQL, tags=("window", "sessionize"))
+def window_session_window(spark, sf_dir):
+    """groupBy(session_window(ts, '30 minutes'), user_id) — Catalyst's
+    native merging session windows (one shuffle on user_id; in
+    streaming form the same plan runs with a watermark). The oracle
+    reproduces the STRICT-< gap rule with lag + running sum."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

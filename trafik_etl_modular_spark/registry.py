@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "trafik_etl_modular_spark.queries.llmdata",
     "trafik_etl_modular_spark.queries.streaming",
     "trafik_etl_modular_spark.queries.source_feed",
+    "trafik_etl_modular_spark.queries.skew",
 ]
 
 

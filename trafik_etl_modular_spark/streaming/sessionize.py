@@ -1,0 +1,157 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` (SURVEY.md §2.9 extension; the
+reference's only stateful shapes are watermark dedup + upsert, this
+is the engine's custom-state surface for operators Spark's built-ins
+can't express).
+
+Semantics match the batch `window_sessionize_users` query exactly:
+events within ≤ 30 min of the previous event (per user, ordered by
+(ts, event_id)) share a session.  Per micro-batch the operator:
+
+  1. merges the batch's rows with the user's open-session state,
+  2. emits an UPDATE row `(user_id, session_start_us, last_ts_us,
+     n_events)` for every session touched in the batch,
+  3. keeps only the still-open session in state.
+
+Emissions for one session key are monotone in `n_events`, so the
+final session set is the max-`n_events` row per `(user_id,
+session_start_us)` REGARDLESS of micro-batching — which is what makes
+a streaming operator batch-oracle-checkable.  Correct cross-batch
+stitching needs per-user event-time order across batches; the driver
+stages the fixture as time-ordered file chunks (the same contract a
+log-shipping source provides, and what a `withWatermark` +
+out-of-order buffer stage would restore upstream otherwise).
+
+At scale: state is one tiny tuple per active user key, hash-
+partitioned across executors by the groupBy; Arrow moves each group's
+batch rows to Python in one block, not per row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from trafik_etl_modular_spark.catalog import _ensure_session_confs, table_path
+
+GAP_US = 1_800_000_000  # 30 minutes, microsecond-exact (cf. batch query)
+
+_SINK_IDS = itertools.count()
+
+_OUT_SCHEMA = (
+    "user_id bigint, session_start_us bigint, last_ts_us bigint, n_events bigint"
+)
+_STATE_SCHEMA = "session_start_us bigint, last_ts_us bigint, n_events bigint"
+
+
+def stage_time_ordered_chunks(sf_dir: str, n_chunks: int = 4) -> str:
+    """Stage the events fixture as n time-ordered parquet chunks so the
+    file source delivers multiple micro-batches in event-time order
+    (one file per trigger, ascending mtimes)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d = f"/tmp/trafik_sessionize_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    tbl = pq.read_table(
+        table_path(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id"],
+    )
+    tbl = tbl.take(
+        pc.sort_indices(tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+    )
+    n = tbl.num_rows
+    per = -(-n // n_chunks)
+    for i in range(n_chunks):
+        chunk = tbl.slice(i * per, per)
+        path = os.path.join(d, f"chunk_{i:03d}.parquet")
+        pq.write_table(chunk, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    open(done, "w").close()
+    return d
+
+
+def _sessionize_group(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us, last_us, n = None, None, 0
+
+    batch = pd.concat(list(pdf_iter), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"])
+    out: list[tuple] = []
+    # Arrow may deliver ts as datetime64[ns] OR [us] — normalize to ns
+    # before the integer view so the µs math is unit-safe.
+    ts_col = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    for ts_us, _eid in zip(ts_col, batch["event_id"]):
+        ts_us = int(ts_us)
+        if last_us is not None and ts_us - last_us <= GAP_US:
+            last_us, n = ts_us, n + 1
+        else:
+            if last_us is not None:
+                out.append((user_id, start_us, last_us, n))  # close previous
+            start_us, last_us, n = ts_us, ts_us, 1
+    if last_us is not None:
+        out.append((user_id, start_us, last_us, n))  # open-session snapshot
+    state.update((start_us, last_us, n))
+    yield pd.DataFrame(
+        out, columns=["user_id", "session_start_us", "last_ts_us", "n_events"]
+    )
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful sessionizer over the chunked stream to
+    completion; reduce the update emissions to final per-user session
+    stats `(user_id, n_sessions, n_events)`."""
+    _ensure_session_confs(spark)
+    chunk_dir = stage_time_ordered_chunks(sf_dir)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema("event_id bigint, ts bigint, user_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .load(chunk_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    name = f"sessionize_sink_{next(_SINK_IDS)}"
+    q = (
+        updates.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    emitted = spark.sql(f"SELECT * FROM {name}")
+    # Emissions per session key are monotone in n_events → the final
+    # session row is the max; then fold sessions to per-user stats.
+    finals = emitted.groupBy("user_id", "session_start_us").agg(
+        F.max("n_events").alias("n_events")
+    )
+    return finals.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
