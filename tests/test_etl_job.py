@@ -1,0 +1,57 @@
+"""End-to-end ETL job (SURVEY.md §3.1/§3.2): feed → normalize →
+MERGE → report, including idempotent re-runs and the row-volume
+anomaly guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from trafik_etl_modular_spark.pipelines.etl_job import run_etl
+from trafik_etl_modular_spark.pipelines.ingest import make_county_dim
+from trafik_etl_modular_spark.pipelines.sink import read_incidents
+
+from tests.test_sources import PAGE_TMPL
+
+
+@pytest.fixture(scope="module")
+def feed_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("etl_feed")
+    for p in range(1, 5):
+        (d / f"page_{p:03d}.xml").write_text(PAGE_TMPL.format(p=p))
+    return str(d)
+
+
+def test_etl_end_to_end_and_idempotent(spark, feed_dir, tmp_path):
+    sink = str(tmp_path / "incidents")
+    dim = make_county_dim(spark)
+
+    report = run_etl(spark, feed_dir, sink, dim)
+    # 4 pages × 2 deviations, all with start <= now and no/loose end →
+    # PÅGÅR, none expired, no dedup collisions.
+    assert report["rows"] == 8
+    assert report["pagar"] == 8 and report["kommande"] == 0
+    assert report["seconds"] > 0
+    # 8 < expect_min_rows=50 → the anomaly guard fires (reference
+    # cli.py:94-99 semantics).
+    assert any("outside expected" in w for w in report["warnings"])
+
+    tbl = read_incidents(spark, sink)
+    got = {r["incident_id"]: r for r in tbl.collect()}
+    assert len(got) == 8
+    # county dim joined (CountyNo 14 → Västra Götalands län)
+    assert got["D11"]["county_name"] == "Västra Götalands län"
+    # WKT POINT parsed to (lat, lon)
+    assert (got["D11"]["latitude"], got["D11"]["longitude"]) == (57.70, 11.97)
+    # 13-column public schema plus the partition column
+    assert len(tbl.columns) == 14 and "event_date" in tbl.columns
+
+    # Re-running the same feed is a no-op (MERGE latest-wins).
+    report2 = run_etl(spark, feed_dir, sink, dim)
+    assert report2["rows"] == 8
+    assert {r["incident_id"] for r in read_incidents(spark, sink).collect()} == set(got)
+
+
+def test_etl_respects_max_pages(spark, feed_dir, tmp_path):
+    sink = str(tmp_path / "incidents_limited")
+    report = run_etl(spark, feed_dir, sink, make_county_dim(spark), max_pages=2)
+    assert report["rows"] == 4  # 2 pages × 2 deviations
