@@ -81,6 +81,23 @@ def token_hashes(str_arr: Column) -> Column:
     return F.transform(str_arr, lambda x: F.xxhash64(x))
 
 
+def hashed_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles AS 64-BIT HASHES — the corpus-scale
+    representation: tokens are hashed once, a shingle hash combines k
+    consecutive token hashes (fixed 24-byte rehash), and no
+    intermediate shingle STRING is ever allocated.  Same distinct-set
+    cardinality as :func:`shingles` up to hash collisions
+    (~n²/2⁶⁴ per doc — negligible), so Jaccard over these equals
+    Jaccard over the string sets."""
+    c = F.col(text) if isinstance(text, str) else text
+    th = F.transform(F.split(c, " "), lambda t: F.xxhash64(t))
+    cnt = F.greatest(F.size(th) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(th, j + 1, cnt) for j in range(k)])
+    return F.array_distinct(
+        F.transform(zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(k)]))
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -139,21 +156,20 @@ def minhash_near_dups(
     scale candidates are a tiny fraction of pairs, so the expensive
     array_intersect runs on ~linear volume."""
     rows_per_band = num_hashes // bands
-    # Shingle strings and their one-time token hashes are materialized
-    # by the checkpoint BEFORE the signature projection — otherwise
-    # CollapseProject inlines the string-hash transform into the seed
-    # lambda and it re-evaluates once per lane (64×).  The checkpoint
-    # also stops the expensive expressions re-running per plan leg
-    # (two join sides + verify); at lake scale this is a persist to
-    # storage between the sketch and join stages.
+    # Hash-space shingles, materialized by the checkpoint BEFORE the
+    # signature projection — otherwise CollapseProject inlines the
+    # shingle transform into the seed lambda and it re-evaluates once
+    # per lane (64×).  The checkpoint also stops the expensive
+    # expression re-running per plan leg (two join sides + verify); at
+    # lake scale this is a persist to storage between the sketch and
+    # join stages.
     sh = (
-        docs.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+        docs.select(F.col(id_col), hashed_shingles(F.col(text_col)).alias("sh"))
         .filter(F.size("sh") > 0)
-        .withColumn("__th", token_hashes(F.col("sh")))
         .localCheckpoint(eager=False)
     )
     signed = sh.select(
-        F.col(id_col), minhash_signature(F.col("__th"), num_hashes).alias("minhash")
+        F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("minhash")
     ).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(signed, id_col, "minhash", bands, rows_per_band)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
