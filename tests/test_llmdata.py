@@ -98,6 +98,37 @@ def test_brute_force_topk_matches_numpy(spark, sf_dir):
         assert abs(r["cosine"] - c) < 1e-9
 
 
+def test_multimodal_resize_binary_roundtrip(spark, sf_dir):
+    from trafik_etl_modular_spark.llmdata.multimodal import resize_payloads
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    resized = resize_payloads(with_binary_payload(docs), target_bytes=128).collect()
+    assert len(resized) == 10
+    for r in resized:
+        # binary→binary contract: fixed output size, meta updated
+        assert len(bytes(r["payload"])) == 128
+        assert r["media_meta"]["n_bytes"] == 128
+
+
+def test_multimodal_frame_sample_one_to_many(spark, sf_dir):
+    from trafik_etl_modular_spark.llmdata.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = with_binary_payload(docs)
+    frames = sample_frames(media, every_n=2, frame_bytes=32).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    payload_sizes = {r["doc_id"]: len(bytes(r["payload"])) for r in media.collect()}
+    for doc_id, rows in by_doc.items():
+        expect = len(range(0, payload_sizes[doc_id] // 32, 2))
+        assert len(rows) == expect
+        assert [r["frame_no"] for r in sorted(rows, key=lambda x: x["frame_no"])] == list(
+            range(0, payload_sizes[doc_id] // 32, 2)
+        )
+        assert all(r["frame_offset"] == r["frame_no"] * 32 for r in rows)
+
+
 def test_multimodal_batch_plumbing(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     media = with_binary_payload(docs)

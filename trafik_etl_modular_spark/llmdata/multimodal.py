@@ -83,3 +83,75 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize (binary → binary) and frame sampling (one → many): the other
+# two multimodal pipeline stages.  Both stubs are deterministic and
+# clearly marked; the Spark-side contracts (schemas, batch shapes,
+# map-only plans) are the real thing a codec drops into.
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = "doc_id bigint, payload binary, media_meta struct<mime:string, n_bytes:int>"
+
+FRAME_BYTES = 1024  # fake "video": fixed-size frames of payload bytes
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_no int, frame_offset int, frame_bytes int"
+)
+
+
+def fake_resize(payload: bytes, target_bytes: int) -> bytes:
+    """FAKE resize: truncate/zero-pad to target size. A real impl
+    decodes, scales, re-encodes; the engine contract — binary in,
+    binary out, size change — is what this preserves."""
+    if payload is None:
+        return None
+    return payload[:target_bytes].ljust(target_bytes, b"\0")
+
+
+def resize_payloads(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Arrow-batched binary→binary transform (the resize stage).
+    Map-only: payload bytes never shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["payload"].map(lambda b: fake_resize(b, target_bytes))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "media_meta": [
+                        {"mime": "application/octet-stream", "n_bytes": len(b)}
+                        for b in resized
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 4, frame_bytes: int = FRAME_BYTES
+) -> DataFrame:
+    """One-to-many frame sampling: treat the payload as fixed-size
+    frames, emit one OUTPUT ROW per sampled frame — the row-exploding
+    batch shape real video sampling has (mapInPandas output is not
+    1:1 with input, which is exactly why it's mapInPandas and not a
+    scalar UDF). Deterministic: frames at indices 0, n, 2n, … of
+    floor(n_bytes / FRAME_BYTES) full frames."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = 0 if payload is None else len(payload) // frame_bytes
+                for frame_no in range(0, n_frames, every_n):
+                    out.append(
+                        (doc_id, frame_no, frame_no * frame_bytes, frame_bytes)
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_no", "frame_offset", "frame_bytes"]
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -364,3 +364,23 @@ def multimodal_features(spark, sf_dir):
     shape and schema unit-tested."""
     docs = t(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(docs)).orderBy("doc_id")
+
+
+_FRAMES_SQL = """
+SELECT doc_id,
+       CAST(unnest(range(0, strlen(text) // 64, 4)) AS INTEGER) AS frame_no
+FROM documents
+"""
+
+
+@query("multimodal_frame_sample", sql=_FRAMES_SQL, tags=("llmdata", "multimodal"))
+def multimodal_frame_sample(spark, sf_dir):
+    """One-to-many frame sampling via mapInPandas (every 4th 64-byte
+    frame of the payload): the row-exploding batch shape real video
+    frame extraction has. The fake frame math is deterministic, so
+    the oracle reproduces it with a correlated range unnest."""
+    from trafik_etl_modular_spark.llmdata.multimodal import sample_frames
+
+    docs = t(spark, sf_dir, "documents")
+    media = with_binary_payload(docs)
+    return sample_frames(media, every_n=4, frame_bytes=64).select("doc_id", "frame_no")

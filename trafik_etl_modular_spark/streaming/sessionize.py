@@ -133,17 +133,28 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"sessionize_sink_{next(_SINK_IDS)}"
-    q = (
-        updates.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # State-store partition count is fixed at stream start from
+    # shuffle.partitions; size it to the key space rather than the
+    # session default (1.5k keys don't need 32 state stores — each
+    # store is a per-batch open/commit). Locally the win is small
+    # (per-GROUP Python invocation dominates this operator); at
+    # cluster scale the same override tracks keys-per-executor.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.awaitTermination()
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     emitted = spark.sql(f"SELECT * FROM {name}")
     # Emissions per session key are monotone in n_events → the final
