@@ -82,6 +82,27 @@ def predict_lang(text: Column | str) -> Column:
     return chain.otherwise(F.lit("und"))
 
 
+# BPE-style pre-tokenization: letter runs | digit runs | single
+# punctuation mark — the split GPT-style BPE applies before merges.
+# Kept to a regex subset with identical semantics in Java regex
+# (Spark) and RE2-ish (DuckDB).
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """Regex pre-tokenization (letters/digits/punct classes) — the
+    'BPE-ish' counter: real BPE merges only ever split these further,
+    so this counts an upper-bound token budget at scan speed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def punct_count(text: Column | str) -> Column:
+    """Punctuation marks (non-alnum, non-space chars)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), 0))
+
+
 def char_fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash over characters (document fingerprint):
     fold (acc*31 + ascii(char)) % mod left-to-right — order-sensitive,

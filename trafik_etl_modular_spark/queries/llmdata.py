@@ -384,3 +384,32 @@ def multimodal_frame_sample(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     media = with_binary_payload(docs)
     return sample_frames(media, every_n=4, frame_bytes=64).select("doc_id", "frame_no")
+
+
+_BPE_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+         AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER) AS n_punct,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE) AS punct_ratio
+FROM documents
+"""
+
+
+@query("text_bpe_token_stats", sql=_BPE_SQL, tags=("llmdata", "text"))
+def text_bpe_token_stats(spark, sf_dir):
+    """BPE-style pre-tokenization counts (letter/digit/punct regex
+    classes — the split real BPE refines) + punctuation ratio, all at
+    scan speed inside codegen."""
+    from trafik_etl_modular_spark.llmdata.text import bpe_tokens, punct_count
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(bpe_tokens("text")).alias("n_bpe_tokens"),
+        punct_count("text").alias("n_punct"),
+        (
+            punct_count("text").cast("double") / F.length("text").cast("double")
+        ).alias("punct_ratio"),
+    )

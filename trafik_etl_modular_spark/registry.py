@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "trafik_etl_modular_spark.queries.streaming",
     "trafik_etl_modular_spark.queries.source_feed",
     "trafik_etl_modular_spark.queries.skew",
+    "trafik_etl_modular_spark.queries.temporal",
 ]
 
 
