@@ -141,3 +141,37 @@ def test_multimodal_batch_plumbing(spark, sf_dir):
     w, h = fake_decode_meta(bytes(payload))
     assert (one["fake_width"], one["fake_height"]) == (w, h)
     assert one["header"] == bytes(payload)[:8].hex()
+
+
+def test_hyperplane_lsh_subset_of_exact(spark, sf_dir):
+    import numpy as np
+
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        hyperplane_bucket,
+        hyperplane_lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    got = hyperplane_lsh_topk(emb, probe, dim=64, k=10, n_planes=6).collect()
+    assert got, "probe bucket should not be empty at fixture scale"
+
+    # every returned cosine must equal the exact cosine (LSH prunes
+    # candidates, it never changes scores)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()
+    }
+    q = vecs[0]
+    for r in got:
+        v = vecs[r["vec_id"]]
+        exact = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        assert abs(r["cosine"] - exact) < 1e-9
+
+    # bucket locality: all results share the probe's bucket id
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", hyperplane_bucket("embedding", 64, 6).alias("b")
+        ).collect()
+    }
+    assert all(buckets[r["vec_id"]] == buckets[0] for r in got)

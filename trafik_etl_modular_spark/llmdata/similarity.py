@@ -143,3 +143,70 @@ def near_dup_pairs_by_bucket(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (Charikar 2002 §3): bucket = sign bits of
+# projections onto fixed pseudo-random planes. Cosine-similar vectors
+# collide with probability 1 - θ/π per bit.
+# ---------------------------------------------------------------------------
+
+
+def hyperplane_bucket(vec_col: Column | str, dim: int, n_planes: int = 12, seed: int = 42) -> Column:
+    """n_planes-bit LSH bucket id, computed JVM-side: the planes are
+    deterministic literals (seeded numpy, frozen into the plan), each
+    projection a strict zip_with/aggregate fold, each sign one bit.
+
+    n_planes trades bucket granularity against recall: 12 bits →
+    4096 buckets; multi-probe (flipping low-confidence bits) is the
+    standard recall lever at scale, done by probing 1+n_planes
+    buckets instead of 1."""
+    import numpy as np
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim)).round(6)  # frozen literals
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        proj = dot(to_double_array(c), plane)
+        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def hyperplane_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k probing ONLY the query's hyperplane bucket: scoring
+    volume = corpus / 2^n_planes on average. Exact cosine within the
+    bucket; the scan prunes on the bucket column when it's persisted
+    (at lake scale the bucket id is a partition/cluster key computed
+    at ingest, so the probe reads one bucket's files)."""
+    bucketed = embeddings.withColumn(
+        "__bucket", hyperplane_bucket(vec_col, dim, n_planes)
+    )
+    q = query_vec.select(
+        F.col(id_col).alias("__qid"),
+        to_double_array(vec_col).alias("__qvec"),
+        hyperplane_bucket(vec_col, dim, n_planes).alias("__qbucket"),
+    )
+    scored = bucketed.join(
+        F.broadcast(q),
+        (F.col("__bucket") == F.col("__qbucket")) & (F.col(id_col) != F.col("__qid")),
+    )
+    return (
+        scored.select(
+            F.col(id_col),
+            cosine(to_double_array(F.col(vec_col)), F.col("__qvec")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -413,3 +413,18 @@ def text_bpe_token_stats(spark, sf_dir):
             punct_count("text").cast("double") / F.length("text").cast("double")
         ).alias("punct_ratio"),
     )
+
+
+@query("sim_ann_hyperplane_lsh", sql=None, tags=("llmdata", "similarity", "topk"))
+def sim_ann_hyperplane(spark, sf_dir):
+    """Random-hyperplane LSH ANN (Charikar 2002): 6 sign-bit planes →
+    64 buckets; probe scores only its own bucket with exact cosine.
+    Plane projections are frozen deterministic literals, but the
+    12-term fold per plane is engine-specific arithmetic → rows-only
+    check; subset-of-brute-force + bucket-locality asserted in
+    tests/test_llmdata.py."""
+    from trafik_etl_modular_spark.llmdata.similarity import hyperplane_lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return hyperplane_lsh_topk(emb, probe, dim=64, k=10, n_planes=6)
