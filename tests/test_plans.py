@@ -103,3 +103,50 @@ def test_sink_scan_prunes_partitions(spark, tmp_path):
     # partition filter present; and the scan reports a pruned file set
     assert "PartitionFilters: [" in plan and "event_date" in plan
     assert scan.count() == 10
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides of a recurring join on the join key makes
+    the join shuffle-FREE (no Exchange above either scan) — the
+    pre-partitioning strategy for 100 TB fact-fact joins that repeat
+    on the same key (SCALE.md §2/§3)."""
+    import uuid
+
+    from trafik_etl_modular_spark.catalog import load_table
+
+    db = f"bk_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/wh'")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        lineitem = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(f"{db}.orders_b")
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(f"{db}.lineitem_b")
+        )
+
+        # At fixture scale the planner would broadcast (and rightly
+        # skip bucketed scans); hint merge to exercise the SMJ path the
+        # bucketing exists for at fact-fact scale.
+        joined = spark.table(f"{db}.orders_b").hint("merge").join(
+            spark.table(f"{db}.lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+
+        # same result as the plain (shuffling) join
+        plain = orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")

@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for the operators whose
+semantics have the most edge cases: as-of join and latest-wins
+merge.  Each example round-trips through real Spark execution, so
+example counts are kept small; shrinking still finds minimal
+counterexamples on failure."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from trafik_etl_modular_spark.operators.temporal import asof_join
+from trafik_etl_modular_spark.queries.dedup import merge_upsert
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_key = st.sampled_from(["a", "b"])
+_ts = st.integers(min_value=0, max_value=50)
+
+
+@_SETTINGS
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=12),
+    right=st.lists(st.tuples(_key, _ts, st.integers(0, 999)), max_size=12),
+)
+def test_asof_join_matches_reference(spark, left, right):
+    # dedupe right to one row per (key, ts): keep max value — as-of is
+    # only defined on a keyed series (operator contract)
+    rmap: dict[tuple, int] = {}
+    for k, ts, v in right:
+        rmap[(k, ts)] = max(rmap.get((k, ts), -1), v)
+    rrows = [(k, ts, v) for (k, ts), v in sorted(rmap.items())]
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "id long, k string, ts long"
+    )
+    rdf = spark.createDataFrame(rrows or [("zz", -1, 0)], "k string, rts long, v long")
+
+    got = {
+        r["id"]: r["v_asof"]
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="ts", right_ts="rts", value_cols=["v"]
+        ).collect()
+    }
+
+    # brute-force reference: latest right at or before, same key
+    for i, (k, ts) in enumerate(left):
+        cands = [(rts, v) for (rk, rts), v in rmap.items() if rk == k and rts <= ts]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, ts, cands)
+
+
+@_SETTINGS
+@given(
+    base=st.dictionaries(st.integers(0, 5), st.integers(0, 999), max_size=6),
+    updates=st.dictionaries(st.integers(0, 5), st.integers(0, 999), max_size=6),
+)
+def test_merge_upsert_updates_always_win(spark, base, updates):
+    """MERGE contract: one row per key per side; matched keys take the
+    UPDATE row, unmatched base rows survive, new update keys insert —
+    for every possible overlap pattern."""
+    schema = "k long, payload long"
+    bdf = spark.createDataFrame(list(base.items()) or [(-1, -1)], schema)
+    udf_ = spark.createDataFrame(list(updates.items()) or [(-2, -1)], schema)
+
+    merged = merge_upsert(bdf, udf_, key_cols=["k"])
+    got = {r["k"]: r["payload"] for r in merged.collect()}
+
+    expect = dict(base or {-1: -1})
+    expect.update(updates or {-2: -1})
+    assert got == expect
