@@ -10,13 +10,26 @@ from pyspark.sql import functions as F
 
 from trafik_etl_modular_spark.catalog import load_table
 from trafik_etl_modular_spark.pipelines.incidents import build_incidents
+from trafik_etl_modular_spark.plans.audit import audit
+from trafik_etl_modular_spark.plans.audit import explain as _explain
 from trafik_etl_modular_spark.registry import REGISTRY, _load_all
 
 
-def _explain(df, mode: str = "formatted") -> str:
-    qe = df._jdf.queryExecution()
-    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    return qe.explainString(jmode)
+def test_audit_scorecard(spark, sf_dir):
+    """plans.audit summarizes the plan properties the other tests
+    assert individually."""
+    a = audit(
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+        .orderBy(F.desc("l_quantity"))
+        .limit(5)
+    )
+    assert a.pushed_filters and a.take_ordered
+    assert not a.has_cartesian and not a.has_python_eval
+
+    b = audit(build_incidents(spark, sf_dir))
+    assert b.n_broadcast_joins == 1 and b.n_exchanges == 0
 
 
 def test_filter_and_projection_pushdown(spark, sf_dir):

@@ -149,3 +149,30 @@ def test_centroid_udf_and_hybrid(spark):
     assert (out[0]["lat"], out[0]["lon"]) == (57.70, 11.97)  # JVM fast path
     assert (out[1]["lat"], out[1]["lon"]) == (51.0, 11.0)  # vertex mean
     assert out[2]["lat"] is None and out[3]["lat"] is None
+
+
+def test_compaction_reduces_files_preserves_data(spark, tmp_path):
+    from trafik_etl_modular_spark.pipelines.sink import compact_partitions
+
+    path = str(tmp_path / "fragmented")
+    df = spark.createDataFrame(
+        [(f"I{i}", "2024-01-10 08:00:00", float(i)) for i in range(500)],
+        "incident_id string, start_time_utc string, v double",
+    ).withColumn("start_time_utc", F.col("start_time_utc").cast("timestamp"))
+    # simulate many-small-files from repeated micro-batch merges
+    (
+        df.withColumn("event_date", F.to_date("start_time_utc"))
+        .repartition(12)
+        .write.partitionBy("event_date")
+        .parquet(path)
+    )
+    before = glob.glob(os.path.join(path, "event_date=2024-01-10", "*.parquet"))
+    assert len(before) == 12
+
+    report = compact_partitions(spark, path, target_file_bytes=1 << 30)
+    after = glob.glob(os.path.join(path, "event_date=2024-01-10", "*.parquet"))
+    assert len(after) == 1 and report["2024-01-10"] == 1
+
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 500
+    assert {r["incident_id"] for r in got} == {f"I{i}" for i in range(500)}

@@ -89,3 +89,48 @@ def merge_into_incidents(
         .partitionBy("event_date")
         .parquet(path)
     )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partitions: list | None = None,
+) -> dict:
+    """Small-file compaction (the pure-parquet OPTIMIZE): rewrite
+    each targeted `event_date` partition into ceil(bytes/target)
+    files.
+
+    Small files are the chronic failure mode of frequent MERGEs —
+    each micro-batch writes per-partition files, and a year of hourly
+    batches makes 10k-file partitions whose scan is seek-bound. The
+    rewrite is partition-scoped (same trick as the MERGE): untouched
+    partitions keep their files byte-for-byte.
+
+    Returns {partition: n_files_after} for observability.
+    """
+    import glob as _glob
+    import math
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    part_dirs = sorted(_glob.glob(os.path.join(path, "event_date=*")))
+    result: dict = {}
+    for d in part_dirs:
+        pval = os.path.basename(d).split("=", 1)[1]
+        if partitions is not None and pval not in partitions:
+            continue
+        files = [f for f in _glob.glob(os.path.join(d, "*.parquet"))]
+        n_bytes = sum(os.path.getsize(f) for f in files)
+        n_target = max(1, math.ceil(n_bytes / target_file_bytes))
+        if len(files) <= n_target:
+            result[pval] = len(files)
+            continue
+        part_df = spark.read.parquet(path).filter(F.col("event_date") == pval)
+        rewritten = part_df.repartition(n_target).localCheckpoint(eager=True)
+        (
+            rewritten.write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+        result[pval] = n_target
+    return result

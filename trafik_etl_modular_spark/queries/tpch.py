@@ -202,3 +202,89 @@ def join_anti(spark, sf_dir):
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q10-style: returned-item reporting — who returned the most revenue.
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@query("tpch_q10_returned_items", sql=_Q10_SQL, tags=("join", "agg", "topk", "tpch"))
+def tpch_q10(spark, sf_dir):
+    """Q10 shape: 3-way fact join + broadcast nation dim + exact
+    decimal revenue + deterministic top-20. The returnflag and date
+    predicates reach the lineitem/orders scans (pushdown); nation
+    broadcasts; customer⋈orders⋈lineitem shuffles on the join keys
+    once each."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18-style: large-volume customers (HAVING over a grouped subquery).
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, {oracle_dsum('l_quantity', 2)} AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING {oracle_dsum('l_quantity', 2)} > 180
+) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 50
+"""
+
+
+@query("tpch_q18_big_orders", sql=_Q18_SQL, tags=("join", "agg", "tpch"))
+def tpch_q18(spark, sf_dir):
+    """Q18 shape: grouped HAVING subquery (orders whose total quantity
+    exceeds a threshold) joined back to its dimensions — aggregate
+    FIRST, join the small survivor set after (the order matters at
+    scale: the join input shrinks by the selectivity of HAVING)."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
