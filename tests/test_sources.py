@@ -176,3 +176,22 @@ def test_compaction_reduces_files_preserves_data(spark, tmp_path):
     got = spark.read.parquet(path).collect()
     assert len(got) == 500
     assert {r["incident_id"] for r in got} == {f"I{i}" for i in range(500)}
+
+
+def test_conform_schema_repairs_drift(spark):
+    from trafik_etl_modular_spark.pipelines.sink import conform_schema
+
+    drifted = spark.createDataFrame(
+        [("A", "not-a-number", 1.5, "extra")],
+        "incident_id string, county_no string, latitude double, surprise string",
+    )
+    out = conform_schema(
+        drifted, "incident_id string, county_no int, latitude double, longitude double"
+    )
+    assert out.columns == ["incident_id", "county_no", "latitude", "longitude"]
+    row = out.collect()[0]
+    # bad numeric -> NULL (errors='coerce'), missing col -> typed NULL,
+    # extra col -> dropped
+    assert row["county_no"] is None and row["longitude"] is None
+    assert row["incident_id"] == "A" and row["latitude"] == 1.5
+    assert dict(out.dtypes)["county_no"] == "int"

@@ -28,25 +28,23 @@ from pyspark.sql import functions as F
 from trafik_etl_modular_spark.constants import NOW_UTC
 from trafik_etl_modular_spark.functions.scalars import parse_iso_utc
 from trafik_etl_modular_spark.pipelines.ingest import normalize_incidents
-from trafik_etl_modular_spark.pipelines.sink import merge_into_incidents, read_incidents
+from trafik_etl_modular_spark.pipelines.sink import (
+    conform_schema,
+    merge_into_incidents,
+    read_incidents,
+)
 from trafik_etl_modular_spark.sources.xml_feed import register_xml_feed
 
-# The 13-column public schema (reference load_sqlite.py:27-41 COLS_13).
-COLS_13 = [
-    "incident_id",
-    "message",
-    "message_type",
-    "location_descriptor",
-    "road_number",
-    "county_name",
-    "county_no",
-    "start_time_utc",
-    "end_time_utc",
-    "modified_time_utc",
-    "latitude",
-    "longitude",
-    "status",
-]
+# The 13-column public schema (reference load_sqlite.py:6-41 — DDL +
+# COLS_13), enforced on every write via conform_schema.
+INCIDENTS_DDL = (
+    "incident_id string, message string, message_type string, "
+    "location_descriptor string, road_number string, county_name string, "
+    "county_no int, start_time_utc timestamp, end_time_utc timestamp, "
+    "modified_time_utc timestamp, latitude double, longitude double, "
+    "status string"
+)
+COLS_13 = [f.split(" ")[0] for f in INCIDENTS_DDL.split(", ")]
 
 
 def feed_to_flat(raw: DataFrame) -> DataFrame:
@@ -95,7 +93,9 @@ def run_etl(
         .load()
     )
     inc = normalize_incidents(feed_to_flat(raw), county_dim, now)
-    updates = inc.select(*COLS_13)
+    # schema enforcement at the write boundary: source drift becomes
+    # typed NULLs (caught by the anomaly band), never a corrupt table
+    updates = conform_schema(inc, INCIDENTS_DDL)
     merge_into_incidents(spark, sink_path, updates)
 
     # A4 — one-pass KPI aggregation over the published table.

@@ -134,3 +134,35 @@ def compact_partitions(
         )
         result[pval] = n_target
     return result
+
+
+def conform_schema(df: DataFrame, ddl: str) -> DataFrame:
+    """Defensive schema conformance before write (reference
+    load_sqlite.py:79-87: missing columns added as NULL, numerics
+    coerced with errors='coerce', extras implicitly dropped).
+
+    Spark form: project onto the target schema —
+      * missing column → typed NULL,
+      * present column → `try_cast` (bad values → NULL, matching
+        pandas errors='coerce' under ANSI mode — Spark 4 default —
+        where a plain cast would throw),
+      * extra columns → dropped by the projection.
+
+    The result ALWAYS matches `ddl` exactly, so upstream schema drift
+    (a source adding/renaming fields) cannot corrupt the table — it
+    surfaces as NULL counts, which the ETL report's anomaly band
+    catches (etl_job.run_etl).
+    """
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromDDL(ddl)
+    cols = []
+    have = {f.lower() for f in df.columns}
+    for field in target.fields:
+        if field.name.lower() in have:
+            cols.append(
+                F.col(field.name).try_cast(field.dataType).alias(field.name)
+            )
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
