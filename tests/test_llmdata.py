@@ -175,3 +175,39 @@ def test_hyperplane_lsh_subset_of_exact(spark, sf_dir):
         ).collect()
     }
     assert all(buckets[r["vec_id"]] == buckets[0] for r in got)
+
+
+def test_shingles_edge_cases(spark):
+    """Fixture docs are ~55 words — the <k-token and duplicate-shingle
+    edges never fire there; pin them explicitly (and identically to
+    the oracle's 1-based list semantics)."""
+    from trafik_etl_modular_spark.llmdata.dedup import hashed_shingles
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),  # < k tokens → empty
+            (2, "a b c"),  # exactly k → one shingle
+            (3, "a b c d"),  # two shingles
+            (4, "x y x y x y x y"),  # repeats → deduped
+            (5, ""),  # empty text
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", shingles("text", 3).alias("s")).collect()
+    }
+    assert got[1] == [] and got[5] == []
+    assert got[2] == ["a b c"]
+    assert got[3] == ["a b c", "b c d"]
+    # 6 positions but only 2 distinct shingles ("x y x", "y x y")
+    assert sorted(got[4]) == ["x y x", "y x y"]
+
+    # hashed variant: same cardinalities on the same inputs
+    hashed = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", hashed_shingles("text", 3).alias("s")).collect()
+    }
+    assert {k: len(v) for k, v in hashed.items()} == {
+        k: len(v) for k, v in got.items()
+    }

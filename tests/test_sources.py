@@ -195,3 +195,28 @@ def test_conform_schema_repairs_drift(spark):
     assert row["county_no"] is None and row["longitude"] is None
     assert row["incident_id"] == "A" and row["latitude"] == 1.5
     assert dict(out.dtypes)["county_no"] == "int"
+
+
+def test_datasource_filter_pushdown_prunes_pages(spark, feed_dir):
+    register_xml_feed(spark)
+    base = (
+        spark.read.format("xml_feed")
+        .option("path", feed_dir)
+        .option("pagesPerSplit", "1")
+        .load()
+    )
+    # page < 2 pushes into the source: only 2 of 4 page files planned
+    pruned = base.filter(F.col("page") < 2)
+    assert pruned.rdd.getNumPartitions() == 2
+    rows = pruned.collect()
+    assert len(rows) == 4 and {r["page"] for r in rows} == {0, 1}
+    # original page numbering survives pruning (page > 0 keeps 1..3)
+    tail = base.filter(F.col("page") > 0).collect()
+    assert {r["page"] for r in tail} == {1, 2, 3}
+    # non-page predicates are left to Spark and still evaluated
+    mixed = base.filter((F.col("page") < 2) & (F.col("message_type") == "Accident"))
+    got = mixed.collect()
+    assert {(r["page"], r["message_type"]) for r in got} == {
+        (0, "Accident"),
+        (1, "Accident"),
+    }

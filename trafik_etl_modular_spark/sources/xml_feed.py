@@ -28,7 +28,16 @@ import time
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 from pyspark.sql.types import StructType
 
 FEED_SCHEMA_DDL = (
@@ -86,9 +95,9 @@ def fetch_with_retry(fetch, max_attempts: int = 5, base_delay: float = 0.05) -> 
 
 
 class _PageSpan(InputPartition):
-    def __init__(self, paths: list[str], start_page: int):
+    def __init__(self, paths: list[str], page_nos: list[int]):
         self.paths = paths
-        self.start_page = start_page
+        self.page_nos = page_nos  # ORIGINAL page indices (pruning-safe)
 
 
 class XmlFeedReader(DataSourceReader):
@@ -99,22 +108,61 @@ class XmlFeedReader(DataSourceReader):
         # 29 fat tasks beat 100 thin ones 7× on 200 pages/32 cores.
         self.pages_per_split = options.get("pagesPerSplit", "auto")
         self.max_pages = int(options.get("maxPages", "20"))
+        self.page_range: list = []  # accepted pushed filters on `page`
+
+    def pushFilters(self, filters):
+        """S2 — predicate pushdown INTO the source (the reference
+        pushes GT/LT cursors into the remote query XML,
+        endpoints.py:79-87). Comparisons on `page` prune whole page
+        FILES before any fetch/parse; everything else is returned to
+        Spark to evaluate post-scan."""
+        for f in filters:
+            if (
+                isinstance(
+                    f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+                )
+                and f.attribute == ("page",)
+                and isinstance(f.value, int)
+            ):
+                self.page_range.append(f)
+            else:
+                yield f  # unhandled → Spark applies it after the scan
+
+    def _page_accepted(self, page_no: int) -> bool:
+        for f in self.page_range:
+            if isinstance(f, EqualTo) and page_no != f.value:
+                return False
+            if isinstance(f, GreaterThan) and not page_no > f.value:
+                return False
+            if isinstance(f, GreaterThanOrEqual) and not page_no >= f.value:
+                return False
+            if isinstance(f, LessThan) and not page_no < f.value:
+                return False
+            if isinstance(f, LessThanOrEqual) and not page_no <= f.value:
+                return False
+        return True
 
     def partitions(self):
         files = sorted(
             f for f in os.listdir(self.dir) if f.endswith(".xml")
         )[: self.max_pages]
+        kept = [(i, f) for i, f in enumerate(files) if self._page_accepted(i)]
         if self.pages_per_split == "auto":
             from trafik_etl_modular_spark.session import DEFAULT_CPUS
 
-            per_split = max(1, -(-len(files) // DEFAULT_CPUS))
+            per_split = max(1, -(-len(kept) // DEFAULT_CPUS))
         else:
             per_split = int(self.pages_per_split)
         spans = []
-        for i in range(0, len(files), per_split):
-            chunk = [os.path.join(self.dir, f) for f in files[i : i + per_split]]
-            spans.append(_PageSpan(chunk, i))
-        return spans or [_PageSpan([], 0)]
+        for i in range(0, len(kept), per_split):
+            chunk = kept[i : i + per_split]
+            spans.append(
+                _PageSpan(
+                    [os.path.join(self.dir, f) for _, f in chunk],
+                    [p for p, _ in chunk],
+                )
+            )
+        return spans or [_PageSpan([], [])]
 
     def read(self, partition: _PageSpan) -> Iterator:
         # Yield one Arrow RecordBatch per page — Spark 4's Python Data
@@ -123,9 +171,9 @@ class XmlFeedReader(DataSourceReader):
         import pyarrow as pa
 
         names = [f.split(" ")[0] for f in FEED_SCHEMA_DDL.split(", ")]
-        for offset, path in enumerate(partition.paths):
+        for page_no, path in zip(partition.page_nos, partition.paths):
             xml_text = fetch_with_retry(lambda p=path: open(p, encoding="utf-8").read())
-            rows = parse_situation_xml(xml_text, partition.start_page + offset)
+            rows = parse_situation_xml(xml_text, page_no)
             if not rows:
                 continue
             cols = list(zip(*rows))
@@ -153,6 +201,10 @@ class XmlFeedDataSource(DataSource):
 
 
 def register_xml_feed(spark) -> None:
+    # A reader implementing pushFilters() REQUIRES the pushdown conf
+    # (Spark raises DATA_SOURCE_PUSHDOWN_DISABLED otherwise) — pin it
+    # here so any session that registers the source can read it.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(XmlFeedDataSource)
 
 
