@@ -211,3 +211,26 @@ def test_shingles_edge_cases(spark):
     assert {k: len(v) for k, v in hashed.items()} == {
         k: len(v) for k, v in got.items()
     }
+
+
+def test_approx_distinct_within_rsd_of_exact(spark, sf_dir):
+    """HLL++ sketch (rows-only in the driver check) must land within a
+    generous multiple of its configured 2% relative standard error of
+    the exact distinct counts."""
+    from trafik_etl_modular_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["agg_approx_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 5 * 0.02 * n), (k, approx[k], n)
