@@ -252,8 +252,7 @@ def dedup_simhash(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     signed = simhash_signatures(docs)
     return (
-        simhash_candidate_pairs(signed)
-        .filter(F.col("hamming") <= 3)
+        simhash_candidate_pairs(signed, max_hamming=3)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
