@@ -234,3 +234,32 @@ def test_approx_distinct_within_rsd_of_exact(spark, sf_dir):
     assert approx.keys() == exact.keys()
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 5 * 0.02 * n), (k, approx[k], n)
+
+
+def test_connected_components_handcrafted(spark):
+    """Two components {1,2,3,4} (via chain) and {7,9}; min id wins."""
+    from trafik_etl_modular_spark.llmdata.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["id"], r["label"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (9, 7)}
+
+
+def test_connected_components_path_graph_converges(spark):
+    """A 64-node path is the worst case for plain one-hop propagation
+    (63 rounds); pointer jumping must resolve it within max_iter=10
+    (O(log n))."""
+    from trafik_etl_modular_spark.llmdata.dedup import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    labels = connected_components(edges, max_iter=10).collect()
+    assert {r["label"] for r in labels} == {0}
+    assert len(labels) == n + 1

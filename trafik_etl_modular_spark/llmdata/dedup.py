@@ -183,6 +183,122 @@ def minhash_near_dups(
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact k-shingle Jaccard near-dup pairs via an INVERTED INDEX:
+    explode shingles, equi-join on the shingle, count shared shingles
+    per doc pair, assemble Jaccard from set sizes — docs sharing no
+    shingle never pair at all.
+
+    vs the naive blocked all-pairs + array_intersect this is ~20×
+    faster at sf0.1 and, at 100 TB, the only shape that works: cost is
+    Σ(posting-list²) per shingle (sparse), the shuffle key is the
+    shingle, and hot shingles can be dropped/salted like any skewed
+    key (stopword-shingle removal — the classic trick).
+    Output: (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold."""
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), k).alias("s"))
+    # Both join sides read the same postings — materialize once instead
+    # of re-running shingle+explode per leg (at lake scale: persist the
+    # inverted index to storage between build and join stages).
+    inv = sh.select(
+        F.col(id_col), F.size("s").alias("sz"), F.explode("s").alias("shingle")
+    ).localCheckpoint(eager=False)
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(
+            F.any_value(F.col("a.sz")).alias("sz_a"),
+            F.any_value(F.col("b.sz")).alias("sz_b"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+    )
+    return shared.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation with pointer
+    jumping.  Returns (id, label) where label is the component's
+    minimum node id — the canonical "keeper" for LLM-data dedup.
+
+    Each round is two hash shuffles: (1) every node takes the min of
+    its own and its neighbors' labels (one join on the symmetrized
+    edge list + one min-aggregate — map-side partial agg keeps the
+    shuffle at one row per node); (2) pointer jump, label ←
+    label(label), a self-join that halves label-chain depth.  With the
+    jump, convergence is O(log n) rounds even on path graphs (cf.
+    Shiloach-Vishkin pointer doubling; the Kiveris et al. 2014
+    large-star/small-star formulation has the same round bound — this
+    shape was chosen because each round is plain join+groupBy that AQE
+    can re-plan).  Near-dup clusters in real corpora are dense and
+    shallow, so the loop typically exits after 2-3 rounds; each round
+    is localCheckpoint'd to truncate lineage (at lake scale: persist
+    labels between rounds).
+
+    Per-round driver action (convergence count) is intentional — the
+    alternative, a fixed round budget, either wastes rounds or
+    silently under-converges.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint(
+        eager=False
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym["v"] == labels["id"]).select(
+            F.col("u").alias("id"), "label"
+        )
+        merged = (
+            labels.unionByName(neigh).groupBy("id").agg(F.min("label").alias("label"))
+        )
+        hop = merged.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
+        jumped = (
+            merged.join(hop, merged["label"] == hop["jid"], "left")
+            .select("id", F.coalesce("jlabel", "label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

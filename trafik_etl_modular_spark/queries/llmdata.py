@@ -14,8 +14,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from trafik_etl_modular_spark.llmdata.dedup import (
+    connected_components,
     minhash_near_dups,
-    shingles,
+    ngram_jaccard_pairs,
     simhash_candidate_pairs,
     simhash_signatures,
 )
@@ -198,39 +199,76 @@ WHERE CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared) >= 0.6
 
 @query("dedup_ngram_jaccard_pairs", sql=_JACCARD_PAIRS_SQL, tags=("llmdata", "dedup"))
 def dedup_jaccard_pairs(spark, sf_dir):
-    """Exact 3-shingle Jaccard near-dup pairs via an INVERTED INDEX:
-    explode shingles, equi-join on the shingle, count shared shingles
-    per doc pair, assemble Jaccard from set sizes — docs sharing no
-    shingle never pair at all.
-
-    vs the naive blocked all-pairs + array_intersect this is ~20×
-    faster at sf0.1 and, at 100 TB, the only shape that works: cost is
-    Σ(posting-list²) per shingle (sparse), the shuffle key is the
-    shingle, and hot shingles can be dropped/salted like any skewed
-    key (stopword-shingle removal — the classic trick)."""
+    """Exact 3-shingle Jaccard near-dup pairs via an inverted shingle
+    index (llmdata/dedup.py::ngram_jaccard_pairs)."""
     docs = t(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles("text", 3).alias("s"))
-    # Both join sides read the same postings — materialize once instead
-    # of re-running shingle+explode per leg (at lake scale: persist the
-    # inverted index to storage between build and join stages).
-    inv = sh.select(
-        "doc_id", F.size("s").alias("sz"), F.explode("s").alias("shingle")
-    ).localCheckpoint(eager=False)
-    a, b = inv.alias("a"), inv.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(
-            F.any_value(F.col("a.sz")).alias("sz_a"),
-            F.any_value(F.col("b.sz")).alias("sz_b"),
-            F.count("*").alias("n_shared"),
-        )
-    )
-    jac = F.col("n_shared").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
-    )
-    return shared.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= 0.6
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.6)
+
+
+_CLUSTERS_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS s
+  FROM documents
+),
+inv AS (
+  SELECT doc_id, len(s) AS sz, UNNEST(s) AS shingle FROM sh
+),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b,
+         COUNT(*) AS n_shared
+  FROM inv a
+  JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM shared
+  WHERE CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared) >= 0.6
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(id, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, w.r FROM walk w JOIN edges e ON e.u = w.id
+),
+cc AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY id
+)
+SELECT cc.doc_id, cc.cluster_id, s.cluster_size,
+       cc.doc_id = cc.cluster_id AS is_keeper
+FROM cc
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM cc GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
+@query("dedup_clusters", sql=_CLUSTERS_SQL, tags=("llmdata", "dedup"))
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs resolved into duplicate CLUSTERS: connected
+    components (min-label propagation + pointer jumping,
+    llmdata/dedup.py::connected_components) over the exact-Jaccard
+    edge set, canonical keeper = min doc_id per component.  The oracle
+    is a DuckDB recursive CTE computing min-reachable-id — tractable
+    at sf0.01 because it only walks docs that appear in a near-dup
+    pair."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.6).localCheckpoint(eager=False)
+    cc = connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("label")).alias("is_keeper"),
     )
 
 
