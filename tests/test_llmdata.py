@@ -263,3 +263,61 @@ def test_connected_components_path_graph_converges(spark):
     labels = connected_components(edges, max_iter=10).collect()
     assert {r["label"] for r in labels} == {0}
     assert len(labels) == n + 1
+
+
+def test_sampling_stable_under_repartition(spark, sf_dir):
+    """The whole point of hash-keyed sampling: identical decisions on
+    any partitioning (rand(seed) fails this)."""
+    from trafik_etl_modular_spark.llmdata.sampling import assign_split, stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {(r["doc_id"], r["split"]) for r in assign_split(docs).select("doc_id", "split").collect()}
+    repart = {
+        (r["doc_id"], r["split"])
+        for r in assign_split(docs.repartition(13)).select("doc_id", "split").collect()
+    }
+    assert base == repart and len(base) > 0
+
+    rates = {"en": 500, "de": 800, "es": 800, "fr": 800, "zh": 1000}
+    kept = {r["doc_id"] for r in stratified_sample(docs, "lang", rates).collect()}
+    kept2 = {r["doc_id"] for r in stratified_sample(docs.repartition(7), "lang", rates).collect()}
+    assert kept == kept2
+    # zh passes through at 1000 permille; en is downsampled
+    n_zh = docs.filter(F.col("lang") == "zh").count()
+    assert len([1 for r in docs.filter(F.col("lang") == "zh").collect()]) == n_zh
+
+
+def test_assign_split_rejects_bad_weights(spark):
+    from trafik_etl_modular_spark.llmdata.sampling import assign_split
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    try:
+        assign_split(df, weights=(("a", 500), ("b", 400)))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_pack_bins_invariants(spark, sf_dir):
+    """Bins partition the corpus; per pack bucket, bin indices are
+    contiguous from 0 and every doc's bin matches its running count."""
+    from trafik_etl_modular_spark.llmdata.sampling import pack_bins
+    from trafik_etl_modular_spark.llmdata.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count("text").cast("long")
+    )
+    packed = pack_bins(docs, "n_tok", 512, n_packers=4)
+    assert packed.count() == docs.count()
+    per_bucket = (
+        packed.groupBy("pack_bucket")
+        .agg(
+            F.countDistinct("bin_idx").alias("n_bins"),
+            F.max("bin_idx").alias("max_bin"),
+            F.min("bin_idx").alias("min_bin"),
+        )
+        .collect()
+    )
+    for r in per_bucket:
+        assert r["min_bin"] == 0
+        assert r["n_bins"] == r["max_bin"] + 1  # contiguous

@@ -1,0 +1,133 @@
+"""Deterministic sampling and batch packing for training-data
+pipelines.
+
+Reproducibility is the design constraint: every sampling decision is a
+pure function of the ROW'S OWN KEY, never of `rand()`.  Spark's
+`rand(seed)` / `df.sample` / `sampleBy` draw per-(partition, row-index)
+streams, so results change whenever partitioning or row order changes —
+unacceptable for train/val/test splits that must stay stable across
+re-runs, cluster sizes, and compactions.  A content-keyed hash bucket
+gives the same assignment on 1 executor or 1000 (and lets an oracle SQL
+engine reproduce it exactly).
+
+The hash is Knuth multiplicative hashing modulo a large prime —
+expressible identically in any SQL dialect.  Exact for keys below
+~3.4e9 (product stays under 2^63; the fixture ids and any
+per-partition sequence fit).  For string keys or a full 64-bit domain,
+swap in xxhash64 and drop the cross-engine oracle (rows-only check),
+as the sketching operators do.
+
+The reference has no sampling surface (SURVEY.md §2); this family is
+part of the BASELINE.json north star (LLM-data pipeline operators).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+MULT = 2_654_435_761  # Knuth's 2^32 / golden-ratio constant
+OFFSET = 12_345
+
+
+def hash_bucket(key: Column | str, n_buckets: int = 1000) -> Column:
+    """Deterministic bucket in [0, n_buckets) from a non-negative
+    integer key: ((key * MULT + OFFSET) % MOD) % n_buckets.
+
+    Pure arithmetic → identical in Spark and ANSI SQL; stable under
+    repartitioning, re-runs, and engine versions (unlike rand(seed))."""
+    c = F.col(key) if isinstance(key, str) else key
+    return ((c.cast("long") * F.lit(MULT) + F.lit(OFFSET)) % F.lit(MOD)) % F.lit(
+        n_buckets
+    )
+
+
+def hash_bucket_sql(key_expr: str, n_buckets: int = 1000) -> str:
+    """The same bucket computation as ANSI SQL text (for oracles)."""
+    return f"((({key_expr}) * {MULT} + {OFFSET}) % {MOD}) % {n_buckets}"
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: Iterable[tuple[str, int]] = (("train", 900), ("val", 50), ("test", 50)),
+) -> DataFrame:
+    """Add a `split` column from per-mille weights (must sum to 1000).
+
+    Buckets are half-open cumulative ranges: with 900/50/50,
+    bucket < 900 → train, < 950 → val, else test.  Integer per-mille
+    weights avoid float-threshold drift between engines."""
+    ws = list(weights)
+    total = sum(w for _, w in ws)
+    if total != 1000:
+        raise ValueError(f"per-mille weights must sum to 1000, got {total}")
+    b = hash_bucket(key_col, 1000)
+    expr = F.lit(ws[-1][0])
+    cum = 0
+    conds = []
+    for name, w in ws[:-1]:
+        cum += w
+        conds.append((cum, name))
+    for cum, name in reversed(conds):
+        expr = F.when(b < cum, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates_permille: dict[str, int],
+    key_col: str = "doc_id",
+    default_permille: int = 0,
+) -> DataFrame:
+    """Keep each row iff its hash bucket falls under its stratum's
+    per-mille rate — deterministic `sampleBy`.
+
+    The filter is a when-chain over the (small) strata domain, pushed
+    into the scan like any other predicate; no shuffle, no RNG state.
+    Exactly reproducible: re-running over recompacted files keeps the
+    SAME rows, which row-index-seeded Bernoulli sampling does not."""
+    b = hash_bucket(key_col, 1000)
+    rate = F.lit(default_permille)
+    for stratum, r in sorted(rates_permille.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    return df.filter(b < rate)
+
+
+def pack_bins(
+    df: DataFrame,
+    token_col: str,
+    capacity: int,
+    key_col: str = "doc_id",
+    n_packers: int = 32,
+) -> DataFrame:
+    """Assign every document a (pack_bucket, bin_idx) training-batch
+    bin of ~`capacity` tokens: documents are ordered by key within a
+    deterministic pack bucket and cut at running-token-count
+    boundaries (bin_idx = floor(tokens_before / capacity)).
+
+    This is sequence packing for LLM training shards, shaped for
+    scale: the running sum is a window PARTITIONED by pack_bucket, so
+    there are n_packers independent window partitions instead of one
+    global sort — each packer's state fits one task, and packers scale
+    with the cluster (a single global ORDER BY window would serialize
+    100 TB through one task).  Documents may straddle a boundary;
+    concat-and-chunk training with document masking handles that by
+    construction."""
+    bucket = hash_bucket(key_col, n_packers).alias("pack_bucket")
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select("*", bucket).withColumn(
+        "tokens_before",
+        F.sum(F.col(token_col)).over(w) - F.col(token_col),
+    )
+    return out.withColumn(
+        "bin_idx",
+        F.floor(F.col("tokens_before") / F.lit(float(capacity))).cast("long"),
+    ).drop("tokens_before")

@@ -21,6 +21,13 @@ from trafik_etl_modular_spark.llmdata.dedup import (
     simhash_signatures,
 )
 from trafik_etl_modular_spark.llmdata.multimodal import extract_features, with_binary_payload
+from trafik_etl_modular_spark.llmdata.sampling import (
+    assign_split,
+    hash_bucket,
+    hash_bucket_sql,
+    pack_bins,
+    stratified_sample,
+)
 from trafik_etl_modular_spark.llmdata.similarity import (
     brute_force_topk,
     bucketed_topk,
@@ -293,6 +300,107 @@ def dedup_simhash(spark, sf_dir):
         simhash_candidate_pairs(signed, max_hamming=3)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / packing
+# ---------------------------------------------------------------------------
+
+_BUCKET = hash_bucket_sql("doc_id", 1000)
+
+_SPLIT_MANIFEST_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         {_BUCKET} AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1
+"""
+
+
+@query("sample_split_manifest", sql=_SPLIT_MANIFEST_SQL, tags=("llmdata", "sampling"))
+def sample_split_manifest(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split manifest — hash-of-key
+    bucketing (llmdata/sampling.py::assign_split), NOT rand(seed):
+    assignments survive repartitioning, compaction, and re-runs, which
+    per-(partition,row) RNG streams do not."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text").cast("long")).alias("n_tokens"),
+        )
+    )
+
+
+_STRAT_RATES = {"en": 500, "de": 800, "es": 800, "fr": 800, "zh": 1000}
+
+_STRAT_SQL = f"""
+SELECT doc_id, lang, {_BUCKET} AS bucket
+FROM documents
+WHERE {_BUCKET} < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 800
+                            WHEN 'es' THEN 800 WHEN 'fr' THEN 800
+                            WHEN 'zh' THEN 1000 ELSE 0 END
+"""
+
+
+@query("sample_stratified_by_lang", sql=_STRAT_SQL, tags=("llmdata", "sampling"))
+def sample_stratified_by_lang(spark, sf_dir):
+    """Deterministic stratified sampling (language rebalancing for a
+    training mix): per-language per-mille keep rates applied as a pure
+    predicate on the key hash — no RNG, no shuffle, pushed into the
+    scan (llmdata/sampling.py::stratified_sample)."""
+    docs = t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", _STRAT_RATES, "doc_id").select(
+        "doc_id", "lang", hash_bucket("doc_id", 1000).alias("bucket")
+    )
+
+
+_PACK_SQL = f"""
+WITH tks AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         {hash_bucket_sql("doc_id", 8)} AS pack_bucket
+  FROM documents
+),
+cum AS (
+  SELECT pack_bucket, n_tok,
+         SUM(n_tok) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tok AS tokens_before
+  FROM tks
+)
+SELECT pack_bucket,
+       CAST(floor(tokens_before / CAST(512 AS DOUBLE)) AS BIGINT) AS bin_idx,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM cum GROUP BY pack_bucket, bin_idx
+"""
+
+
+@query("pack_training_bins", sql=_PACK_SQL, tags=("llmdata", "sampling"))
+def pack_training_bins(spark, sf_dir):
+    """Sequence packing into ~512-token training bins
+    (llmdata/sampling.py::pack_bins): running token count within 8
+    deterministic pack buckets, bin = floor(tokens_before/capacity).
+    The window partitions by pack_bucket so packing parallelizes with
+    the cluster instead of serializing through one global sort."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count("text").cast("long")
+    )
+    packed = pack_bins(docs, "n_tok", 512, key_col="doc_id", n_packers=8)
+    return packed.groupBy("pack_bucket", "bin_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
     )
 
 
