@@ -303,11 +303,92 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+# Shared oracle fragment: the deterministic per-mille hash bucket.
+_BUCKET = hash_bucket_sql("doc_id", 1000)
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation
+# ---------------------------------------------------------------------------
+
+_CURATION_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, text,
+    CASE
+      WHEN greatest(
+        len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))),
+        len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))),
+        len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est'))),
+        len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y','es')))) = 0
+        THEN 'und'
+      WHEN len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) = greatest(
+        len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))),
+        len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))),
+        len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est'))),
+        len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y','es'))))
+        THEN 'en'
+      ELSE 'other'
+    END AS plang,
+    0.7 * (least(CAST(len(string_split(text, ' ')) AS DOUBLE), 200.0) / 200.0)
+      + 0.3 * least(
+          (CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5,
+          1.0) AS quality
+  FROM documents
+),
+filtered AS (
+  SELECT doc_id, text FROM scored WHERE plang = 'en' AND quality >= 0.5
+),
+kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM filtered
+  ) WHERE rn = 1
+)
+SELECT CASE WHEN {_BUCKET} < 900 THEN 'train'
+            WHEN {_BUCKET} < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM kept GROUP BY 1
+"""
+
+
+@query("curation_pipeline", sql=_CURATION_SQL, tags=("llmdata", "pipeline"))
+def curation_pipeline(spark, sf_dir):
+    """END-TO-END corpus curation as ONE declarative plan: language-ID
+    filter (predicted en) → quality threshold → exact dedup
+    (keep-min-id per content hash) → deterministic split manifest.
+    Catalyst collapses the langid + quality predicates into the scan
+    stage (no materialization between 'steps', unlike the reference's
+    eager pandas pipeline); the only shuffles are the dedup window's
+    hash partition on md5(text) and the final 3-group aggregate."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    curated = docs.filter(
+        (predict_lang("text") == "en") & (quality_score("text") >= 0.5)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        curated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        assign_split(kept, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text").cast("long")).alias("n_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / packing
 # ---------------------------------------------------------------------------
-
-_BUCKET = hash_bucket_sql("doc_id", 1000)
 
 _SPLIT_MANIFEST_SQL = f"""
 WITH b AS (

@@ -16,6 +16,7 @@ from trafik_etl_modular_spark.registry import query
 from trafik_etl_modular_spark.streaming.pipeline import (
     dedup_within_watermark,
     hourly_windowed_counts,
+    static_enriched_counts,
     upsert_sink_run,
 )
 from trafik_etl_modular_spark.streaming.sessionize import streaming_sessionize
@@ -73,6 +74,25 @@ def streaming_upsert(spark, sf_dir):
     final state must equal the batch latest-wins dedup regardless of
     micro-batching, and the oracle asserts precisely that."""
     return upsert_sink_run(spark, sf_dir)
+
+
+_ENRICH_SQL = f"""
+SELECT c.c_mktsegment AS mktsegment,
+       e.event_type,
+       COUNT(*) AS n,
+       {oracle_dsum('e.value', 2)} AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@query("streaming_static_enrich", sql=_ENRICH_SQL, tags=("streaming", "join"))
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment join (dimension lookup per
+    micro-batch) + running aggregation — complete-mode emission equals
+    the batch join+group-by the oracle runs."""
+    return static_enriched_counts(spark, sf_dir)
 
 
 # Same sessionization SQL as the batch `window_sessionize_users`

@@ -115,6 +115,29 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("entity_id").distinct().orderBy("entity_id")
 
 
+def static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event
+    stream joins a STATIC dimension (customer segments) via broadcast
+    — the streaming form of J1's dimension lookup, and the standard
+    'enrich events with reference data' pipeline shape.  The static
+    side never shuffles the stream; Spark re-plans it per micro-batch,
+    which on a lakehouse means dimension updates between batches are
+    picked up automatically."""
+    from trafik_etl_modular_spark.catalog import load_table
+    from trafik_etl_modular_spark.functions.scalars import dsum
+
+    ev = read_events_stream(spark, sf_dir)
+    segments = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    agg = (
+        ev.join(F.broadcast(segments), "user_id")
+        .groupBy("mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", 2).alias("total_value"))
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def upsert_sink_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch keyed upsert: every micro-batch MERGEs into the
     accumulated state with latest-wins on (entity_id) — the
