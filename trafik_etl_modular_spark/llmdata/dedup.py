@@ -163,8 +163,11 @@ def minhash_near_dups(
     # expression re-running per plan leg (two join sides + verify); at
     # lake scale this is a persist to storage between the sketch and
     # join stages.
+    from trafik_etl_modular_spark.operators.partitions import fan_out
+
     sh = (
-        docs.select(F.col(id_col), hashed_shingles(F.col(text_col)).alias("sh"))
+        fan_out(docs)
+        .select(F.col(id_col), hashed_shingles(F.col(text_col)).alias("sh"))
         .filter(F.size("sh") > 0)
         .localCheckpoint(eager=False)
     )
@@ -201,7 +204,9 @@ def ngram_jaccard_pairs(
     shingle, and hot shingles can be dropped/salted like any skewed
     key (stopword-shingle removal — the classic trick).
     Output: (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold."""
-    sh = docs.select(F.col(id_col), shingles(F.col(text_col), k).alias("s"))
+    from trafik_etl_modular_spark.operators.partitions import fan_out
+
+    sh = fan_out(docs).select(F.col(id_col), shingles(F.col(text_col), k).alias("s"))
     # Both join sides read the same postings — materialize once instead
     # of re-running shingle+explode per leg (at lake scale: persist the
     # inverted index to storage between build and join stages).
@@ -321,7 +326,9 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     one 64-column row per doc — vs. the per-doc ``aggregate()`` lambda
     formulation, which interprets 64 separate passes over the token
     array per row (~8× slower measured at sf0.1)."""
-    toks = docs.select(
+    from trafik_etl_modular_spark.operators.partitions import fan_out
+
+    toks = fan_out(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("__tok"),
     ).select(F.col(id_col), F.xxhash64("__tok").alias("__h"))

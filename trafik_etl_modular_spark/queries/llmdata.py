@@ -146,8 +146,11 @@ FROM documents
 def text_fingerprint(spark, sf_dir):
     """Polynomial rolling hash over characters — deterministic
     order-sensitive document fingerprint, identical left fold in both
-    engines."""
-    docs = t(spark, sf_dir, "documents")
+    engines.  fan_out: the O(chars) fold is CPU-bound and the fixture
+    scans as one partition."""
+    from trafik_etl_modular_spark.operators.partitions import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
     return docs.select("doc_id", char_fingerprint("text").alias("fingerprint"))
 
 
