@@ -321,3 +321,23 @@ def test_pack_bins_invariants(spark, sf_dir):
     for r in per_bucket:
         assert r["min_bin"] == 0
         assert r["n_bins"] == r["max_bin"] + 1  # contiguous
+
+
+def test_grouped_map_matches_native_window(spark, sf_dir):
+    """applyInPandas percent rank must equal the JVM F.percent_rank()
+    window exactly (same rank ties, same division)."""
+    from pyspark.sql import Window
+
+    from trafik_etl_modular_spark.operators.grouped import percent_rank_by_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    arrow = {
+        (r["doc_id"], r["pct_rank"])
+        for r in percent_rank_by_group(docs, "lang", "n_chars").collect()
+    }
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    native = {
+        (r["doc_id"], r["pr"])
+        for r in docs.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    assert arrow == native

@@ -41,6 +41,7 @@ from trafik_etl_modular_spark.llmdata.text import (
     token_count,
     tokens,
 )
+from trafik_etl_modular_spark.operators.grouped import percent_rank_by_group
 from trafik_etl_modular_spark.queries.common import t
 from trafik_etl_modular_spark.registry import query
 
@@ -308,6 +309,30 @@ def dedup_simhash(spark, sf_dir):
 
 # Shared oracle fragment: the deterministic per-mille hash bucket.
 _BUCKET = hash_bucket_sql("doc_id", 1000)
+
+# ---------------------------------------------------------------------------
+# Grouped-map (applyInPandas) surface
+# ---------------------------------------------------------------------------
+
+_PCT_RANK_SQL = """
+SELECT doc_id, lang, n_chars,
+       PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS pct_rank
+FROM documents
+"""
+
+
+@query("pergroup_percent_rank", sql=_PCT_RANK_SQL, tags=("llmdata", "udf"))
+def pergroup_percent_rank(spark, sf_dir):
+    """Per-language percent rank of document length computed in the
+    GROUPED-MAP pandas path (operators/grouped.py::percent_rank_by_group,
+    batch applyInPandas) — the oracle is the plain SQL window, proving
+    the Arrow round-trip preserves exact rank/division semantics.  A
+    JVM `F.percent_rank()` window is the right call when the logic IS
+    SQL-expressible; this query pins the pattern for per-group logic
+    that isn't (cross-checked against the native window in tests)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return percent_rank_by_group(docs, "lang", "n_chars")
+
 
 # ---------------------------------------------------------------------------
 # End-to-end corpus curation

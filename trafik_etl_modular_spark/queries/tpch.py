@@ -288,3 +288,74 @@ def tpch_q18(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: EXISTS-style correlated semi-join + count by category.
+# The fixture lacks l_commitdate/l_receiptdate, so the correlated
+# predicate is "some lineitem shipped after the order date" — the same
+# plan shape as TPC-H Q4 (left-semi with a non-equi conjunct, then a
+# small hash agg).
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4_priority_count", sql=_Q4_SQL, tags=("join", "agg", "tpch"))
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join (equi key +
+    non-equi ship-after-order conjunct), then count per priority. The
+    semi-join never materializes matched lineitems — only the order
+    row survives, so the shuffle after the join is one row per
+    qualifying order."""
+    o, l = t(spark, sf_dir, "orders").alias("o"), t(spark, sf_dir, "lineitem").alias("l")
+    qualified = o.join(
+        l,
+        (F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+        & (F.col("l.l_shipdate") > F.col("o.o_orderdate")),
+        "left_semi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: fact-fact join + conditional (CASE) aggregation.
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate
+GROUP BY l.l_returnflag
+"""
+
+
+@query("tpch_q12_priority_lines", sql=_Q12_SQL, tags=("join", "agg", "tpch"))
+def tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape: equi-join two facts with a non-equi residual
+    filter, then CASE-conditional counts per group — one shuffle per
+    side for the SMJ (AQE may flip to shuffled-hash), one row per
+    (task, flag) after map-side partial agg."""
+    o, l = t(spark, sf_dir, "orders").alias("o"), t(spark, sf_dir, "lineitem").alias("l")
+    high = F.col("o.o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+        .filter(F.col("l.l_shipdate") > F.col("o.o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
