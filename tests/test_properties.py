@@ -75,3 +75,47 @@ def test_merge_upsert_updates_always_win(spark, base, updates):
     expect = dict(base or {-1: -1})
     expect.update(updates or {-2: -1})
     assert got == expect
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """GK sketches guarantee RANK accuracy, not value accuracy (a
+    heavy tail turns tiny rank error into large value deltas), so the
+    cross-validation computes the empirical rank of each approximate
+    quantile and asserts it lands within epsilon of the target rank."""
+    from trafik_etl_modular_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    approx = (
+        ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("a"))
+        .collect()
+    )
+    rows = ev.select("event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for r in approx:
+        vals = sorted(by_type[r["event_type"]])
+        n = len(vals)
+        eps = 1.0 / 10000 + 1.5 / n  # sketch error + empirical quantization
+        for got, target in zip(r["a"], (0.5, 0.9, 0.99)):
+            rank = sum(1 for v in vals if v <= got) / n
+            assert abs(rank - target) <= eps, (r["event_type"], target, rank, eps)
+
+
+def test_incremental_rollup_merge_identity(spark, sf_dir):
+    """Merging an empty delta is the identity; merging two halves
+    equals the one-shot rollup row-for-row."""
+    from trafik_etl_modular_spark.catalog import load_table
+    from trafik_etl_modular_spark.operators.incremental import (
+        aggregate_delta,
+        merge_rollups,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    keys = ("day", "event_type")
+    full = {tuple(r) for r in aggregate_delta(ev, keys, "value").collect()}
+    empty = aggregate_delta(ev.filter(F.lit(False)), keys, "value")
+    assert {tuple(r) for r in merge_rollups(aggregate_delta(ev, keys, "value"), empty, keys).collect()} == full

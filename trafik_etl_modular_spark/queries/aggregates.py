@@ -167,3 +167,70 @@ def agg_value_stats(spark, sf_dir):
         davg("value", 2).alias("avg_value"),
         ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance — merge(rollup(old), rollup(delta))
+# must equal rollup(full), which is exactly what the oracle asserts.
+# ---------------------------------------------------------------------------
+
+_INCR_SQL = f"""
+SELECT CAST(ts AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n,
+       {oracle_dsum('value', 4)} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("agg_incremental_rollup", sql=_INCR_SQL, tags=("agg", "incremental"))
+def agg_incremental_rollup(spark, sf_dir):
+    """Materialized-rollup maintenance (operators/incremental.py): the
+    fact stream is split at a cursor into an 'existing' half and a
+    'new batch'; each half is aggregated independently and the two
+    states MERGED (union + groupBy-sum of decimal state). The oracle
+    computes the rollup over the full table in one pass — equality
+    proves the merge is lossless, so at 100 TB only the delta is ever
+    re-aggregated."""
+    from trafik_etl_modular_spark.operators.incremental import (
+        aggregate_delta,
+        merge_rollups,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value", "ts"
+    )
+    cursor = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    old = aggregate_delta(ev.filter(F.col("ts") < cursor), ("day", "event_type"), "value")
+    new = aggregate_delta(ev.filter(F.col("ts") >= cursor), ("day", "event_type"), "value")
+    merged = merge_rollups(old, new, ("day", "event_type"))
+    return merged.select(
+        "day",
+        "event_type",
+        "n",
+        F.col("total").cast("double").alias("total_value"),
+    )
+
+
+@query("agg_approx_percentile_value", sql=None, tags=("agg", "approx"))
+def agg_approx_percentile(spark, sf_dir):
+    """Approximate percentiles (Greenwald-Khanna sketch) of event value
+    per type — the mergeable-sketch path for quantiles at 100 TB, where
+    exact percentile would sort the world. accuracy=10000 → ~0.01%
+    rank error; engine-specific sketch → rows-only driver check,
+    cross-validated against exact percentiles in tests/."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
+        )
+        .select(
+            "event_type",
+            F.col("approx_pcts")[0].alias("p50"),
+            F.col("approx_pcts")[1].alias("p90"),
+            F.col("approx_pcts")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
