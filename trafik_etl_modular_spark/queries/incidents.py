@@ -225,3 +225,44 @@ def inc_status_rank(spark, sf_dir):
         .orderBy(F.asc("status_rank"), F.desc("modified_time_utc"), F.asc("incident_id"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# A2 extension — gap-filled daily trend: a dashboard trend line must
+# show ZERO on days with no incidents, which a plain GROUP BY silently
+# omits. Date spine via sequence+explode over the data's own bounds.
+# ---------------------------------------------------------------------------
+
+_TREND_GAPFILL_SQL = f"""{_CTE},
+daily AS (
+  SELECT CAST(start_time_utc AS DATE) AS day, COUNT(*) AS n
+  FROM incidents GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.day, COALESCE(d.n, 0) AS n
+FROM spine s LEFT JOIN daily d USING (day)
+"""
+
+
+@query("inc_daily_trend_gapfill", sql=_TREND_GAPFILL_SQL, tags=("agg", "window-time"))
+def inc_daily_trend_gapfill(spark, sf_dir):
+    """Daily trend with missing days zero-filled: the date spine is
+    built ENGINE-SIDE from a one-row bounds aggregate (sequence +
+    explode), cross-joined broadcast — no driver collect, no
+    hand-materialized calendar. Spine length = day span, so the left
+    join is broadcast-sized regardless of fact volume."""
+    inc = build_incidents(spark, sf_dir)
+    daily = inc.groupBy(F.to_date("start_time_utc").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
