@@ -245,6 +245,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
     components by iterative min-label propagation with pointer
@@ -265,20 +266,36 @@ def connected_components(
     is localCheckpoint'd to truncate lineage (at lake scale: persist
     labels between rounds).
 
-    Per-round driver action (convergence count) is intentional — the
-    alternative, a fixed round budget, either wastes rounds or
-    silently under-converges.
+    Convergence is certified by the LABEL SUM, not a diff join: both
+    the neighbor-min and the pointer jump are monotone non-increasing
+    per node, so the sum of labels strictly decreases every round that
+    changes anything and a fixpoint is exactly "sum unchanged".  The
+    per-round check therefore costs one aggregate over the
+    just-materialized labels instead of a self-join + count (the sum
+    is taken in DECIMAL(38,0) so it cannot overflow at any id scale).
+
+    `n_partitions`: the edge set is typically orders of magnitude
+    smaller than the corpus (only docs in near-dup pairs appear), so
+    the loop gets its own parallelism — inheriting the corpus-sized
+    shuffle width makes every tiny round pay full task-scheduling
+    overhead.  Default: cluster parallelism.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint(
-        eager=False
-    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if n_partitions:
+        sym = sym.repartition(n_partitions, "v")
+    sym = sym.localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
+
+    def label_sum(lbl: DataFrame) -> object:
+        return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         neigh = sym.join(labels, sym["v"] == labels["id"]).select(
             F.col("u").alias("id"), "label"
@@ -292,15 +309,11 @@ def connected_components(
             .select("id", F.coalesce("jlabel", "label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = jumped
-        if changed == 0:
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 

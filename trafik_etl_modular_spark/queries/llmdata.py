@@ -273,7 +273,9 @@ def dedup_clusters(spark, sf_dir):
     pair."""
     docs = t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.6).localCheckpoint(eager=False)
-    cc = connected_components(pairs, "id_a", "id_b")
+    # The near-dup edge set is ~10^-2 of corpus rows; give the CC loop
+    # narrow parallelism so tiny rounds don't pay 32-task scheduling.
+    cc = connected_components(pairs, "id_a", "id_b", n_partitions=8)
     sizes = cc.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return cc.join(sizes, "label").select(
         F.col("id").alias("doc_id"),
