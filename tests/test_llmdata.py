@@ -341,3 +341,58 @@ def test_grouped_map_matches_native_window(spark, sf_dir):
         for r in docs.withColumn("pr", F.percent_rank().over(w)).collect()
     }
     assert arrow == native
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """Probing ALL buckets must reproduce brute force exactly — the
+    bucket pruning is the only approximation in IVF."""
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        brute_force_topk,
+        ivf_index,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    assigned, centroids = ivf_index(emb, n_centroids=8)
+    full = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf_topk(assigned, centroids, probe, k=15, nprobe=8).collect()
+    ]
+    exact = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in brute_force_topk(emb, probe, k=15).collect()
+    ]
+    assert sorted(full) == sorted(exact)
+
+
+def test_ivf_nprobe_recall_on_clustered_data(spark):
+    """Recall must be high where the data HAS angular structure: 8
+    planted clusters of unit vectors (the fixture's embeddings are
+    cosine-noise — its exact top-10 spans ~8 of 10 labels — so recall
+    is asserted on constructed data, and exactness on the fixture via
+    the full-probe test above)."""
+    import numpy as np
+
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        brute_force_topk,
+        ivf_index,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(8, 32)
+    rows = []
+    for ci in range(8):
+        for j in range(25):
+            v = centers[ci] + 0.15 * rng.randn(32)
+            rows.append((ci * 25 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probe = emb.filter(F.col("vec_id") == 0)
+    assigned, centroids = ivf_index(emb, n_centroids=8, max_iter=10)
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(assigned, centroids, probe, k=10, nprobe=2).collect()
+    }
+    exact = {r["vec_id"] for r in brute_force_topk(emb, probe, k=10).collect()}
+    assert len(approx & exact) / len(exact) >= 0.9

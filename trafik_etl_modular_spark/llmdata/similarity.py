@@ -210,3 +210,106 @@ def hyperplane_lsh_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained IVF (inverted-file) ANN: k-means coarse quantizer → probe
+# the nprobe nearest centroid buckets → exact rerank inside them.
+# ---------------------------------------------------------------------------
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the coarse quantizer (pyspark.ml KMeans — distributed
+    Lloyd iterations, each one map-side assignment + a tiny centroid
+    reduce) and assign every vector its nearest-centroid bucket.
+
+    Returns (assigned, centroids): `assigned` is the corpus with an
+    `ivf_bucket` column — at lake scale you WRITE it partitioned/
+    clustered by that column so probes scan only nprobe/k of the data;
+    `centroids` is k rows, broadcast at query time.  Training cost is
+    O(iters × n × k) distributed; the model itself is k×dim doubles —
+    driver-tiny."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = embeddings.select(
+        F.col(id_col), to_double_array(vec_col).alias("__vec")
+    )
+    # Cluster on L2-NORMALIZED vectors: the index serves COSINE
+    # queries, and Euclidean k-means on the unit sphere orders by
+    # angle (||a-b||² = 2-2cosθ for unit vectors).  Unnormalized
+    # training buckets by magnitude and wrecks recall.  The stored
+    # vector stays raw — cosine rerank is scale-invariant.
+    # (ml.feature.Normalizer, not a transform() lambda: a lambda-body
+    # reference to an inline norm expression re-evaluates it per
+    # element — the shingles() gotcha.)
+    from pyspark.ml.feature import Normalizer
+
+    # Cache the training frame: Lloyd iterations re-read their input
+    # once per iteration — uncached, that re-runs scan+normalize
+    # maxIter times (this is the canonical iterative-ML cache).
+    ml_df = (
+        Normalizer(p=2.0, inputCol="__raw", outputCol="features")
+        .transform(base.withColumn("__raw", array_to_vector("__vec")))
+        .cache()
+    )
+    model = KMeans(
+        k=n_centroids,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="features",
+        predictionCol="ivf_bucket",
+    ).fit(ml_df)
+    assigned = model.transform(ml_df).select(id_col, "__vec", "ivf_bucket")
+    centroids = embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "ivf_bucket int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_vec: DataFrame,
+    k: int = 20,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank centroids against the query (k rows, broadcast
+    both ways), take the nprobe nearest buckets, exact-cosine rerank
+    ONLY inside those buckets.  Candidate volume ≈ nprobe/k of the
+    corpus; with `nprobe == n_centroids` the result is exactly
+    brute force (asserted in tests — the pruning is the ONLY
+    approximation)."""
+    q = query_vec.select(
+        F.col(id_col).alias("__qid"), to_double_array(vec_col).alias("__qvec")
+    )
+    probe_buckets = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "ivf_bucket",
+            cosine(F.col("centroid"), F.col("__qvec")).alias("__csim"),
+        )
+        .orderBy(F.desc("__csim"), F.asc("ivf_bucket"))
+        .limit(nprobe)
+        .select("ivf_bucket")
+    )
+    cands = assigned.join(F.broadcast(probe_buckets), "ivf_bucket")
+    scored = cands.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("__qid"))
+    return (
+        scored.select(
+            F.col(id_col),
+            cosine(F.col("__vec"), F.col("__qvec")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

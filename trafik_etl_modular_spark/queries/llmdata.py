@@ -31,6 +31,8 @@ from trafik_etl_modular_spark.llmdata.sampling import (
 from trafik_etl_modular_spark.llmdata.similarity import (
     brute_force_topk,
     bucketed_topk,
+    ivf_index,
+    ivf_topk,
     near_dup_pairs_by_bucket,
 )
 from trafik_etl_modular_spark.llmdata.text import (
@@ -567,6 +569,22 @@ def sim_ann(spark, sf_dir):
     the coarse key) — bucket-pruned scan instead of full corpus."""
     emb = t(spark, sf_dir, "embeddings")
     return bucketed_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+@query("sim_ann_ivf_trained", sql=None, tags=("llmdata", "similarity", "topk"))
+def sim_ann_ivf_trained(spark, sf_dir):
+    """IVF ANN with a TRAINED coarse quantizer
+    (llmdata/similarity.py::ivf_index): k-means(16) centroids, probe
+    the 4 nearest buckets, exact rerank inside them. K-means is
+    iterative/engine-specific → rows-only driver check; tests assert
+    recall vs brute force and that nprobe == k reproduces brute force
+    exactly."""
+    emb = t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index(emb, n_centroids=16)
+    probe = emb.filter(F.col("vec_id") == 0)
+    return ivf_topk(assigned, centroids, probe, k=10, nprobe=4).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
 
 
 _NEARDUP_EMB_SQL = f"""
