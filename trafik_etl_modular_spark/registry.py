@@ -41,6 +41,7 @@ REGISTRY: dict[str, Query] = {}
 # Modules that register queries on import. Order is documentation-only.
 _QUERY_MODULES = [
     "trafik_etl_modular_spark.queries.tpch",
+    "trafik_etl_modular_spark.queries.tpch_deep",
     "trafik_etl_modular_spark.queries.incidents",
     "trafik_etl_modular_spark.queries.filters",
     "trafik_etl_modular_spark.queries.aggregates",
