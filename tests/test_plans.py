@@ -163,3 +163,44 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         assert joined.count() == plain.count()
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_q19_disjunction_is_hash_join_with_residual(spark, sf_dir):
+    """Q19's OR-of-ANDs references both sides, but Catalyst must still
+    extract the common `p_partkey = l_partkey` equi-key and plan a
+    (broadcast) hash join with the disjunction as a residual filter —
+    a nested-loop here would be quadratic at scale."""
+    _load_all()
+    plan = _explain(REGISTRY["tpch_q19_disjunctive_revenue"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_predicates_reach_scan(spark, sf_dir):
+    """Q6 is the scan-bound lower bound: every predicate must appear in
+    PushedFilters so row-group min/max stats can skip I/O."""
+    _load_all()
+    plan = _explain(REGISTRY["tpch_q6_revenue_forecast"].fn(spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q15_max_is_broadcast_not_global_window(spark, sf_dir):
+    """Q15 keeps rows equal to the global max revenue. The max must
+    arrive via a 1-row broadcast join — a `max().over(Window)` with no
+    partitioning would funnel every supplier through one task."""
+    _load_all()
+    plan = _explain(REGISTRY["tpch_q15_top_supplier"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_q21_self_joins_are_semi_and_anti(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS compile to left-semi and left-anti
+    hash/merge joins on orderkey — matched lineitems are never
+    materialized, only existence bits."""
+    _load_all()
+    plan = _explain(REGISTRY["tpch_q21_waiting_supplier"].fn(spark, sf_dir), "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

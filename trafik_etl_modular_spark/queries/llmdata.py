@@ -702,3 +702,72 @@ def sim_ann_hyperplane(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0)
     return hyperplane_lsh_topk(emb, probe, dim=64, k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document.
+# Classic corpus-statistics shape: explode → per-(doc,term) counts →
+# per-term document frequency → score → top-3 per doc. Plan: two
+# shuffles (doc_id+term, then term) + a broadcast of the 1-row corpus
+# count; the per-doc top-k window partitions on doc_id, so no global
+# sort. The score avoids ln() on purpose — log's last-bit rounding
+# differs across engines, while (tf * (N / df)) is three IEEE double
+# ops applied in the same order in both, keeping the oracle
+# bit-exact. Rank ordering is identical either way (log is monotone).
+# ---------------------------------------------------------------------------
+
+_TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), tfc AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS doc_freq FROM tfc GROUP BY term
+), total AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT doc_id, term, tf, doc_freq, tfidf, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT tfc.doc_id, tfc.term, tfc.tf, dfreq.doc_freq,
+         (CAST(tfc.tf AS DOUBLE)
+          * (CAST(total.n_docs AS DOUBLE) / CAST(dfreq.doc_freq AS DOUBLE))) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY tfc.doc_id
+           ORDER BY (CAST(tfc.tf AS DOUBLE)
+                     * (CAST(total.n_docs AS DOUBLE) / CAST(dfreq.doc_freq AS DOUBLE))) DESC,
+                    tfc.term ASC
+         ) AS rn
+  FROM tfc JOIN dfreq USING (term) CROSS JOIN total
+) ranked
+WHERE rn <= 3
+"""
+
+
+@query("text_tfidf_top_terms", sql=_TFIDF_SQL, tags=("llmdata", "text", "window"))
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 distinguishing terms per document by TF-IDF (rarity score
+    N/df instead of log(N/df) — monotone-equivalent ranking, bit-exact
+    across engines)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tfc = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tfc.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tfc.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("doc_freq").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "doc_freq", "tfidf", "rn")
+    )

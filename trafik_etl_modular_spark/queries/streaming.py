@@ -16,6 +16,7 @@ from trafik_etl_modular_spark.registry import query
 from trafik_etl_modular_spark.streaming.pipeline import (
     dedup_within_watermark,
     hourly_windowed_counts,
+    interval_joined_purchases,
     static_enriched_counts,
     upsert_sink_run,
 )
@@ -133,3 +134,29 @@ def streaming_sessionize_stateful(spark, sf_dir):
     must produce the identical per-user session stats regardless of
     micro-batch boundaries."""
     return streaming_sessionize(spark, sf_dir)
+
+
+_INTERVAL_JOIN_SQL = f"""
+SELECT a.user_id AS user_id,
+       COUNT(*) AS n_pairs,
+       {oracle_dsum('b.value', 2)} AS purchase_revenue
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.user_id
+"""
+
+
+@query(
+    "streaming_interval_join",
+    sql=_INTERVAL_JOIN_SQL,
+    tags=("streaming", "join"),
+)
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream inner join (click → purchase attribution within
+    1 hour, per user) with watermarks on both sides bounding state.
+    Inner-join emissions are exactly the batch self-join rows, so the
+    oracle is the equivalent batch interval self-join."""
+    return interval_joined_purchases(spark, sf_dir)

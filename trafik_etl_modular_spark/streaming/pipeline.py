@@ -138,6 +138,66 @@ def static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def interval_joined_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition:
+    clicks joined to purchases by the same user within the following
+    hour — the attribution-pipeline shape (SURVEY.md §2.9 extension;
+    the reference never correlates two live feeds, but its cursor
+    pagination is exactly the offset bookkeeping this generalizes).
+
+    Scale design: BOTH sides carry a watermark and the join condition
+    bounds purchase_ts to [click_ts, click_ts + 1h], so Spark evicts
+    buffered state older than watermark + range — state is
+    O(events per watermark window), not O(stream). Without the range
+    bound the state would grow unboundedly; the watermark alone is
+    not enough for stream-stream joins.
+
+    The inner join emits eagerly per match, so append-mode output at
+    availableNow completion equals the batch self-join — which is
+    what the DuckDB oracle checks. The per-user rollup happens batch-
+    side on the sink contents (a chained streaming agg after a
+    stream-stream join would need its own watermark epoch).
+    """
+    from trafik_etl_modular_spark.functions.scalars import dsum
+
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "click_user = purchase_user"
+            " AND purchase_ts >= click_ts"
+            " AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    out = _run_to_memory(pairs, "append")
+    return (
+        out.groupBy(F.col("click_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            dsum("purchase_value", 2).alias("purchase_revenue"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def upsert_sink_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch keyed upsert: every micro-batch MERGEs into the
     accumulated state with latest-wins on (entity_id) — the
