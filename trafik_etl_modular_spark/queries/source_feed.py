@@ -92,3 +92,45 @@ def source_xml_feed_roundtrip(spark, sf_dir):
         "county_no",
         "start_time",
     )
+
+
+@query("source_xml_feed_stream", sql=_ROUNDTRIP_SQL, tags=("source", "streaming"))
+def source_xml_feed_stream(spark, sf_dir):
+    """The same landing zone consumed through the STREAMING side of the
+    DataSource (XmlFeedStreamReader): offset = pages consumed, each
+    micro-batch's page span split across executors. Run to completion
+    here, the stream must deliver byte-identical rows to the batch
+    scan — one oracle covers both paths."""
+    import hashlib
+    import tempfile
+
+    feed_dir = ensure_feed_dir(sf_dir)
+    register_xml_feed(spark)
+    raw = (
+        spark.readStream.format("xml_feed")
+        .option("path", feed_dir)
+        .option("maxPages", "100000")
+        .load()
+    )
+    sel = raw.select(
+        "situation_id",
+        "modified_time",
+        "deviation_id",
+        "message",
+        "message_type",
+        "county_no",
+        "start_time",
+    )
+    name = f"feed_stream_{hashlib.md5(feed_dir.encode()).hexdigest()[:8]}"
+    q = (
+        sel.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="feed_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
