@@ -204,3 +204,55 @@ def test_q21_self_joins_are_semi_and_anti(spark, sf_dir):
     plan = _explain(REGISTRY["tpch_q21_waiting_supplier"].fn(spark, sf_dir), "simple")
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_clustering_prunes_files(spark, tmp_path):
+    """cluster_by_zorder: after z-order layout, a 2-dim box predicate
+    matches only the files whose parquet footer min/max envelopes
+    intersect the box — the multi-dim file-skipping that replaces the
+    reference's secondary B-tree indexes (load_sqlite.py:22-24) on a
+    pure-Parquet lakehouse. An unclustered layout leaves every file
+    matching (random order → full-range envelopes per file)."""
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.operators.clustering import cluster_by_zorder
+
+    n = 40_000
+    df = (
+        spark.range(n)
+        .withColumn("x", (F.hash("id") % 1000 + 1000) % 1000)
+        .withColumn("y", (F.hash("id", F.lit(1)) % 1000 + 1000) % 1000)
+    )
+
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    df.repartition(16).write.parquet(plain_dir)
+    cluster_by_zorder(df, "x", "y", 16).write.parquet(z_dir)
+
+    def files_matching_box(path, lo=100, hi=200):
+        """Files whose (x, y) min/max stats intersect [lo,hi]²."""
+        import glob
+
+        total, matched = 0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            xmin = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+            xmax = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+            ymin = min(md.row_group(i).column(2).statistics.min for i in range(md.num_row_groups))
+            ymax = max(md.row_group(i).column(2).statistics.max for i in range(md.num_row_groups))
+            total += 1
+            if xmax >= lo and xmin <= hi and ymax >= lo and ymin <= hi:
+                matched += 1
+        return matched, total
+
+    m_plain, t_plain = files_matching_box(plain_dir)
+    m_z, t_z = files_matching_box(z_dir)
+    # random layout: every file spans the full range → nothing skips
+    assert m_plain == t_plain
+    # z-order: the 100×100 box (1% of the space) touches a fraction
+    # of the 16 file envelopes
+    assert m_z <= t_z // 2, f"z-order matched {m_z}/{t_z} files"
+
+    # layout change must not change the data
+    a = spark.read.parquet(plain_dir).select("id", "x", "y")
+    b = spark.read.parquet(z_dir).select("id", "x", "y")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
