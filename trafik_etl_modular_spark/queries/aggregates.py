@@ -234,3 +234,35 @@ def agg_approx_percentile(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_GSETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+       COUNT(*) AS n,
+       {oracle_dsum('l_quantity', 2)} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("agg_grouping_sets_flag_status", sql=_GSETS_SQL, tags=("agg",))
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (detail + per-flag subtotal + grand
+    total in ONE pass — Spark expands the sets and aggregates with a
+    single shuffle, not three scans). grouping_id disambiguates
+    subtotal NULLs from data NULLs."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n"),
+            dsum("l_quantity", 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )

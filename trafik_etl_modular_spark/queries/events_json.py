@@ -91,3 +91,25 @@ def events_hourly_tumbling(spark, sf_dir):
             "total_value",
         )
     )
+
+
+_VARIANT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+"""
+
+
+@query("events_variant_projection", sql=_VARIANT_SQL, tags=("json", "variant"))
+def events_variant_projection(spark, sf_dir):
+    """VariantType path (Spark 4): parse_json once into a variant
+    column, typed try_variant_get extraction, filter on the typed
+    value. Variant's binary encoding makes repeated path access cheap
+    vs re-parsing JSON text per expression — the engine's
+    semi-structured scale path; the projected output is plain typed
+    columns, so the oracle is ordinary JSON SQL."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") % 7 == 0)

@@ -215,3 +215,35 @@ def window_session_window(spark, sf_dir):
             "n_events",
         )
     )
+
+
+_LEADLAG_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(date_diff('day',
+            CAST(LAG(o_orderdate) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+            CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+       LEAD(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+FROM orders
+"""
+
+
+@query("window_lead_lag_order_gaps", sql=_LEADLAG_SQL, tags=("window",))
+def window_lead_lag(spark, sf_dir):
+    """lead/lag frame navigation: per-customer inter-order gap in days
+    and the following order's key. One shuffle on custkey; the
+    (o_orderdate, o_orderkey) tiebreak makes offsets deterministic
+    under ties — mandatory, since Spark and any oracle engine would
+    otherwise disagree on equal-date neighbors."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("int")
+        .alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
