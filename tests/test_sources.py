@@ -296,3 +296,55 @@ def test_stream_reader_rate_limit_bounds_batches(spark, tmp_path):
     out = spark.sql("SELECT * FROM feed_rate_limited")
     assert out.count() == 12
     assert n_batches >= 3
+
+
+def test_landing_sink_two_phase_commit(spark, tmp_path):
+    """Streaming sink with manifest-based commit: readers see exactly
+    the committed micro-batches; stray task files without a manifest
+    entry are invisible (torn/aborted batches can't leak)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.sources.landing_sink import (
+        committed_files,
+        read_committed,
+        register_landing_sink,
+    )
+
+    register_landing_sink(spark)
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "landing")
+    # two source files → two micro-batches (maxFilesPerTrigger=1)
+    for i in range(2):
+        pq.write_table(
+            pa.table({"event_id": list(range(i * 10, i * 10 + 10))}),
+            str(src_dir / f"part{i}.parquet"),
+        )
+
+    q = (
+        spark.readStream.schema("event_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+        .writeStream.format("landing_zone")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    import os
+
+    manifests = [f for f in os.listdir(out_dir) if f.endswith(".manifest")]
+    assert len(manifests) == 2  # one atomic publish per micro-batch
+    out = read_committed(spark, out_dir)
+    assert sorted(r.event_id for r in out.collect()) == list(range(20))
+
+    # a torn write (task file with no manifest entry) stays invisible
+    pq.write_table(pa.table({"event_id": [999]}), os.path.join(out_dir, "task-orphan.parquet"))
+    assert "task-orphan.parquet" not in committed_files(out_dir)
+    assert read_committed(spark, out_dir).count() == 20
