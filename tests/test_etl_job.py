@@ -55,3 +55,69 @@ def test_etl_respects_max_pages(spark, feed_dir, tmp_path):
     sink = str(tmp_path / "incidents_limited")
     report = run_etl(spark, feed_dir, sink, make_county_dim(spark), max_pages=2)
     assert report["rows"] == 4  # 2 pages × 2 deviations
+
+
+def test_metrics_listener_and_notifier(spark, tmp_path):
+    """§2.9 run observability: the StreamingQueryListener emits the
+    reference's start/progress/done notifications with row counts,
+    volume warnings ride the same [min, max] guard as the batch ETL,
+    and the notifier retries a flaky webhook transport."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.streaming.observability import (
+        MetricsListener,
+        Notifier,
+        check_row_volume,
+    )
+
+    assert check_row_volume(0) == "no rows ingested"
+    assert check_row_volume(10, 50, 2000).startswith("row volume 10 below")
+    assert check_row_volume(9999, 50, 2000).startswith("row volume 9999 above")
+    assert check_row_volume(100, 50, 2000) is None
+
+    sent: list[str] = []
+    fails = {"n": 2}
+
+    def flaky_transport(body: str):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise ConnectionError("webhook down")
+        sent.append(body)
+
+    notifier = Notifier(flaky_transport)
+    listener = MetricsListener(notifier, expect_min=50, expect_max=2000)
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        pq.write_table(pa.table({"v": list(range(10))}), str(src / "p.parquet"))
+        q = (
+            spark.readStream.schema("v bigint")
+            .parquet(str(src))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener delivery is async — poll until terminated arrives
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            stages = [e["stage"] for e in listener.events]
+            if "terminated" in stages:
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+
+    stages = [e["stage"] for e in listener.events]
+    assert "started" in stages and "terminated" in stages
+    prog = [e for e in listener.events if e["stage"] == "progress" and e["num_input_rows"]]
+    assert prog and prog[0]["num_input_rows"] == 10
+    # 10 rows < expect_min=50 → the anomaly guard fired
+    assert prog[0]["warning"].startswith("row volume 10 below")
+    # the flaky transport was retried through, every event delivered
+    assert len(sent) == len(listener.events)

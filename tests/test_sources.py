@@ -348,3 +348,11 @@ def test_landing_sink_two_phase_commit(spark, tmp_path):
     pq.write_table(pa.table({"event_id": [999]}), os.path.join(out_dir, "task-orphan.parquet"))
     assert "task-orphan.parquet" not in committed_files(out_dir)
     assert read_committed(spark, out_dir).count() == 20
+
+    # the manifest log is a version history: as-of batch 0 sees only
+    # the first micro-batch (snapshot read / time travel). Which
+    # source file became batch 0 is listing-order dependent — assert
+    # the snapshot is exactly one whole micro-batch, not which one.
+    v0 = read_committed(spark, out_dir, as_of_batch=0)
+    got = sorted(r.event_id for r in v0.collect())
+    assert got in (list(range(10)), list(range(10, 20)))

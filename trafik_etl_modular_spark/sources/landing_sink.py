@@ -105,19 +105,27 @@ def register_landing_sink(spark: SparkSession) -> None:
     spark.dataSource.register(LandingZoneSink)
 
 
-def committed_files(path: str) -> list[str]:
-    """Files published by a committed manifest, in batch order."""
+def committed_files(path: str, as_of_batch: int | None = None) -> list[str]:
+    """Files published by a committed manifest, in batch order.
+    ``as_of_batch`` reads the table as of that batch id (inclusive) —
+    the manifest log doubles as a version history, so snapshot reads
+    and time travel are free."""
     out: list[str] = []
     for mf in sorted(f for f in os.listdir(path) if f.endswith(".manifest")):
         with open(os.path.join(path, mf)) as fh:
-            out.extend(json.load(fh)["files"])
+            m = json.load(fh)
+        if as_of_batch is not None and m["batch_id"] > as_of_batch:
+            continue
+        out.extend(m["files"])
     return out
 
 
-def read_committed(spark: SparkSession, path: str) -> DataFrame:
+def read_committed(
+    spark: SparkSession, path: str, as_of_batch: int | None = None
+) -> DataFrame:
     """Read ONLY manifest-referenced files — uncommitted task output
-    is invisible by construction."""
-    files = [os.path.join(path, f) for f in committed_files(path)]
+    is invisible by construction. ``as_of_batch`` = time travel."""
+    files = [os.path.join(path, f) for f in committed_files(path, as_of_batch)]
     if not files:
         raise ValueError(f"no committed batches under {path}")
     return spark.read.parquet(*files)
