@@ -2,10 +2,11 @@
 predicates, outer-join histograms, and multi-EXISTS self-joins.
 
 These extend ``queries/tpch.py`` (q1/q3/q4/q5/q10/q12/q18) with the
-remaining shapes expressible over the driver's fixtures (no
-``partsupp`` table exists, so q2/q11/q16/q20 are out of scope; q9,
-q17, q19, q21, q22 are adapted to the available columns while
-keeping their canonical plan shapes).  The reference itself has no
+remaining shapes expressible directly over the driver's fixtures
+(q9, q17, q19, q21, q22 are adapted to the available columns while
+keeping their canonical plan shapes; q2/q11/q16/q20, which need the
+missing ``partsupp`` table, live in ``queries/tpch_partsupp.py``
+over a lineitem-derived part–supplier relation).  The reference itself has no
 joins beyond dimension lookups (SURVEY.md §2.3) — these queries are
 the scale generalization of that same primitive, and each one's
 docstring records the plan we expect Catalyst to produce at 100 TB.

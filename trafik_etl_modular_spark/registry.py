@@ -42,6 +42,7 @@ REGISTRY: dict[str, Query] = {}
 _QUERY_MODULES = [
     "trafik_etl_modular_spark.queries.tpch",
     "trafik_etl_modular_spark.queries.tpch_deep",
+    "trafik_etl_modular_spark.queries.tpch_partsupp",
     "trafik_etl_modular_spark.queries.incidents",
     "trafik_etl_modular_spark.queries.filters",
     "trafik_etl_modular_spark.queries.aggregates",
