@@ -396,3 +396,66 @@ def test_ivf_nprobe_recall_on_clustered_data(spark):
     }
     exact = {r["vec_id"] for r in brute_force_topk(emb, probe, k=10).collect()}
     assert len(approx & exact) / len(exact) >= 0.9
+
+
+def test_pii_redaction_semantics(spark):
+    """Redaction order and counts on PII-bearing strings (the fixture
+    corpus has none): emails first, then IPv4, then bare digit runs."""
+    from trafik_etl_modular_spark.llmdata.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com and 10.0.255.1 id 12345678 ok"),
+            (2, "no pii here just words 123 and 40"),
+            (3, "two mails a@b.io c@d.org ip 1.2.3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = pii_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            counts["n_emails"].alias("e"),
+            counts["n_ipv4"].alias("ip"),
+            counts["n_idnum"].alias("idn"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["ip"], out[1]["idn"]) == (1, 1, 1)
+    assert out[1]["red"] == "mail <EMAIL> and <IP> id <ID> ok"
+    assert (out[2]["e"], out[2]["ip"], out[2]["idn"]) == (0, 0, 0)
+    assert out[2]["red"] == "no pii here just words 123 and 40"
+    assert (out[3]["e"], out[3]["ip"]) == (2, 1)
+    assert out[3]["red"] == "two mails <EMAIL> <EMAIL> ip <IP>"
+
+
+def test_repetition_signals_handcrafted(spark):
+    """Bigram guard for <2-token docs (Spark sequence(1,0) is
+    descending, not empty) and the top-bigram count itself."""
+    from trafik_etl_modular_spark.llmdata.text import (
+        bigrams,
+        distinct_token_fraction,
+        top_bigram_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x"), (3, "y y y y")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.size(bigrams("text")).alias("n_bi"),
+            top_bigram_count("text").alias("top"),
+            distinct_token_fraction("text").alias("uniq"),
+        ).collect()
+    }
+    # "a b a b c" → bigrams [a b, b a, a b, b c]; top = "a b" ×2
+    assert (out[1]["n_bi"], out[1]["top"]) == (4, 2)
+    assert out[1]["uniq"] == 3 / 5
+    # single token → no bigrams, top count 0
+    assert (out[2]["n_bi"], out[2]["top"]) == (0, 0)
+    # "y y y y" → [y y, y y, y y]
+    assert (out[3]["n_bi"], out[3]["top"]) == (3, 3)

@@ -103,6 +103,86 @@ def punct_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), 0))
 
 
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters): natural text has
+# a characteristic repetition profile; boilerplate, spam, and
+# templated pages repeat tokens and n-grams far more. Both signals
+# are pure per-row higher-order functions — zero shuffle, zero
+# Python, linear in document size — so at 100 TB they run at scan
+# speed and the filter they feed is an ordinary pushed predicate.
+# ---------------------------------------------------------------------------
+
+
+def distinct_token_fraction(text: Column | str) -> Column:
+    """|distinct tokens| / |tokens| — low values flag repetitive docs."""
+    arr = tokens(text)
+    return F.size(F.array_distinct(arr)).cast("double") / F.size(arr)
+
+
+def bigrams(text: Column | str) -> Column:
+    """Adjacent token pairs joined with a single space. Guarded for
+    <2-token docs: Spark's sequence(1, 0) is DESCENDING ([1, 0]),
+    not empty, so the index range must be gated explicitly."""
+    arr = tokens(text)
+    idx = F.when(F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(arr, i), F.element_at(arr, i + 1)),
+    )
+
+
+def top_bigram_count(text: Column | str) -> Column:
+    """Occurrences of the most frequent bigram: for each distinct
+    bigram count its occurrences (nested filter — O(n·d) per row, all
+    inside codegen), take the max. Empty/one-token docs → 0."""
+    bi = bigrams(text)
+    counts = F.transform(
+        F.array_distinct(bi), lambda g: F.size(F.filter(bi, lambda x: x == g))
+    )
+    return F.coalesce(F.array_max(counts), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: scrub emails, IPv4 addresses, and long digit runs
+# (account/phone-shaped ids) before a corpus ships to training.
+# Regexes restricted to a subset with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB oracle). Replacement order matters
+# and is fixed: emails first (they contain digit runs), then IPv4
+# (dotted digits would otherwise be eaten as digit runs), then bare
+# digit runs.
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+IDNUM_RE = r"\d{6,}"
+
+
+def _count_re(c: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Match counts per PII class (on the ORIGINAL text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": _count_re(c, EMAIL_RE),
+        "n_ipv4": _count_re(c, IPV4_RE),
+        "n_idnum": _count_re(c, IDNUM_RE),
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with a typed placeholder token.
+    Spark's regexp_replace is global; the DuckDB mirror needs the 'g'
+    flag to match."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, IPV4_RE, "<IP>")
+    return F.regexp_replace(c, IDNUM_RE, "<ID>")
+
+
 def char_fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash over characters (document fingerprint):
     fold (acc*31 + ascii(char)) % mod left-to-right — order-sensitive,

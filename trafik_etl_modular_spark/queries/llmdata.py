@@ -36,12 +36,17 @@ from trafik_etl_modular_spark.llmdata.similarity import (
     near_dup_pairs_by_bucket,
 )
 from trafik_etl_modular_spark.llmdata.text import (
+    bigrams,
     char_fingerprint,
+    distinct_token_fraction,
+    pii_counts,
     predict_lang,
     quality_score,
+    redact_pii,
     stopword_count,
     token_count,
     tokens,
+    top_bigram_count,
 )
 from trafik_etl_modular_spark.operators.grouped import percent_rank_by_group
 from trafik_etl_modular_spark.queries.common import t
@@ -155,6 +160,103 @@ def text_fingerprint(spark, sf_dir):
 
     docs = fan_out(t(spark, sf_dir, "documents"))
     return docs.select("doc_id", char_fingerprint("text").alias("fingerprint"))
+
+
+_REPETITION_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS uniq_token_frac,
+       CAST(coalesce(list_max(list_transform(
+         list_distinct(bi),
+         g -> len(list_filter(bi, x -> x = g)))), 0) AS INTEGER) AS top_bigram_n,
+       CAST(coalesce(list_max(list_transform(
+         list_distinct(bi),
+         g -> len(list_filter(bi, x -> x = g)))), 0) AS DOUBLE)
+         / greatest(len(bi), 1) AS top_bigram_frac
+FROM (
+  SELECT doc_id, text,
+         list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         ) AS bi
+  FROM documents
+)
+"""
+
+
+@query("text_repetition_signals", sql=_REPETITION_SQL, tags=("llmdata", "text"))
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: distinct-token
+    fraction and the share of bigram slots taken by the single most
+    repeated bigram. Pure per-row higher-order functions (nested
+    filter over distinct bigrams, O(n·d) per doc) — zero shuffle,
+    whole-stage codegen fuses them with the scan, so at 100 TB this
+    is scan-bound and the downstream quality filter is an ordinary
+    predicate. fan_out: CPU-bound fold over a single-partition
+    fixture scan."""
+    from trafik_etl_modular_spark.operators.partitions import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    n_bi = F.greatest(F.size(F.col("bi")), F.lit(1))
+    return (
+        docs.withColumn("bi", bigrams("text"))
+        .withColumn(
+            "top_bigram_n",
+            F.coalesce(
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(F.col("bi")),
+                        lambda g: F.size(F.filter(F.col("bi"), lambda x: x == g)),
+                    )
+                ),
+                F.lit(0),
+            ).cast("int"),
+        )
+        .select(
+            "doc_id",
+            token_count("text").cast("int").alias("n_tokens"),
+            distinct_token_fraction("text").alias("uniq_token_frac"),
+            "top_bigram_n",
+            (F.col("top_bigram_n").cast("double") / n_bi).alias("top_bigram_frac"),
+        )
+    )
+
+
+_PII_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\\d{6,}')) AS INTEGER) AS n_idnum,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\d{6,}', '<ID>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+@query("text_pii_redact", sql=_PII_SQL, tags=("llmdata", "text"))
+def text_pii(spark, sf_dir):
+    """PII scrub before a corpus ships to training: count emails /
+    IPv4s / long digit runs (on the original text) and emit the md5
+    of the redacted text (placeholders substituted in a fixed order —
+    emails, then IPv4, then bare digit runs). Regex subset chosen for
+    identical Java-regex/RE2 semantics; redaction semantics on
+    PII-bearing strings are pinned in tests/test_llmdata.py (the
+    fixture corpus itself contains no PII — counts are all zero
+    there, which the oracle also asserts)."""
+    docs = t(spark, sf_dir, "documents")
+    counts = pii_counts("text")
+    return docs.select(
+        "doc_id",
+        counts["n_emails"].cast("int").alias("n_emails"),
+        counts["n_ipv4"].cast("int").alias("n_ipv4"),
+        counts["n_idnum"].cast("int").alias("n_idnum"),
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+    )
 
 
 # ---------------------------------------------------------------------------
