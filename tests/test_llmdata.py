@@ -459,3 +459,78 @@ def test_repetition_signals_handcrafted(spark):
     assert (out[2]["n_bi"], out[2]["top"]) == (0, 0)
     # "y y y y" → [y y, y y, y y]
     assert (out[3]["n_bi"], out[3]["top"]) == (3, 3)
+
+
+def test_decontamination_handcrafted(spark):
+    """Contamination semantics pinned on constructed docs: a train doc
+    identical to an eval doc is fully contaminated; a disjoint doc is
+    clean; a doc shorter than k has zero n-grams and contamination 0."""
+    from trafik_etl_modular_spark.llmdata.decontam import (
+        contamination_stats,
+        eval_ngrams,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # identical
+            (2, "completely different words here appearing nowhere else"),
+            (3, "tiny doc"),  # < k tokens -> 0 ngrams
+            (4, "prefix words then the quick brown fox appears"),  # partial
+        ],
+        "doc_id long, text string",
+    )
+    eg = eval_ngrams(eval_docs, k=3)
+    out = {
+        r["doc_id"]: r
+        for r in contamination_stats(train, eg, k=3, threshold=0.2).collect()
+    }
+    assert out[1]["contamination"] == 1.0 and out[1]["contaminated"]
+    assert out[2]["n_hits"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_ngrams"] == 0 and out[3]["contamination"] == 0.0
+    # doc 4 shares exactly "the quick brown" and "quick brown fox"
+    assert out[4]["n_hits"] == 2
+    assert 0.0 < out[4]["contamination"] < 1.0
+
+
+def test_shuffle_key_stable_and_uniformish(spark, sf_dir):
+    """md5 shuffle key is a pure row function: identical across
+    repartitionings, and its first-hex-digit shard covers the full
+    16-way range on the fixture."""
+    from trafik_etl_modular_spark.llmdata.sampling import shuffle_key
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = docs.select("doc_id", shuffle_key("doc_id").alias("k"))
+    b = docs.repartition(7).select("doc_id", shuffle_key("doc_id").alias("k"))
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    shards = {
+        r["s"]
+        for r in a.select(
+            F.expr("instr('0123456789abcdef', substring(k, 1, 1)) - 1").alias("s")
+        ).collect()
+    }
+    assert shards <= set(range(16)) and len(shards) >= 12
+
+
+def test_quality_quantile_keeps_top_decile(spark, sf_dir):
+    """The P90 filter keeps ~10% of documents and every kept score
+    dominates every dropped score."""
+    from trafik_etl_modular_spark.queries.llmdata import filter_quality_quantile
+    from trafik_etl_modular_spark.llmdata.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    kept = filter_quality_quantile(spark, sf_dir)
+    k = kept.count()
+    assert 0 < k <= max(1, int(n * 0.2))
+    min_kept = kept.agg(F.min("quality")).first()[0]
+    dropped_max = (
+        docs.select("doc_id", quality_score("text").alias("q"))
+        .join(kept, "doc_id", "left_anti")
+        .agg(F.max("q"))
+        .first()[0]
+    )
+    assert dropped_max <= min_kept

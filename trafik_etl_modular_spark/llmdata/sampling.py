@@ -131,3 +131,22 @@ def pack_bins(
         "bin_idx",
         F.floor(F.col("tokens_before") / F.lit(float(capacity))).cast("long"),
     ).drop("tokens_before")
+
+
+def shuffle_key(key: Column | str) -> Column:
+    """Content-keyed global shuffle key: md5 hex of the row key.
+
+    Training-data ordering must be pseudo-random but REPRODUCIBLE —
+    the same corpus must shuffle identically on 1 executor or 1000,
+    across re-runs and compactions, which rules out rand(seed) (a
+    per-(partition, row-index) stream).  md5 of the key is a pure
+    row function, uniform over the hex space, and identical in every
+    SQL engine.
+
+    Scale shape: the writer does ``repartitionByRange(N, shuffle_key)
+    .sortWithinPartitions(shuffle_key)`` — globally shuffled order
+    across sorted output files WITHOUT a single-task global
+    row_number; readers stream files in name order and see a
+    deterministic permutation."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.md5(c.cast("string"))

@@ -873,3 +873,121 @@ def text_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "doc_freq", "tfidf", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination / deterministic shuffle / quantile curation
+# ---------------------------------------------------------------------------
+
+_DECONTAM_SQL = """
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+             i -> array_to_string(w[i:i+2], ' '))) AS gs
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+eg AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 10 = 7),
+tg AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 10 <> 7),
+hits AS (
+  SELECT tg.doc_id,
+         COUNT(*) AS n_ngrams,
+         COUNT(eg.g) AS n_hits
+  FROM tg LEFT JOIN eg USING (g)
+  GROUP BY tg.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_ngrams, 0) AS INTEGER) AS n_ngrams,
+       CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits,
+       CASE WHEN coalesce(h.n_ngrams, 0) > 0
+            THEN CAST(h.n_hits AS DOUBLE) / h.n_ngrams ELSE 0.0 END AS contamination,
+       (CASE WHEN coalesce(h.n_ngrams, 0) > 0
+             THEN CAST(h.n_hits AS DOUBLE) / h.n_ngrams ELSE 0.0 END) >= 0.2
+         AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 10 <> 7
+"""
+
+
+@query("text_decontaminate", sql=_DECONTAM_SQL, tags=("llmdata", "text", "dedup"))
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (llmdata/decontam.py): per-train-doc
+    fraction of distinct word 3-grams that appear in a held-out eval
+    set (docs with doc_id % 10 = 7 stand in for the benchmark suite).
+    The eval-gram set is broadcast — the corpus side never shuffles
+    strings, only (doc_id, count) pairs after map-side partials."""
+    from trafik_etl_modular_spark.llmdata.decontam import (
+        contamination_stats,
+        eval_ngrams,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % 10) == 7
+    eg = eval_ngrams(docs.filter(is_eval), "text", k=3)
+    return contamination_stats(docs.filter(~is_eval), eg, k=3, threshold=0.2)
+
+
+_SHUFFLE_SQL = """
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER)
+         AS shard
+FROM documents
+"""
+
+
+@query("sample_shuffle_shard", sql=_SHUFFLE_SQL, tags=("llmdata", "sampling"))
+def sample_shuffle_shard(spark, sf_dir):
+    """Deterministic global training-order shuffle
+    (llmdata/sampling.py::shuffle_key): md5-of-key ordering key plus a
+    16-way shard from its first hex digit.  A pure projection — the
+    physical shuffle happens at write time via
+    repartitionByRange(shuffle_key), never through a single-task
+    global row_number."""
+    from trafik_etl_modular_spark.llmdata.sampling import shuffle_key
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        shuffle_key("doc_id").alias("shuffle_key"),
+        (
+            F.expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1))")
+            - F.lit(1)
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+
+
+_QUANTILE_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         0.7 * (least(CAST(len(string_split(text, ' ')) AS DOUBLE), 200.0) / 200.0)
+           + 0.3 * least(
+               (CAST(len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5,
+               1.0) AS quality
+  FROM documents
+),
+thr AS (SELECT quantile_cont(quality, 0.9) AS q90 FROM scored)
+SELECT doc_id, quality
+FROM scored, thr
+WHERE quality >= q90
+"""
+
+
+@query("filter_quality_quantile", sql=_QUANTILE_SQL, tags=("llmdata", "sampling"))
+def filter_quality_quantile(spark, sf_dir):
+    """Keep the top decile of documents by quality score: exact P90
+    threshold (one tiny agg, broadcast back as a scalar) then a pure
+    scan predicate.  At 100 TB swap the exact percentile for
+    percentile_approx — the filter side is unchanged."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    thr = scored.agg(F.expr("percentile(quality, 0.9)").alias("q90"))
+    return (
+        scored.join(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("q90"))
+        .select("doc_id", "quality")
+    )
