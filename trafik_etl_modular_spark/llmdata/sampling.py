@@ -150,3 +150,40 @@ def shuffle_key(key: Column | str) -> Column:
     deterministic permutation."""
     c = F.col(key) if isinstance(key, str) else key
     return F.md5(c.cast("string"))
+
+
+def token_budget_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    token_col: str = "n_tok",
+    budget: int = 3000,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Data mixing under a per-group token budget: within each group
+    (source / language / domain), admit documents in deterministic
+    shuffled order until the group's token budget is spent.
+
+    Order inside a group is :func:`shuffle_key` (md5-of-key) — an
+    unbiased, reproducible sample of the group, not "whatever the
+    scan returned first".  A document is admitted while the running
+    total BEFORE it is under budget, so each group overshoots by at
+    most one document (concat-and-chunk training absorbs the tail).
+
+    One shuffle: the per-group cumulative-sum window.  Groups
+    parallelize across the cluster; a single giant group serializes
+    through one task — for that shape, split the group into
+    :func:`pack_bins`-style hash sub-buckets with budget/n per bucket
+    (same admission semantics, n-way parallel).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(shuffle_key(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(
+            "tokens_before", F.sum(F.col(token_col)).over(w) - F.col(token_col)
+        )
+        .filter(F.col("tokens_before") < F.lit(budget))
+        .drop("tokens_before")
+    )

@@ -313,3 +313,56 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bucket_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched k-NN join: top-k corpus neighbors for EVERY query
+    vector at once (retrieval eval, cross-dataset near-dup sweeps),
+    not one probe at a time.
+
+    Plan shape: the query set — the small side in every real workload
+    (a benchmark / probe batch vs a corpus) — is broadcast, so scoring
+    is a map-only pass over the corpus scan; the one shuffle is the
+    per-query top-k window on query id.  With ``bucket_col`` set, the
+    broadcast join carries the coarse-bucket equality (IVF-style), so
+    candidates — and therefore the shuffled row volume — shrink from
+    |corpus|×|Q| to Σ bucket occupancy, which is what makes the shape
+    hold at 100 TB.  Window, not groupBy+collect_list: per-query state
+    on the reduce side is k rows, never the candidate list.
+
+    Output: (query_id, vec_id, cosine, rn), rn = 1..k by descending
+    cosine with id tiebreak.
+    """
+    from pyspark.sql import Window
+
+    qcols = [
+        F.col(id_col).alias("query_id"),
+        to_double_array(vec_col).alias("__qvec"),
+    ]
+    ccols = [F.col(id_col), to_double_array(vec_col).alias("__vec")]
+    if bucket_col:
+        qcols.append(F.col(bucket_col).alias("__qbucket"))
+        ccols.append(F.col(bucket_col))
+    q = queries.select(*qcols)
+    c = corpus.select(*ccols)
+    cond = F.col(id_col) != F.col("query_id")
+    if bucket_col:
+        cond = cond & (F.col(bucket_col) == F.col("__qbucket"))
+    scored = c.join(F.broadcast(q), cond).select(
+        "query_id",
+        F.col(id_col),
+        cosine(F.col("__vec"), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cosine", "rn")
+    )

@@ -991,3 +991,68 @@ def filter_quality_quantile(spark, sf_dir):
         .filter(F.col("quality") >= F.col("q90"))
         .select("doc_id", "quality")
     )
+
+
+_KNN_JOIN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+           FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         {_cos_sql('e.embedding', 'q.qvec')} AS cosine
+  FROM embeddings e JOIN q
+    ON e.label = q.qlabel AND e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rn FROM ranked WHERE rn <= 5
+"""
+
+
+@query("sim_knn_join", sql=_KNN_JOIN_SQL, tags=("llmdata", "similarity", "topk"))
+def sim_knn_join(spark, sf_dir):
+    """Batched k-NN join (llmdata/similarity.py::knn_join): top-5
+    same-bucket neighbors for every 50th vector in one pass — the
+    probe batch is broadcast, scoring stays map-side, and the only
+    shuffle carries candidates keyed by query id."""
+    from trafik_etl_modular_spark.llmdata.similarity import knn_join
+
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_join(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, bucket_col="label"
+    )
+
+
+_MIX_SQL = """
+WITH tks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS sk
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY sk
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tok AS tokens_before
+  FROM tks
+)
+SELECT doc_id, source, n_tok FROM cum WHERE tokens_before < 3000
+"""
+
+
+@query("sample_token_budget_mix", sql=_MIX_SQL, tags=("llmdata", "sampling"))
+def sample_token_budget_mix(spark, sf_dir):
+    """Training-mix assembly (llmdata/sampling.py::token_budget_mix):
+    per-source 3000-token budgets filled in deterministic md5-shuffled
+    order — an unbiased reproducible per-source sample, admitted by a
+    running-sum window that parallelizes across sources."""
+    from trafik_etl_modular_spark.llmdata.sampling import token_budget_mix
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tok")
+    )
+    return token_budget_mix(docs, "source", "n_tok", 3000)
