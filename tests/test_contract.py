@@ -29,9 +29,20 @@ def test_query_analyzes(spark, sf_dir, name):
     """Every query must at least pass Catalyst analysis (schema
     resolution) against the fixture — no execution."""
     if name.startswith("streaming_"):
-        pytest.skip("streaming queries execute eagerly; covered by oracle sweep")
+        pytest.skip("streaming queries execute eagerly; covered by test_query_executes")
     df = E.queries()[name](spark, sf_dir)
     assert df.schema is not None and len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_query_executes(spark, sf_dir, name):
+    """Every registered query EXECUTES end-to-end at sf0.001 (round-1
+    lesson: an execution-only failure in a late-registered query
+    aborted the driver's oracle sweep before pytest ever ran it).
+    Row counts are only sanity-bounded — value parity is the oracle
+    sweep's job."""
+    n = E.queries()[name](spark, sf_dir).count()
+    assert n >= 0
 
 
 def test_entry_smoke(spark):

@@ -5,6 +5,8 @@ batch plumbing."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from trafik_etl_modular_spark.catalog import load_table
@@ -141,6 +143,54 @@ def test_multimodal_batch_plumbing(spark, sf_dir):
     w, h = fake_decode_meta(bytes(payload))
     assert (one["fake_width"], one["fake_height"]) == (w, h)
     assert one["header"] == bytes(payload)[:8].hex()
+    # text payloads aren't decodable images → every row took the
+    # deterministic fallback (and says so)
+    assert all(r["decode_mode"] == "fake" for r in feats)
+
+
+def test_multimodal_decode_paths(monkeypatch):
+    """Both decode paths of try_decode_meta: the Pillow path (faked via
+    a stub module when the real lib is absent) and the fallback."""
+    from trafik_etl_modular_spark.llmdata import multimodal as mm
+
+    # Fallback path: no Pillow → None (caller then uses the fake)
+    monkeypatch.setattr(mm, "_pil_image", lambda: None)
+    assert mm.try_decode_meta(b"\x89PNG....") is None
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG....")
+
+    # Real path: a Pillow-shaped stub proves the bytes→(w, h) plumbing
+    class _Im:
+        width, height = 640, 480
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _Image:
+        @staticmethod
+        def open(fp):
+            if fp.read(4) != b"\x89PNG":
+                raise ValueError("not an image")
+            return _Im()
+
+    monkeypatch.setattr(mm, "_pil_image", lambda: _Image)
+    assert mm.try_decode_meta(b"\x89PNGrest-of-payload") == (640, 480)
+    # undecodable bytes under a present lib → graceful fallback signal
+    assert mm.try_decode_meta(b"plain text") is None
+
+    # When the REAL Pillow is importable, exercise it end-to-end
+    monkeypatch.undo()
+    if mm._pil_image() is not None:
+        import io as _io
+
+        from PIL import Image as _PI
+
+        buf = _io.BytesIO()
+        _PI.new("RGB", (8, 6)).save(buf, format="PNG")
+        assert mm.try_decode_meta(buf.getvalue()) == (8, 6)
 
 
 def test_hyperplane_lsh_subset_of_exact(spark, sf_dir):

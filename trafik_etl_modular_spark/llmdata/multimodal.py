@@ -1,18 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode step itself (JPEG → pixels, PCM → samples) needs codec
-libraries this container doesn't ship, so decoding is STUBBED —
-`decode_image` raises NotImplementedError and the pipeline uses a
-clearly-marked deterministic fake.  Everything AROUND the stub is
-real and tested: the binary schema, the Arrow batch path through
-mapInPandas, batch-shaped feature extraction, and the partitioning
-story (binary payloads don't shuffle unless the plan requires it;
-feature extraction is map-only).
+The decode step (JPEG → pixels) is probed at RUNTIME: when Pillow is
+importable, `try_decode_meta` really decodes the payload; when the
+library is absent (this container) or the bytes aren't a decodable
+image, the pipeline falls back to a clearly-marked deterministic
+fake.  Everything AROUND the decode is real and tested either way:
+the binary schema, the Arrow batch path through mapInPandas,
+batch-shaped feature extraction, and the partitioning story (binary
+payloads don't shuffle unless the plan requires it; feature
+extraction is map-only).
 """
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -22,17 +24,48 @@ from pyspark.sql import functions as F
 
 # Output schema of extract_features (mapInPandas contract).
 FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes int, header string, fake_width int, fake_height int"
+    "doc_id bigint, n_bytes int, header string, "
+    "fake_width int, fake_height int, decode_mode string"
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """REAL decode would go through PIL/libjpeg — not available in
-    this environment. Kept as the integration point."""
-    raise NotImplementedError(
-        "image codecs are not available in this container; "
-        "use fake_decode_meta for deterministic tests"
-    )
+def _pil_image():
+    """Runtime probe for Pillow. Returns the PIL.Image module or None —
+    import cost is paid once per executor worker (module cache)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes):
+    """REAL decode via Pillow when available (the integration point a
+    codec plugs into); raises NotImplementedError when the library is
+    absent so callers can't silently get fake pixels."""
+    Image = _pil_image()
+    if Image is None:
+        raise NotImplementedError(
+            "Pillow is not available in this container; "
+            "use fake_decode_meta for deterministic tests"
+        )
+    return Image.open(io.BytesIO(payload))
+
+
+def try_decode_meta(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from a REAL Pillow decode, or None when Pillow
+    is absent or the payload isn't a decodable image — the caller then
+    falls back to the deterministic fake."""
+    if payload is None or _pil_image() is None:
+        return None
+    try:
+        with decode_image(payload) as im:
+            return (im.width, im.height)
+    except NotImplementedError:  # pragma: no cover - race on probe
+        return None
+    except Exception:
+        return None
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int]:
@@ -64,12 +97,19 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     mapInPandas — each batch arrives as a pandas DataFrame with a
     bytes column; per-batch (NOT per-row) Python cost, map-only plan
-    (no shuffle). This is the exact shape a real image/audio feature
-    extractor plugs into: swap fake_decode_meta for the codec."""
+    (no shuffle). The decode is probed per payload: REAL Pillow
+    dimensions when the library is present and the bytes decode
+    (`decode_mode = 'pil'`), the deterministic fake otherwise
+    (`decode_mode = 'fake'`) — so the same job handles a mixed corpus
+    and records which path each row took."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            metas = pdf["payload"].map(fake_decode_meta)
+            real = pdf["payload"].map(try_decode_meta)
+            metas = [
+                r if r is not None else fake_decode_meta(b)
+                for r, b in zip(real, pdf["payload"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -77,8 +117,15 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "header": pdf["payload"].map(
                         lambda b: b[:8].hex() if b is not None else None
                     ),
-                    "fake_width": metas.map(lambda m: m[0]).astype("int32"),
-                    "fake_height": metas.map(lambda m: m[1]).astype("int32"),
+                    "fake_width": pd.Series(
+                        [m[0] for m in metas], index=pdf.index
+                    ).astype("int32"),
+                    "fake_height": pd.Series(
+                        [m[1] for m in metas], index=pdf.index
+                    ).astype("int32"),
+                    "decode_mode": [
+                        "pil" if r is not None else "fake" for r in real
+                    ],
                 }
             )
 

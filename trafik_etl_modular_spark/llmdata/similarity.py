@@ -275,6 +275,30 @@ def ivf_index(
     return assigned, centroids
 
 
+def ivf_write_index(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    path: str,
+) -> None:
+    """Persist a trained IVF index: the assigned corpus PARTITIONED BY
+    ivf_bucket (so a probe's nprobe-bucket candidate scan reads only
+    those buckets' files — at lake scale this is the difference between
+    scanning nprobe/k of the data and all of it) plus the tiny
+    centroid table.  Index build is a one-time offline job; probes
+    read the persisted layout."""
+    assigned.write.mode("overwrite").partitionBy("ivf_bucket").parquet(
+        f"{path}/assigned"
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read a persisted IVF index written by :func:`ivf_write_index`."""
+    return spark.read.parquet(f"{path}/assigned"), spark.read.parquet(
+        f"{path}/centroids"
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -293,17 +317,26 @@ def ivf_topk(
     q = query_vec.select(
         F.col(id_col).alias("__qid"), to_double_array(vec_col).alias("__qvec")
     )
-    probe_buckets = (
-        centroids.crossJoin(F.broadcast(q))
-        .select(
-            "ivf_bucket",
-            cosine(F.col("centroid"), F.col("__qvec")).alias("__csim"),
+    # Rank centroids and COLLECT the nprobe winners (nprobe tiny ints —
+    # a driver-scalar read, like any index lookup): pushing them as an
+    # IN literal gives STATIC partition pruning when `assigned` is the
+    # persisted bucket-partitioned index — the scan lists only nprobe
+    # directories, where a broadcast-join bucket filter would still
+    # enumerate all files before dynamic pruning kicks in.
+    probe_buckets = [
+        r["ivf_bucket"]
+        for r in (
+            centroids.crossJoin(F.broadcast(q))
+            .select(
+                "ivf_bucket",
+                cosine(F.col("centroid"), F.col("__qvec")).alias("__csim"),
+            )
+            .orderBy(F.desc("__csim"), F.asc("ivf_bucket"))
+            .limit(nprobe)
+            .collect()
         )
-        .orderBy(F.desc("__csim"), F.asc("ivf_bucket"))
-        .limit(nprobe)
-        .select("ivf_bucket")
-    )
-    cands = assigned.join(F.broadcast(probe_buckets), "ivf_bucket")
+    ]
+    cands = assigned.filter(F.col("ivf_bucket").isin(probe_buckets))
     scored = cands.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("__qid"))
     return (
         scored.select(

@@ -32,7 +32,9 @@ from trafik_etl_modular_spark.llmdata.similarity import (
     brute_force_topk,
     bucketed_topk,
     ivf_index,
+    ivf_read_index,
     ivf_topk,
+    ivf_write_index,
     near_dup_pairs_by_bucket,
 )
 from trafik_etl_modular_spark.llmdata.text import (
@@ -673,16 +675,57 @@ def sim_ann(spark, sf_dir):
     return bucketed_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
 
 
-@query("sim_ann_ivf_trained", sql=None, tags=("llmdata", "similarity", "topk"))
-def sim_ann_ivf_trained(spark, sf_dir):
-    """IVF ANN with a TRAINED coarse quantizer
-    (llmdata/similarity.py::ivf_index): k-means(16) centroids, probe
-    the 4 nearest buckets, exact rerank inside them. K-means is
-    iterative/engine-specific → rows-only driver check; tests assert
-    recall vs brute force and that nprobe == k reproduces brute force
-    exactly."""
+def _ivf_index_path(sf_dir: str) -> str:
+    """Deterministic per-sf_dir location for the persisted IVF index
+    (under the gitignored warehouse dir)."""
+    import hashlib
+    import os
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join("spark-warehouse", "ivf_index", tag)
+
+
+def _ivf_ensure_index(spark, sf_dir: str):
+    """Build-and-persist the IVF index if absent; return (assigned,
+    centroids) read from the persisted, bucket-partitioned layout."""
+    import os
+
+    path = _ivf_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
+        emb = t(spark, sf_dir, "embeddings")
+        assigned, centroids = ivf_index(emb, n_centroids=16)
+        ivf_write_index(assigned, centroids, path)
+    return ivf_read_index(spark, path)
+
+
+@query("sim_ann_ivf_build", sql=None, tags=("llmdata", "similarity", "index-build"))
+def sim_ann_ivf_build(spark, sf_dir):
+    """IVF index BUILD (offline phase): train the k-means(16) coarse
+    quantizer (llmdata/similarity.py::ivf_index), assign every vector
+    its bucket, persist the corpus partitioned by ivf_bucket plus the
+    centroid table.  At lake scale this is a one-time batch job, not
+    query-time cost — hence the build/probe split.  Returns the bucket
+    occupancy histogram (deterministic with the fixed seed).  K-means
+    is iterative/engine-specific → rows-only driver check."""
+    assigned, _ = _ivf_ensure_index(spark, sf_dir)
+    return (
+        assigned.groupBy("ivf_bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("ivf_bucket")
+    )
+
+
+@query("sim_ann_ivf_probe", sql=None, tags=("llmdata", "similarity", "topk"))
+def sim_ann_ivf_probe(spark, sf_dir):
+    """IVF ANN PROBE against the persisted index: rank the 16 stored
+    centroids vs the query (driver-tiny), scan ONLY the 4 nearest
+    buckets' parquet partitions, exact-cosine rerank inside them.
+    Query-time cost is nprobe/k of a brute-force scan; tests assert
+    recall vs brute force and that nprobe == n_centroids reproduces
+    brute force exactly.  Rows-only driver check (k-means bucket
+    boundaries are engine-specific)."""
+    assigned, centroids = _ivf_ensure_index(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
-    assigned, centroids = ivf_index(emb, n_centroids=16)
     probe = emb.filter(F.col("vec_id") == 0)
     return ivf_topk(assigned, centroids, probe, k=10, nprobe=4).orderBy(
         F.desc("cosine"), F.asc("vec_id")

@@ -152,10 +152,10 @@ def window_sessionize(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Microsecond-exact gap (cast-to-long would truncate to seconds and
-    # disagree with the oracle at 30:00.x boundaries).
-    gap_ok = (
-        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wo)
-    ) <= 1_800_000_000
+    # disagree with the oracle at 30:00.x boundaries). unix_micros requires
+    # TIMESTAMP, and the events fixture stores TIMESTAMP_NTZ — cast first.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_ok = (ts_us - F.lag(ts_us).over(wo)) <= 1_800_000_000
     flagged = ev.withColumn("is_new", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)))
     sessioned = flagged.withColumn(
         "session_id",

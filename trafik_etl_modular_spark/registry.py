@@ -48,7 +48,6 @@ _QUERY_MODULES = [
     "trafik_etl_modular_spark.queries.aggregates",
     "trafik_etl_modular_spark.queries.windows",
     "trafik_etl_modular_spark.queries.dedup",
-    "trafik_etl_modular_spark.queries.joins",
     "trafik_etl_modular_spark.queries.events_json",
     "trafik_etl_modular_spark.queries.presentation",
     "trafik_etl_modular_spark.queries.llmdata",
@@ -72,14 +71,12 @@ def query(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def _load_all() -> None:
+    # Every listed module must exist and import cleanly — a missing
+    # module means lost queries, which must fail loudly, not silently
+    # shrink the registry (round-1 lesson: a stale entry hid behind a
+    # ModuleNotFoundError swallow).
     for mod in _QUERY_MODULES:
-        try:
-            importlib.import_module(mod)
-        except ModuleNotFoundError as e:
-            # Allow partial builds while modules are being added; only
-            # swallow "module itself missing", not downstream errors.
-            if e.name != mod:
-                raise
+        importlib.import_module(mod)
 
 
 def all_queries() -> dict[str, QueryFn]:

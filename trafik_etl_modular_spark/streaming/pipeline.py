@@ -22,13 +22,6 @@ from trafik_etl_modular_spark.catalog import _ensure_session_confs, table_path
 
 _counter = itertools.count()
 
-# Parquet schema of the events fixture as stored on disk (ts is raw
-# nanos — see catalog.load_table).
-_EVENTS_DDL = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
 
 def _stream_dir(sf_dir: str) -> str:
     """The file source requires a DIRECTORY; the fixture is a single
@@ -51,13 +44,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps micro-batches bounded; in production this is the Kafka /
     cloud-files source with the same downstream plan."""
     _ensure_session_confs(spark)
+    # The file source needs an explicit schema; take it from the batch
+    # reader's interpretation of the SAME file (driver-side footer read
+    # only) so stream and batch can never disagree about the physical
+    # type of `ts` — declaring it by hand is how a unit bug creeps in
+    # (a bigint DDL over a timestamp[us] file silently yields raw
+    # micros where the nanos-era fixture yielded raw nanos).
     raw = (
         spark.readStream.format("parquet")
-        .schema(_EVENTS_DDL)
+        .schema(spark.read.parquet(table_path(sf_dir, "events")).schema)
         .option("maxFilesPerTrigger", "1")
         .load(_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        # Legacy nanos-as-long fixture: same conversion as
+        # catalog.load_table (exact integer division to micros).
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
@@ -84,13 +87,21 @@ def hourly_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the batch-oracle comparison."""
     from trafik_etl_modular_spark.functions.scalars import dsum
 
-    ev = read_events_stream(spark, sf_dir)
+    # Watermarks require TIMESTAMP (not NTZ); the session tz is pinned
+    # UTC so the cast is value-preserving, and window bounds are cast
+    # back to NTZ to match the batch/oracle schema.
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     agg = (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n"), dsum("value", 2).alias("total_value"))
         .select(
-            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
         )
     )
     return _run_to_memory(agg, "complete")
@@ -101,8 +112,12 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the first arrival per key while state is bounded by the
     watermark (the streaming form of the reference's `seen_ids` set,
     endpoints.py:177-202)."""
-    ev = read_events_stream(spark, sf_dir).withColumn(
-        "entity_id", F.col("event_id") % 700
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .withColumn("entity_id", F.col("event_id") % 700)
+        # TIMESTAMP cast for the watermark clock (session tz UTC —
+        # value-preserving); ts is not part of the output.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     deduped = (
         ev.withWatermark("ts", "2 hours")
@@ -160,7 +175,11 @@ def interval_joined_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from trafik_etl_modular_spark.functions.scalars import dsum
 
-    ev = read_events_stream(spark, sf_dir)
+    # TIMESTAMP cast for the two watermark clocks (session tz UTC —
+    # value-preserving); neither ts column reaches the output.
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select(

@@ -58,15 +58,24 @@ def stage_time_ordered_chunks(sf_dir: str, n_chunks: int = 4) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    d = f"/tmp/trafik_sessionize_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    # v2: chunks carry int64-µs ts (unit normalized at staging time).
+    d = f"/tmp/trafik_sessionize_v2_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
     os.makedirs(d, exist_ok=True)
+    import pyarrow as pa
+
     tbl = pq.read_table(
         table_path(sf_dir, "events"),
         columns=["event_id", "ts", "user_id"],
     )
+    # Normalize ts to int64 MICROS at staging time (via timestamp[us],
+    # so a ns- or us-typed fixture both land on the same unit) — the
+    # stream schema below declares `ts bigint` and the µs contract is
+    # explicit here instead of assumed from the fixture's physical type.
+    ts_us = pc.cast(pc.cast(tbl["ts"], pa.timestamp("us")), pa.int64())
+    tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_us)
     tbl = tbl.take(
         pc.sort_indices(tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
     )
@@ -122,7 +131,8 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .load(chunk_dir)
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Chunks store ts as int64 micros (see stage_time_ordered_chunks).
+    ev = raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
 
     updates = ev.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
