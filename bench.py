@@ -87,6 +87,19 @@ def main() -> int:
     except Exception:  # noqa: BLE001 — warmup failures surface in the query itself
         pass
 
+    def release_storage() -> None:
+        """Queries are independent — drop cached/localCheckpoint'd
+        blocks between them so storage from query N (MinHash/CC
+        checkpoints, IVF training cache) can't squeeze execution
+        memory for query N+1 over a 100+ query run."""
+        try:
+            spark.catalog.clearCache()
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                jmap.get(rid).unpersist(False)
+        except Exception:  # noqa: BLE001 — hygiene only, never fail the bench
+            pass
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
@@ -100,6 +113,7 @@ def main() -> int:
             total += dt
         except Exception as e:  # noqa: BLE001
             errors[f"error:{name}"] = f"{type(e).__name__}: {e}"[:200]
+        release_storage()
 
     out = {
         "metric": "total_wall_sec_all_queries",

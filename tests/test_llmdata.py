@@ -68,6 +68,30 @@ def test_minhash_jaccard_values_match_exact(spark, sf_dir):
         assert abs(truth[(r["id_a"], r["id_b"])] - r["jaccard"]) < 1e-12
 
 
+def test_ngram_jaccard_strategies_identical(spark, sf_dir):
+    """The count-based and prefix-filtered strategies are two cost
+    models for the SAME exact operator — identical pair sets and
+    bit-identical Jaccard values."""
+    from trafik_etl_modular_spark.llmdata.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    count_based = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    prefix_based = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_prefix(docs, threshold=0.6).collect()
+    }
+    assert count_based.keys() == prefix_based.keys()
+    assert count_based, "fixture should contain near-dup pairs"
+    for pair, j in count_based.items():
+        assert abs(prefix_based[pair] - j) < 1e-12
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
@@ -284,6 +308,37 @@ def test_approx_distinct_within_rsd_of_exact(spark, sf_dir):
     assert approx.keys() == exact.keys()
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 5 * 0.02 * n), (k, approx[k], n)
+
+
+def test_hll_mergeable_rollup_matches_exact(spark, sf_dir):
+    """Unioning per-day HLL sketch partials must estimate the same
+    per-type distincts as a direct exact count (lgK=14 → ~0.8% RSE;
+    allow a generous multiple), and the partial count must equal the
+    number of (day, type) groups."""
+    from trafik_etl_modular_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["agg_hll_mergeable_rollup"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    days = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct(F.to_date("ts")).alias("d"))
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(got[k]["approx_users"] - n) <= max(3, 5 * 0.008 * n)
+        assert got[k]["n_daily_partials"] == days[k]
 
 
 def test_connected_components_handcrafted(spark):

@@ -89,6 +89,7 @@ def test_candidate_generation_never_cartesian(spark, sf_dir):
     _load_all()
     for name in (
         "dedup_ngram_jaccard_pairs",
+        "dedup_ngram_jaccard_prefix",
         "dedup_minhash_lsh",
         "dedup_simhash_candidates",
         "sim_neardup_embeddings",

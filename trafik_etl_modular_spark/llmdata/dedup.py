@@ -199,10 +199,15 @@ def ngram_jaccard_pairs(
     shingle never pair at all.
 
     vs the naive blocked all-pairs + array_intersect this is ~20×
-    faster at sf0.1 and, at 100 TB, the only shape that works: cost is
-    Σ(posting-list²) per shingle (sparse), the shuffle key is the
-    shingle, and hot shingles can be dropped/salted like any skewed
-    key (stopword-shingle removal — the classic trick).
+    faster at sf0.1 and the count assembly stays map-side-combinable:
+    the pair groupBy moves one partial count per (pair, task), never
+    candidate arrays.  Cost is Σ(posting-list²) per shingle — right
+    when document frequencies are bounded (measured max df 25 on the
+    fixture).  Under a SKEWED vocabulary (stop-shingles with huge
+    postings) that Σdf² explodes; that regime is what
+    :func:`ngram_jaccard_pairs_prefix` is for — measured here the
+    count-based form wins (no per-pair array verify, one fewer
+    shuffle) while df is small, so it stays the default.
     Output: (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold."""
     from trafik_etl_modular_spark.operators.partitions import fan_out
 
@@ -232,6 +237,81 @@ def ngram_jaccard_pairs(
     )
     return shared.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact k-shingle Jaccard near-dup pairs via PREFIX-FILTERED
+    inverted index (SSJoin/PPJoin family — Chaudhuri et al. 2006,
+    Xiao et al. 2008).  Same output as :func:`ngram_jaccard_pairs`;
+    different cost model:
+
+      1. order every doc's shingles rare-first (global document
+         frequency asc, shingle asc as tiebreak);
+      2. index only each doc's PREFIX — its |s| - ⌈t·|s|⌉ + 1 rarest
+         shingles.  Exactness: J(a,b) ≥ t forces overlap ≥ ⌈t·|a|⌉
+         and ≥ ⌈t·|b|⌉, and the SMALLEST common shingle under the
+         global order then must sit inside both prefixes (≥ overlap-1
+         common shingles follow it in each doc) — every qualifying
+         pair survives the cut;
+      3. equi-join prefixes on the shingle → candidate pairs;
+      4. exact array_intersect Jaccard on candidates only.
+
+    This is the shape for SKEWED vocabularies: a stop-shingle
+    appearing in half the corpus lands in almost no doc's rare-first
+    prefix, so no posting list ever explodes into Σposting²
+    candidates — where the count-based default would quadratically
+    melt.  The price is the per-candidate array verify and one extra
+    shuffle (the df join), which is why the default wins on
+    bounded-df corpora; pick per corpus df profile (one cheap
+    count-agg tells you).
+    Output: (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold."""
+    from pyspark.sql import Window
+
+    from trafik_etl_modular_spark.operators.partitions import fan_out
+
+    sh = (
+        fan_out(docs)
+        .select(F.col(id_col), shingles(F.col(text_col), k).alias("s"))
+        .filter(F.size("s") > 0)
+        # Both the prefix index and the verify join read these arrays —
+        # materialize once (at lake scale: persist between stages).
+        .localCheckpoint(eager=False)
+    )
+    ex = sh.select(F.col(id_col), F.size("s").alias("sz"), F.explode("s").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "shingle")
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    pref = (
+        ex.join(dfreq, "shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select(F.col(id_col), "shingle")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    fa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
+    fb = sh.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("jaccard", jaccard(F.col("s_a"), F.col("s_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

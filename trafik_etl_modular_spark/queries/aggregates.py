@@ -130,6 +130,32 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
+@query("agg_hll_mergeable_rollup", sql=None, tags=("agg", "approx", "incremental"))
+def agg_hll_mergeable_rollup(spark, sf_dir):
+    """MERGEABLE distinct-count maintenance — the property plain
+    approx_count_distinct lacks: build one Datasketches HLL sketch per
+    (day, event_type) partial (what an incremental pipeline persists
+    per ingest batch), then hll_union_agg the stored partials up to
+    per-type totals WITHOUT re-reading raw events.  At 100 TB this
+    turns "distinct users this quarter" from a full-history scan into
+    a union over ~90 tiny per-day sketches; late backfills just
+    replace their day's sketch.  Rows-only check (sketch estimates are
+    engine-specific); cross-validated against exact countDistinct in
+    tests/test_llmdata.py within HLL error bounds."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+            F.count("*").alias("n_daily_partials"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Moment-based stats, deterministically (sum / sum-of-squares via
 # exact decimal, variance assembled in double).

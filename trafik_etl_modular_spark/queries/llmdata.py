@@ -17,6 +17,7 @@ from trafik_etl_modular_spark.llmdata.dedup import (
     connected_components,
     minhash_near_dups,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash_candidate_pairs,
     simhash_signatures,
 )
@@ -191,37 +192,23 @@ FROM (
 def text_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals: distinct-token
     fraction and the share of bigram slots taken by the single most
-    repeated bigram. Pure per-row higher-order functions (nested
-    filter over distinct bigrams, O(n·d) per doc) — zero shuffle,
-    whole-stage codegen fuses them with the scan, so at 100 TB this
-    is scan-bound and the downstream quality filter is an ordinary
-    predicate. fan_out: CPU-bound fold over a single-partition
-    fixture scan."""
+    repeated bigram. Pure per-row higher-order functions (sorted
+    bigram array → longest-equal-run fold, O(n log n) per doc) —
+    zero shuffle, whole-stage codegen fuses them with the scan, so at
+    100 TB this is scan-bound and the downstream quality filter is an
+    ordinary predicate. fan_out: CPU-bound fold over a
+    single-partition fixture scan."""
     from trafik_etl_modular_spark.operators.partitions import fan_out
 
     docs = fan_out(t(spark, sf_dir, "documents"))
-    n_bi = F.greatest(F.size(F.col("bi")), F.lit(1))
-    return (
-        docs.withColumn("bi", bigrams("text"))
-        .withColumn(
-            "top_bigram_n",
-            F.coalesce(
-                F.array_max(
-                    F.transform(
-                        F.array_distinct(F.col("bi")),
-                        lambda g: F.size(F.filter(F.col("bi"), lambda x: x == g)),
-                    )
-                ),
-                F.lit(0),
-            ).cast("int"),
-        )
-        .select(
-            "doc_id",
-            token_count("text").cast("int").alias("n_tokens"),
-            distinct_token_fraction("text").alias("uniq_token_frac"),
-            "top_bigram_n",
-            (F.col("top_bigram_n").cast("double") / n_bi).alias("top_bigram_frac"),
-        )
+    n_bi = F.greatest(F.size(bigrams("text")), F.lit(1))
+    top_n = top_bigram_count("text").cast("int")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("int").alias("n_tokens"),
+        distinct_token_fraction("text").alias("uniq_token_frac"),
+        top_n.alias("top_bigram_n"),
+        (top_n.cast("double") / n_bi).alias("top_bigram_frac"),
     )
 
 
@@ -317,9 +304,26 @@ WHERE CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared) >= 0.6
 @query("dedup_ngram_jaccard_pairs", sql=_JACCARD_PAIRS_SQL, tags=("llmdata", "dedup"))
 def dedup_jaccard_pairs(spark, sf_dir):
     """Exact 3-shingle Jaccard near-dup pairs via an inverted shingle
-    index (llmdata/dedup.py::ngram_jaccard_pairs)."""
+    index with map-side-combinable shared-count assembly — the default
+    for bounded-df corpora (llmdata/dedup.py::ngram_jaccard_pairs)."""
     docs = t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, k=3, threshold=0.6)
+
+
+@query(
+    "dedup_ngram_jaccard_prefix",
+    sql=_JACCARD_PAIRS_SQL,
+    tags=("llmdata", "dedup"),
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Same exact pairs via the PREFIX-FILTERED index (SSJoin/PPJoin:
+    rare-first df-ordered prefixes generate candidates, exact verify
+    on candidates only) — the shape that survives skewed vocabularies
+    where stop-shingle postings would melt the count-based default
+    (llmdata/dedup.py::ngram_jaccard_pairs_prefix).  Identical output,
+    so it shares the oracle."""
+    docs = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(docs, k=3, threshold=0.6)
 
 
 _CLUSTERS_SQL = """
@@ -1099,3 +1103,108 @@ def sample_token_budget_mix(spark, sf_dir):
         "doc_id", "source", token_count("text").cast("long").alias("n_tok")
     )
     return token_budget_mix(docs, "source", "n_tok", 3000)
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary, per-source quotas, and length bucketing — the
+# remaining "assemble a training mix" primitives.
+# ---------------------------------------------------------------------------
+
+_VOCAB_SQL = """
+SELECT term, COUNT(*) AS n_occurrences
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term
+ORDER BY n_occurrences DESC, term
+LIMIT 50
+"""
+
+
+@query("vocab_top_terms", sql=_VOCAB_SQL, tags=("llmdata", "text", "agg"))
+def vocab_top_terms(spark, sf_dir):
+    """Corpus-level vocabulary build: token frequencies via explode →
+    two-phase hash aggregate (map-side partial_count combines within
+    each scan task, so the shuffle carries one row per distinct term
+    per task, not one per token), then global top-50 as
+    TakeOrderedAndProject — k rows per partition cross the wire, never
+    the full vocabulary.  (count DESC, term ASC) is the deterministic
+    tiebreak under LIMIT."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(50)
+    )
+
+
+_SOURCE_CAP_SQL = """
+SELECT doc_id, source, rn
+FROM (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rn
+  FROM documents
+) WHERE rn <= 40
+"""
+
+
+@query("sample_per_source_cap", sql=_SOURCE_CAP_SQL, tags=("llmdata", "sampling"))
+def sample_per_source_cap(spark, sf_dir):
+    """Per-source (per-domain) quota cap — keep at most 40 docs per
+    source, chosen in deterministic md5-shuffled order (an unbiased
+    reproducible sample, not head-of-file bias; the same op caps
+    over-represented domains in a crawl).  One shuffle on the source
+    key; the row_number window streams each group, so per-group state
+    is O(1) and a skewed mega-source still evaluates in one pass.  At
+    lake scale the rank filter pushes WindowGroupLimit below the
+    shuffle (Spark 3.5+), so only ~40 rows per source per map task
+    cross the wire."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .filter(F.col("rn") <= 40)
+    )
+
+
+_LENGTH_BUCKETS_SQL = """
+SELECT lang,
+       CAST((len(string_split(text, ' ')) // 32) * 32 AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang, bucket_lo
+"""
+
+
+@query("text_length_buckets", sql=_LENGTH_BUCKETS_SQL, tags=("llmdata", "text", "agg"))
+def text_length_buckets(spark, sf_dir):
+    """Sequence-length histogram for batch/packing planning: docs
+    bucketed by 32-token bands per language, with token totals per
+    band (what a packing scheduler needs to size batches).  Token
+    counting is a per-row size(split(·)) fused into the scan; the
+    single shuffle carries one row per (lang, bucket) per task thanks
+    to map-side partial aggregation."""
+    docs = t(spark, sf_dir, "documents")
+    n_tok = token_count("text").cast("long")
+    return (
+        docs.select(
+            "lang",
+            (F.floor(n_tok / 32) * 32).alias("bucket_lo"),
+            n_tok.alias("__n_tok"),
+        )
+        .groupBy("lang", "bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n_tok").alias("total_tokens"),
+        )
+    )

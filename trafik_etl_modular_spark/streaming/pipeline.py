@@ -63,22 +63,38 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, mode: str, state_partitions: int | None = 8
+) -> DataFrame:
     """Drive a streaming frame to completion synchronously into a
-    memory sink; return the sink contents as a batch frame."""
+    memory sink; return the sink contents as a batch frame.
+
+    ``state_partitions``: the state-store partition count is frozen
+    from ``spark.sql.shuffle.partitions`` at stream start, and every
+    store is a per-micro-batch open/commit — size it to the keyspace,
+    not the session's batch-shuffle default (32 stores × open/commit
+    dominates small local runs; at cluster scale the same override
+    tracks keys-per-executor)."""
+    spark = stream_df.sparkSession
     name = f"stream_sink_{next(_counter)}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.awaitTermination()
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 def hourly_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
