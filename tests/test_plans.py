@@ -257,3 +257,62 @@ def test_zorder_clustering_prunes_files(spark, tmp_path):
     a = spark.read.parquet(plain_dir).select("id", "x", "y")
     b = spark.read.parquet(z_dir).select("id", "x", "y")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_runtime_bloom_filter_injects_on_big_joins(spark, sf_dir):
+    """At lake scale, a selective filter on one side of a fact-fact
+    join injects a runtime Bloom filter that prunes the other side's
+    scan BEFORE the join shuffle (Spark's InjectRuntimeFilter; enabled
+    by default).  At fixture scale AQE correctly broadcasts instead —
+    so to pin the at-scale behavior the test disables broadcast and
+    zeroes the application-side size threshold, then asserts the
+    might_contain probe shows up on the fact scan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = _explain(j, "simple")
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Both sides bucketBy(8, orderkey): the fact-fact equi-join must
+    plan WITHOUT any Exchange — co-location comes from the file
+    layout, paid once at write time, not per query.  (Broadcast is
+    disabled so the assert pins the sort-merge path — at lake scale
+    neither side broadcasts anyway.)"""
+    from trafik_etl_modular_spark.operators.bucketing import (
+        ensure_bucketed_orders_lineitem,
+    )
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t_orders, t_lineitem = ensure_bucketed_orders_lineitem(spark, sf_dir)
+        orders = spark.table(t_orders)
+        li = spark.table(t_lineitem)
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+            "o_orderpriority", "l_extendedprice"
+        )
+        plan = _explain(j, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

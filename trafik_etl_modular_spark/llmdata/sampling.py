@@ -97,6 +97,22 @@ def stratified_sample(
     return df.filter(b < rate)
 
 
+def weighted_sample(
+    df: DataFrame, weight_col: Column | str, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep each row with probability ≈ its own weight in [0, 1] —
+    importance sampling (keep-prob ∝ quality/score), deterministically:
+    the row survives iff hash_bucket(key) < floor(weight·1000).
+
+    Same reproducibility contract as the rest of the family: a pure
+    function of the row's key and weight, stable under repartitioning
+    and re-runs, pushed into the scan as an ordinary predicate — no
+    RNG state, no shuffle.  Weight resolution is per-mille (matching
+    hash_bucket's 1000 buckets)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.filter(hash_bucket(key_col, 1000) < F.floor(w * 1000))
+
+
 def pack_bins(
     df: DataFrame,
     token_col: str,

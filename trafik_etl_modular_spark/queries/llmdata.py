@@ -1208,3 +1208,40 @@ def text_length_buckets(spark, sf_dir):
             F.sum("__n_tok").alias("total_tokens"),
         )
     )
+
+
+_QUALITY_EXPR_SQL = """0.7 * (least(CAST(len(string_split(text, ' ')) AS DOUBLE), 200.0) / 200.0)
+         + 0.3 * least(
+             (CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5,
+             1.0)"""
+
+_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, quality
+FROM (
+  SELECT doc_id,
+         {_QUALITY_EXPR_SQL} AS quality,
+         {hash_bucket_sql('doc_id', 1000)} AS b
+  FROM documents
+)
+WHERE b < floor(quality * 1000)
+"""
+
+
+@query("sample_weighted_by_quality", sql=_WEIGHTED_SAMPLE_SQL, tags=("llmdata", "sampling"))
+def sample_weighted_by_quality(spark, sf_dir):
+    """Importance sampling: keep-probability proportional to the doc's
+    own quality score (llmdata/sampling.py::weighted_sample) — the
+    standard curation move that keeps some low-quality data instead of
+    hard-thresholding.  Deterministic: survival is a pure function of
+    (doc_id, quality), stable under repartitioning, evaluated as a
+    pushed scan predicate — no RNG state, no shuffle.  Bit-exact
+    cross-engine because both engines compute the identical double
+    expression (the text_quality_score oracle already pins that)."""
+    from trafik_etl_modular_spark.llmdata.sampling import weighted_sample
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", quality_score("text").alias("quality")
+    )
+    return weighted_sample(docs, "quality").select("doc_id", "quality")

@@ -359,3 +359,47 @@ def tpch_q12(spark, sf_dir):
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the write-once layout that removes the
+# per-query shuffle from repeated fact-fact joins.
+# ---------------------------------------------------------------------------
+
+_BUCKETED_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       {oracle_dsum('l_extendedprice', 2)} AS total_price
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("join_bucketed_colocated", sql=_BUCKETED_SQL, tags=("join", "bucketing"))
+def join_bucketed_colocated(spark, sf_dir):
+    """orders ⋈ lineitem on the order key with BOTH sides stored
+    bucketBy(8, orderkey) + sortBy (operators/bucketing.py — written
+    once per session, the lakehouse ingest-time layout step): the
+    equi-join plans as a ZERO-Exchange sort-merge join, each task
+    reading bucket i of both tables.  At 100 TB this converts the
+    biggest recurring shuffle in the workload into a file-layout
+    contract paid once at write time
+    (tests/test_plans.py::test_bucketed_join_has_no_shuffle asserts
+    the Exchange-free plan).  Results are layout-independent — the
+    oracle runs the plain join."""
+    from trafik_etl_modular_spark.operators.bucketing import (
+        ensure_bucketed_orders_lineitem,
+    )
+
+    t_orders, t_lineitem = ensure_bucketed_orders_lineitem(spark, sf_dir)
+    orders = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_extendedprice", 2).alias("total_price"),
+        )
+    )
