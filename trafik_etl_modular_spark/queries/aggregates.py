@@ -130,6 +130,38 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
+_MEDIAN_IQR_SQL = """
+SELECT event_type,
+       percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+       percentile_cont(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+       percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS p75,
+       percentile_cont(0.75) WITHIN GROUP (ORDER BY value)
+         - percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS iqr
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("agg_exact_median_iqr", sql=_MEDIAN_IQR_SQL, tags=("agg", "percentile"))
+def agg_exact_median_iqr(spark, sf_dir):
+    """EXACT grouped percentiles (p25/median/p75 + IQR) via
+    F.percentile — linear-interpolation semantics bit-identical to
+    percentile_cont, so the oracle matches exactly.  Exact percentile
+    sorts within each group (fine for bounded per-group cardinality);
+    at open-ended 100 TB group sizes the approx_percentile variant
+    (`agg_approx_percentile_value`) is the scale path — this is the
+    audit-grade exact companion."""
+    ev = t(spark, sf_dir, "events")
+    p25 = F.percentile("value", F.lit(0.25))
+    p75 = F.percentile("value", F.lit(0.75))
+    return ev.groupBy("event_type").agg(
+        p25.alias("p25"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        p75.alias("p75"),
+        (p75 - p25).alias("iqr"),
+    )
+
+
 @query("agg_hll_mergeable_rollup", sql=None, tags=("agg", "approx", "incremental"))
 def agg_hll_mergeable_rollup(spark, sf_dir):
     """MERGEABLE distinct-count maintenance — the property plain

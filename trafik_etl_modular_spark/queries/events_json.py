@@ -113,3 +113,41 @@ def events_variant_projection(spark, sf_dir):
     v = F.parse_json(F.col("props"))
     k = F.try_variant_get(v, "$.k", "bigint")
     return ev.select("event_id", k.alias("k")).filter(F.col("k") % 7 == 0)
+
+
+# ---------------------------------------------------------------------------
+# Sliding (overlapping) windows: each event lands in duration/slide
+# windows — the trend-smoothing companion to the tumbling form.
+# ---------------------------------------------------------------------------
+
+_SLIDING_SQL = f"""
+SELECT window_start, event_type, COUNT(*) AS n, {oracle_dsum('value', 2)} AS total_value
+FROM (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, event_type, value
+  FROM events
+)
+GROUP BY window_start, event_type
+"""
+
+
+@query("events_sliding_window", sql=_SLIDING_SQL, tags=("agg", "window-time"))
+def events_sliding_window(spark, sf_dir):
+    """SLIDING 2-hour window, 1-hour slide: every event contributes to
+    exactly duration/slide = 2 windows (Catalyst expands the window
+    generator before the hash agg — shuffle volume is slide-factor ×
+    tumbling, the inherent cost of overlap; same plan shape
+    streaming uses with a watermark).  The oracle mirrors the
+    expansion as a UNION ALL of the two shifted hour-truncations."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), dsum("value", 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     "trafik_etl_modular_spark.queries.source_feed",
     "trafik_etl_modular_spark.queries.skew",
     "trafik_etl_modular_spark.queries.temporal",
+    "trafik_etl_modular_spark.queries.dq",
 ]
 
 
