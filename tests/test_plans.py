@@ -316,3 +316,37 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_registry_wide_plan_hygiene(spark, sf_dir):
+    """Every registered query's plan, audited at once: no cartesian
+    product, no row-at-a-time Python UDF (BatchEvalPython), no pandas
+    UDF (ArrowEvalPython) anywhere in the registered surface.
+    BroadcastNestedLoopJoin is allowed ONLY for the broadcast-scalar
+    shape — a 1-row side (global threshold / single probe vector /
+    corpus-size N) joined map-side to the corpus, which is O(n) work
+    and shuffle-free; the allowlist is explicit so a new accidental
+    BNLJ fails loudly."""
+    _load_all()
+    broadcast_scalar_ok = {
+        "filter_quality_quantile",  # global P90 threshold row
+        "sim_ann_ivf_probe",  # single probe vector
+        "sim_topk_cosine_bruteforce",  # single probe vector
+        "text_tfidf_top_terms",  # corpus-size N row
+        "tpch_q11_important_stock",  # global-fraction scalar
+        "tpch_q22_dormant_customers",  # global avg scalar
+    }
+    bad = []
+    for name in sorted(REGISTRY):
+        if name.startswith(("streaming_", "source_xml")):
+            continue  # execute eagerly / Python data source
+        s = _explain(REGISTRY[name].fn(spark, sf_dir), "simple")
+        if "CartesianProduct" in s:
+            bad.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in s and name not in broadcast_scalar_ok:
+            bad.append((name, "bnlj"))
+        if "BatchEvalPython" in s:
+            bad.append((name, "row-at-a-time python"))
+        if "ArrowEvalPython" in s:
+            bad.append((name, "pandas udf in registered path"))
+    assert not bad, bad
