@@ -130,6 +130,39 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
+_UNPIVOT_SQL = """
+SELECT event_type, metric, value
+FROM (
+  SELECT event_type,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
+  FROM events GROUP BY event_type
+)
+UNPIVOT (value FOR metric IN (min_value, max_value))
+"""
+
+
+@query("agg_stats_unpivot", sql=_UNPIVOT_SQL, tags=("agg", "reshape"))
+def agg_stats_unpivot(spark, sf_dir):
+    """UNPIVOT (melt): the wide per-type min/max stats reshaped to a
+    tall (event_type, metric, value) frame — the inverse of
+    `agg_pivot_linestatus` and the standard feed for a generic
+    metrics sink.  Unpivot is a zero-shuffle Expand projection
+    (each input row emits one row per value column), so it composes
+    with the upstream agg at no extra exchange."""
+    ev = t(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["min_value", "max_value"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 _MEDIAN_IQR_SQL = """
 SELECT event_type,
        percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS p25,

@@ -17,6 +17,7 @@ from trafik_etl_modular_spark.streaming.pipeline import (
     dedup_within_watermark,
     hourly_windowed_counts,
     interval_joined_purchases,
+    sliding_windowed_counts,
     static_enriched_counts,
     upsert_sink_run,
 )
@@ -38,6 +39,27 @@ def streaming_hourly_window(spark, sf_dir):
     complete-mode emission equals the batch group-by, which is exactly
     what the oracle checks."""
     return hourly_windowed_counts(spark, sf_dir)
+
+
+_SLIDING_SQL = f"""
+SELECT window_start, event_type, COUNT(*) AS n, {oracle_dsum('value', 2)} AS total_value
+FROM (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, event_type, value
+  FROM events
+)
+GROUP BY window_start, event_type
+"""
+
+
+@query("streaming_sliding_window", sql=_SLIDING_SQL, tags=("streaming", "agg"))
+def streaming_sliding_window(spark, sf_dir):
+    """Watermarked sliding 2h/1h window over the event stream —
+    complete-mode emission equals the batch sliding group-by
+    (`events_sliding_window` is the batch twin), which is exactly what
+    the oracle checks."""
+    return sliding_windowed_counts(spark, sf_dir)
 
 
 _DEDUP_KEYS_SQL = """

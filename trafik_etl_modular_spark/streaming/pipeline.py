@@ -123,6 +123,32 @@ def hourly_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def sliding_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING window (2 h duration, 1 h slide): every
+    event lands in duration/slide = 2 windows — Spark's window
+    generator expands rows BEFORE the stateful agg, so state size is
+    slide-factor × tumbling (the inherent cost of overlap), still
+    bounded by the watermark.  Complete mode so every window is
+    emitted for the batch-oracle comparison."""
+    from trafik_etl_modular_spark.functions.scalars import dsum
+
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = (
+        ev.withWatermark("ts", "3 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), dsum("value", 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on the entity key: dropDuplicatesWithinWatermark
     keeps the first arrival per key while state is bounded by the
