@@ -1245,3 +1245,58 @@ def sample_weighted_by_quality(spark, sf_dir):
         "doc_id", "text", quality_score("text").alias("quality")
     )
     return weighted_sample(docs, "quality").select("doc_id", "quality")
+
+
+_PACK_MATERIALIZE_SQL = f"""
+WITH tks AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         {hash_bucket_sql("doc_id", 8)} AS pack_bucket
+  FROM documents
+),
+cum AS (
+  SELECT pack_bucket, doc_id, text, n_tok,
+         SUM(n_tok) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tok AS tokens_before
+  FROM tks
+)
+SELECT pack_bucket,
+       CAST(floor(tokens_before / CAST(512 AS DOUBLE)) AS BIGINT) AS bin_idx,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS sequence_md5
+FROM cum
+GROUP BY pack_bucket, bin_idx
+"""
+
+
+@query("pack_materialize_sequences", sql=_PACK_MATERIALIZE_SQL, tags=("llmdata", "sampling"))
+def pack_materialize_sequences(spark, sf_dir):
+    """The packing story completed: after `pack_training_bins` ASSIGNS
+    (pack_bucket, bin_idx), this MATERIALIZES each bin's training
+    sequence — documents concatenated in deterministic doc_id order
+    with a blank-line separator (array_sort of (doc_id, text) structs
+    collected per bin, so the concat order is total regardless of
+    partitioning).  The check column is the sequence's md5, keeping
+    the compared result small while pinning every byte of the packed
+    text.  One shuffle on the bin key; per-bin state is one bin's
+    docs (~capacity tokens) — exactly the unit a shard writer emits."""
+    from trafik_etl_modular_spark.llmdata.sampling import pack_bins
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", token_count("text").cast("long").alias("n_tok")
+    )
+    binned = pack_bins(docs, "n_tok", 512, n_packers=8)
+    seq = F.concat_ws(
+        "\n\n",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+    )
+    return binned.groupBy("pack_bucket", "bin_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.md5(seq).alias("sequence_md5"),
+    )
