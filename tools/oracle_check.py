@@ -63,10 +63,23 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    def release_storage() -> None:
+        """Queries are independent — drop cached/localCheckpoint'd
+        blocks between them (same hygiene as bench.py) so a 120-query
+        sweep doesn't accumulate storage."""
+        try:
+            spark.catalog.clearCache()
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                jmap.get(rid).unpersist(False)
+        except Exception:  # noqa: BLE001 — hygiene only
+            pass
+
     n_pass = n_fail = n_rowsonly = 0
     for name, q in sorted(REGISTRY.items()):
         if only and name not in only:
             continue
+        release_storage()
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir)
