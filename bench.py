@@ -120,17 +120,33 @@ def main() -> int:
             errors[f"error:{name}"] = f"{type(e).__name__}: {e}"[:200]
         release_storage()
 
+    # Key order matters: the driver stores only the LAST 2000 chars of
+    # this line, so the headline fields (value/unit/sf/n_queries) must
+    # come AFTER the >2000-char per-query map or they get truncated
+    # away (BENCH_r01/r02 both recorded parsed:null for this reason).
     out = {
         "metric": "total_wall_sec_all_queries",
-        "value": round(total, 3),
-        "unit": "sec",
         "queries": timings,
-        "sf": sf,
-        "n_queries": len(timings),
     }
     if errors:
         out["errors"] = errors
+    out.update({
+        "sf": sf,
+        "n_queries": len(timings),
+        "unit": "sec",
+        "value": round(total, 3),
+    })
     print(json.dumps(out))
+    # Guaranteed-parseable short summary line as a fallback for
+    # tail-truncating consumers that parse line-by-line.
+    print(json.dumps({
+        "metric": "total_wall_sec_all_queries",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "unit": "sec",
+        "value": round(total, 3),
+    }))
     return 1 if errors else 0
 
 

@@ -15,6 +15,24 @@ def test_oracle_keys_subset_of_queries():
     assert len(qs) >= 40
 
 
+def test_driver_window_manifest_pins_first_50():
+    """The driver's correctness pass samples exactly the first 50
+    queries in ``queries()`` iteration order.  Round-2 lesson: adding
+    queries to early modules silently evicted the window family from
+    that sample.  The first 50 are now an explicit manifest
+    (registry.DRIVER_WINDOW) — this test makes any drift loud."""
+    from trafik_etl_modular_spark.registry import DRIVER_WINDOW
+
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    qs, osql = E.queries(), E.oracle_sql()
+    assert list(qs)[:50] == DRIVER_WINDOW
+    # every windowed slot must carry a DuckDB oracle so the driver's
+    # 50 checks are all hash-compared, none rows-only
+    not_oracled = [n for n in DRIVER_WINDOW if n not in osql]
+    assert not_oracled == []
+
+
 def test_rows_only_queries_are_documented():
     qs, osql = E.queries(), E.oracle_sql()
     rows_only = set(qs) - set(osql)
