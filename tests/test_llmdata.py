@@ -68,6 +68,49 @@ def test_minhash_jaccard_values_match_exact(spark, sf_dir):
         assert abs(truth[(r["id_a"], r["id_b"])] - r["jaccard"]) < 1e-12
 
 
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """Adversarial hot bucket: N identical docs share every band hash,
+    so uncapped candidate volume is N·(N-1)/2 — quadratic in the
+    bucket.  With the cap, (1) candidate volume is bounded by
+    cap·(cap-1)/2, (2) the truncation is REPORTED by lsh_bucket_stats,
+    and (3) normal near-dup pairs outside the hot bucket still
+    surface."""
+    from trafik_etl_modular_spark.llmdata.dedup import (
+        hashed_shingles,
+        lsh_bucket_stats,
+        lsh_candidate_pairs,
+        minhash_near_dups,
+        minhash_signature,
+    )
+
+    n_dup, cap = 120, 10
+    boiler = "identical boilerplate text repeated across the corpus many times over"
+    near_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near_b = "the quick brown fox jumps over the lazy dog near the river bank now"
+    rows = [(i, boiler) for i in range(n_dup)] + [(1000, near_a), (1001, near_b)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    signed = docs.select(
+        F.col("doc_id"),
+        minhash_signature(hashed_shingles(F.col("text")), 64).alias("minhash"),
+    ).localCheckpoint()
+
+    capped = lsh_candidate_pairs(signed, max_bucket_size=cap).collect()
+    hot_pairs = [r for r in capped if r["id_a"] < 1000 and r["id_b"] < 1000]
+    assert len(hot_pairs) <= cap * (cap - 1) // 2
+    assert (1000, 1001) in {(r["id_a"], r["id_b"]) for r in capped}
+
+    # the guard is observable: every band's boilerplate bucket reports
+    # its overflow
+    stats = lsh_bucket_stats(signed, max_bucket_size=cap).collect()
+    truncated = [r for r in stats if r["truncated"] > 0]
+    assert truncated and all(r["truncated"] == n_dup - cap for r in truncated)
+
+    # full pipeline honors the cap end-to-end
+    pairs = minhash_near_dups(docs, threshold=0.6, max_bucket_size=cap).collect()
+    assert len(pairs) <= cap * (cap - 1) // 2 + 1
+
+
 def test_ngram_jaccard_strategies_identical(spark, sf_dir):
     """The count-based and prefix-filtered strategies are two cost
     models for the SAME exact operator — identical pair sets and
@@ -90,6 +133,34 @@ def test_ngram_jaccard_strategies_identical(spark, sf_dir):
     assert count_based, "fixture should contain near-dup pairs"
     for pair, j in count_based.items():
         assert abs(prefix_based[pair] - j) < 1e-12
+
+
+@pytest.mark.parametrize("threshold", [0.1, 0.2, 0.5])
+def test_ngram_jaccard_prefix_exact_at_float_hostile_thresholds(
+    spark, sf_dir, threshold
+):
+    """Thresholds whose double representation exceeds their rational
+    value (0.1, 0.2) used to shorten the prefix at exact integer
+    multiples of |s| (ceil(0.1*10) = ceil(1.0000000000000002) = 2) and
+    silently DROP qualifying pairs.  The prefix bound now carries a
+    downward epsilon; the prefix strategy must stay pair-for-pair
+    identical to the count-based exact strategy at any threshold."""
+    from trafik_etl_modular_spark.llmdata.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    count_based = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=threshold).collect()
+    }
+    prefix_based = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs_prefix(docs, threshold=threshold).collect()
+    }
+    assert count_based == prefix_based
+    assert count_based, "fixture should contain pairs at low thresholds"
 
 
 def test_simhash_identical_docs_distance_zero(spark):
@@ -165,11 +236,63 @@ def test_multimodal_batch_plumbing(spark, sf_dir):
     one = [r for r in feats if r["n_bytes"] > 0][0]
     payload = [r for r in media.collect() if r["doc_id"] == one["doc_id"]][0]["payload"]
     w, h = fake_decode_meta(bytes(payload))
-    assert (one["fake_width"], one["fake_height"]) == (w, h)
+    assert (one["width"], one["height"]) == (w, h)
     assert one["header"] == bytes(payload)[:8].hex()
     # text payloads aren't decodable images → every row took the
     # deterministic fallback (and says so)
     assert all(r["decode_mode"] == "fake" for r in feats)
+
+
+def test_multimodal_real_decode_tier_in_container(spark, sf_dir):
+    """The REAL decode path must execute in THIS container (no Pillow
+    needed): genuine PNG/GIF bytes flow through the Spark plan and the
+    pure-Python header parse recovers their true dimensions, labeled
+    'header' (or 'pil' where the real codec is installed — never
+    'fake')."""
+    from trafik_etl_modular_spark.llmdata.multimodal import with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media = with_binary_payload(docs, with_images=True)
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    png_docs = [d for d in feats if d % 10 == 0]
+    gif_docs = [d for d in feats if d % 10 == 2]
+    assert png_docs and gif_docs
+    for d in png_docs:
+        assert feats[d]["decode_mode"] in ("pil", "header")
+        assert (feats[d]["width"], feats[d]["height"]) == (320, 240)
+    for d in gif_docs:
+        # GIF fixture is header-only: Pillow (if present) rejects it,
+        # the header tier reads the logical screen descriptor
+        assert feats[d]["decode_mode"] == "header"
+        assert (feats[d]["width"], feats[d]["height"]) == (128, 96)
+    for d in (d for d in feats if d % 10 not in (0, 1, 2)):
+        assert feats[d]["decode_mode"] == "fake"
+
+
+def test_parse_image_header_formats():
+    """Pure-function coverage of the header parser across all three
+    container formats plus hostile inputs."""
+    from trafik_etl_modular_spark.llmdata.multimodal import (
+        parse_image_header,
+        synthetic_gif,
+        synthetic_png,
+    )
+
+    assert parse_image_header(synthetic_png(1, 1)) == (1, 1, "png")
+    assert parse_image_header(synthetic_png(65535, 3)) == (65535, 3, "png")
+    assert parse_image_header(synthetic_gif(640, 480)) == (640, 480, "gif")
+    # hand-built JPEG: SOI, APP0 (empty), SOF0 with h=480 w=640
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x02"
+        + b"\xff\xc0\x00\x11\x08" + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 9
+    )
+    assert parse_image_header(jpeg) == (640, 480, "jpeg")
+    assert parse_image_header(b"plain text payload") is None
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n####") is None  # truncated PNG
+    assert parse_image_header(b"\xff\xd8\x00\x00garbage") is None  # bad JPEG marker
 
 
 def test_multimodal_decode_paths(monkeypatch):
@@ -201,9 +324,15 @@ def test_multimodal_decode_paths(monkeypatch):
             return _Im()
 
     monkeypatch.setattr(mm, "_pil_image", lambda: _Image)
-    assert mm.try_decode_meta(b"\x89PNGrest-of-payload") == (640, 480)
+    assert mm.try_decode_meta(b"\x89PNGrest-of-payload") == (640, 480, "pil")
     # undecodable bytes under a present lib → graceful fallback signal
     assert mm.try_decode_meta(b"plain text") is None
+
+    # Header tier under a present-but-failing codec: a complete PNG
+    # the stub rejects (it only accepts the 4-byte probe above) still
+    # resolves through the pure parse
+    monkeypatch.setattr(mm, "_pil_image", lambda: None)
+    assert mm.try_decode_meta(mm.synthetic_png(12, 34)) == (12, 34, "header")
 
     # When the REAL Pillow is importable, exercise it end-to-end
     monkeypatch.undo()
@@ -214,7 +343,7 @@ def test_multimodal_decode_paths(monkeypatch):
 
         buf = _io.BytesIO()
         _PI.new("RGB", (8, 6)).save(buf, format="PNG")
-        assert mm.try_decode_meta(buf.getvalue()) == (8, 6)
+        assert mm.try_decode_meta(buf.getvalue()) == (8, 6, "pil")
 
 
 def test_hyperplane_lsh_subset_of_exact(spark, sf_dir):
@@ -390,6 +519,36 @@ def test_sampling_stable_under_repartition(spark, sf_dir):
     # zh passes through at 1000 permille; en is downsampled
     n_zh = docs.filter(F.col("lang") == "zh").count()
     assert len([1 for r in docs.filter(F.col("lang") == "zh").collect()]) == n_zh
+
+
+def test_sampling_families_pairwise_independent(spark, sf_dir):
+    """The sampling operators must draw from DIFFERENT hash streams:
+    with a shared unsalted bucket, a weighted_sample survivor with
+    quality < 0.9 was necessarily a 'train' doc under the 900/50/50
+    split (bucket < floor(q*1000) < 900), so composing the two emptied
+    val/test.  With per-operator salts, every split must appear among
+    survivors of a sub-0.9-weight sample."""
+    from trafik_etl_modular_spark.llmdata.sampling import (
+        assign_split,
+        stratified_sample,
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # constant weight 0.5 < 0.9: under the old shared stream this
+    # selected exactly buckets 0..499 — all 'train'
+    survivors = assign_split(
+        weighted_sample(docs.withColumn("w", F.lit(0.5)), "w")
+    )
+    splits = {r["split"] for r in survivors.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}, splits
+
+    # stratified keep (en at 500 permille) must likewise span all splits
+    strat = assign_split(
+        stratified_sample(docs, "lang", {"en": 500}, default_permille=1000)
+    )
+    splits2 = {r["split"] for r in strat.select("split").distinct().collect()}
+    assert splits2 == {"train", "val", "test"}, splits2
 
 
 def test_assign_split_rejects_bad_weights(spark):

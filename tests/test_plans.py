@@ -344,7 +344,6 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     }
     broadcast_scalar_ok = {
         "filter_quality_quantile",  # global P90 threshold row
-        "sim_ann_ivf_probe",  # single probe vector
         "sim_topk_cosine_bruteforce",  # single probe vector
         "text_tfidf_top_terms",  # corpus-size N row
         "tpch_q11_important_stock",  # global-fraction scalar

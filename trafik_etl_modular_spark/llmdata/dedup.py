@@ -98,22 +98,15 @@ def hashed_shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
-def lsh_candidate_pairs(
+def _banded(
     df: DataFrame,
-    id_col: str = "doc_id",
-    sig_col: str = "minhash",
-    bands: int = 16,
-    rows_per_band: int = 4,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows_per_band: int,
 ) -> DataFrame:
-    """Band the signature, bucket-join docs sharing any band hash.
-
-    bands × rows_per_band must equal the signature width.  With b=16,
-    r=4 the S-curve threshold is (1/b)^(1/r) ≈ 0.50 Jaccard.  The
-    join is an equi-join on (band_idx, band_hash): Spark shuffles both
-    sides on that key — candidate generation scales with bucket
-    occupancy, not corpus².  Output: distinct (id_a, id_b), id_a < id_b.
-    """
-    banded = df.select(
+    """(id, band_idx, band_hash) — one row per (doc, band)."""
+    return df.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -127,6 +120,48 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band hash.
+
+    bands × rows_per_band must equal the signature width.  With b=16,
+    r=4 the S-curve threshold is (1/b)^(1/r) ≈ 0.50 Jaccard.  The
+    join is an equi-join on (band_idx, band_hash): Spark shuffles both
+    sides on that key — candidate generation scales with bucket
+    occupancy, not corpus².  Output: distinct (id_a, id_b), id_a < id_b.
+
+    ``max_bucket_size`` is the HOT-BUCKET GUARD for 100-TB corpora: a
+    degenerate bucket (mass-duplicated boilerplate, stop-shingle
+    signatures) is quadratic in its occupancy, so one pathological key
+    can dominate the whole job.  With the cap set, each (band, hash)
+    bucket keeps only its ``max_bucket_size`` smallest ids (a window
+    over the SAME key the join shuffles on — co-partitioned, no extra
+    exchange pattern) and the rest are excluded from THAT band's
+    candidates, bounding per-bucket work at cap²/2.  Truncation is
+    observable, not silent: :func:`lsh_bucket_stats` reports every
+    bucket over the cap.  Recall note: docs dropped from a hot band
+    can still pair through their other bands, and the intended
+    pipeline order — exact dedup BEFORE sketching (as in the curation
+    pipeline) — removes the identical-doc mass that creates degenerate
+    buckets in the first place."""
+    banded = _banded(df, id_col, sig_col, bands, rows_per_band)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
+        banded = (
+            banded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -141,6 +176,33 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band-bucket occupancy report — the observability companion to
+    :func:`lsh_candidate_pairs`'s hot-bucket cap.  One row per (band,
+    hash) bucket: occupancy, and (when a cap is given) how many docs
+    that bucket would truncate.  At scale this is the job you run
+    first (or alongside) to SEE skew instead of discovering it as a
+    straggler task; one groupBy, map-side combinable."""
+    occ = (
+        _banded(df, id_col, sig_col, bands, rows_per_band)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("occupancy"))
+    )
+    if max_bucket_size is not None:
+        occ = occ.withColumn(
+            "truncated",
+            F.greatest(F.lit(0), F.col("occupancy") - F.lit(max_bucket_size)),
+        )
+    return occ
+
+
 def minhash_near_dups(
     docs: DataFrame,
     text_col: str = "text",
@@ -148,13 +210,19 @@ def minhash_near_dups(
     threshold: float = 0.6,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidate
     join → exact-Jaccard verify on candidates only.
 
     The verify re-joins shingle sets for candidate ids — at corpus
     scale candidates are a tiny fraction of pairs, so the expensive
-    array_intersect runs on ~linear volume."""
+    array_intersect runs on ~linear volume.
+
+    ``max_bucket_size`` passes through to the band-bucket join's
+    hot-bucket guard (see :func:`lsh_candidate_pairs`); run EXACT
+    dedup before this operator so identical-doc mass never reaches
+    the sketch."""
     rows_per_band = num_hashes // bands
     # Hash-space shingles, materialized by the checkpoint BEFORE the
     # signature projection — otherwise CollapseProject inlines the
@@ -174,7 +242,9 @@ def minhash_near_dups(
     signed = sh.select(
         F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("minhash")
     ).localCheckpoint(eager=False)
-    cands = lsh_candidate_pairs(signed, id_col, "minhash", bands, rows_per_band)
+    cands = lsh_candidate_pairs(
+        signed, id_col, "minhash", bands, rows_per_band, max_bucket_size
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -287,7 +357,16 @@ def ngram_jaccard_pairs_prefix(
     ex = sh.select(F.col(id_col), F.size("s").alias("sz"), F.explode("s").alias("shingle"))
     dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "shingle")
-    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    # ⌈t·|s|⌉ with a downward epsilon: a bare double ceil(t*sz) is
+    # wrong whenever t's binary representation exceeds its rational
+    # value at an exact multiple (0.1*10 = 1.0000000000000002 → ceil
+    # 2, not 1) — that SHORTENS the prefix and silently drops
+    # qualifying pairs from an operator documented as exact.  The
+    # product's double error is < 1e-10 for |s| ≤ 1e6, so subtracting
+    # 1e-9 can only ever LENGTHEN the prefix (more candidates, same
+    # exact verify) — never under-index a qualifying pair.
+    ceil_t_sz = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+    prefix_len = F.col("sz") - ceil_t_sz + 1
     pref = (
         ex.join(dfreq, "shingle")
         .withColumn("__rn", F.row_number().over(w))

@@ -1,12 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode step (JPEG → pixels) is probed at RUNTIME: when Pillow is
-importable, `try_decode_meta` really decodes the payload; when the
-library is absent (this container) or the bytes aren't a decodable
-image, the pipeline falls back to a clearly-marked deterministic
-fake.  Everything AROUND the decode is real and tested either way:
-the binary schema, the Arrow batch path through mapInPandas,
+The decode step is TIERED, probed per payload at runtime:
+
+  1. ``pil``    — full Pillow decode, when the library is importable
+                  (the integration point a real codec plugs into);
+  2. ``header`` — pure-Python container-header parse (PNG / GIF /
+                  JPEG dimensions), always available — this is the
+                  REAL tier exercised in this container, on genuine
+                  image bytes (:func:`synthetic_png` payloads);
+  3. ``fake``   — clearly-marked deterministic fallback for bytes
+                  that are not a known image container.
+
+Each output row records which tier produced it (``decode_mode``).
+Everything AROUND the decode is real and tested in every tier: the
+binary schema, the Arrow batch path through mapInPandas,
 batch-shaped feature extraction, and the partitioning story (binary
 payloads don't shuffle unless the plan requires it; feature
 extraction is map-only).
@@ -15,6 +23,8 @@ extraction is map-only).
 from __future__ import annotations
 
 import io
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,7 +35,7 @@ from pyspark.sql import functions as F
 # Output schema of extract_features (mapInPandas contract).
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes int, header string, "
-    "fake_width int, fake_height int, decode_mode string"
+    "width int, height int, decode_mode string"
 )
 
 
@@ -53,19 +63,110 @@ def decode_image(payload: bytes):
     return Image.open(io.BytesIO(payload))
 
 
-def try_decode_meta(payload: bytes) -> tuple[int, int] | None:
-    """(width, height) from a REAL Pillow decode, or None when Pillow
-    is absent or the payload isn't a decodable image — the caller then
-    falls back to the deterministic fake."""
-    if payload is None or _pil_image() is None:
+def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
+    """(width, height, format) from a pure-Python parse of the image
+    container header — PNG, GIF, JPEG — with no codec library at all.
+    This is real metadata extraction (the dimensions any downstream
+    filter/resize planner needs), not a fake: it reads the actual
+    bytes the container formats define.  Returns None for anything
+    that isn't one of the three signatures.
+
+    Formats (public specs):
+      * PNG — 8-byte signature, IHDR chunk: width/height big-endian
+        u32 at offsets 16/20 (PNG spec §11.2.2).
+      * GIF — 'GIF87a'/'GIF89a', logical-screen width/height
+        little-endian u16 at offsets 6/8 (GIF89a spec §18).
+      * JPEG — walk marker segments to the first SOFn (C0–CF except
+        C4/C8/CC): height/width big-endian u16 at segment offsets
+        3/5 (ITU T.81 §B.2.2)."""
+    if not payload or len(payload) < 10:
         return None
-    try:
-        with decode_image(payload) as im:
-            return (im.width, im.height)
-    except NotImplementedError:  # pragma: no cover - race on probe
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            return (w, h, "png")
         return None
-    except Exception:
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return (w, h, "gif")
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone markers
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return (w, h, "jpeg")
+            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
         return None
+    return None
+
+
+def try_decode_meta(payload: bytes) -> tuple[int, int, str] | None:
+    """(width, height, decode_mode) from the best available REAL tier:
+    a full Pillow decode (``'pil'``) when the library is importable,
+    else the pure-Python container-header parse (``'header'``).
+    None when the payload is not a recognizable image — the caller
+    then falls back to the deterministic fake."""
+    if payload is None:
+        return None
+    if _pil_image() is not None:
+        try:
+            with decode_image(payload) as im:
+                return (im.width, im.height, "pil")
+        except NotImplementedError:  # pragma: no cover - race on probe
+            pass
+        except Exception:
+            pass
+    hdr = parse_image_header(bytes(payload))
+    if hdr is not None:
+        return (hdr[0], hdr[1], "header")
+    return None
+
+
+def synthetic_png(width: int, height: int) -> bytes:
+    """A COMPLETE, spec-valid 8-bit grayscale PNG (signature + IHDR +
+    zlib IDAT + IEND, all CRCs correct) of the given dimensions —
+    genuine image bytes for exercising the real decode tiers without
+    shipping binary fixtures.  Pillow (when present) and
+    :func:`parse_image_header` both read it."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))  # filter-0 rows
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthetic_gif(width: int, height: int) -> bytes:
+    """A minimal GIF89a header + logical screen descriptor + trailer.
+    Enough container structure for header-tier dimension extraction;
+    carries no image data (a full LZW raster isn't needed to test the
+    metadata path)."""
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + b"\x00\x00\x00"  # no global color table
+        + b"\x3b"  # trailer
+    )
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int]:
@@ -77,11 +178,28 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     return (64 + payload[0] % 64, 64 + payload[-1] % 64)
 
 
-def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def with_binary_payload(
+    docs: DataFrame, text_col: str = "text", with_images: bool = False
+) -> DataFrame:
     """Model a multimodal corpus: utf-8 payload bytes + typed metadata
     struct (mime, n_bytes). In production the payload column comes
-    from `spark.read.format('binaryFile')` or parquet BYTE_ARRAY."""
+    from `spark.read.format('binaryFile')` or parquet BYTE_ARRAY.
+
+    ``with_images=True`` makes it a MIXED corpus: a deterministic
+    subset of docs carries genuine image bytes (complete PNGs, GIF
+    headers — see :func:`synthetic_png`) instead of text, so the real
+    decode tiers execute inside any plan built on top.  The image
+    literals are constants in the plan; mixing is keyed on doc_id,
+    so results stay stable under repartitioning."""
     payload = F.encode(F.col(text_col), "UTF-8")
+    if with_images:
+        sel = F.col("doc_id") % 10
+        payload = (
+            F.when(sel == 0, F.lit(synthetic_png(320, 240)))
+            .when(sel == 1, F.lit(synthetic_png(64, 64)))
+            .when(sel == 2, F.lit(synthetic_gif(128, 96)))
+            .otherwise(payload)
+        )
     return docs.select(
         "doc_id",
         payload.alias("payload"),
@@ -97,17 +215,17 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     mapInPandas — each batch arrives as a pandas DataFrame with a
     bytes column; per-batch (NOT per-row) Python cost, map-only plan
-    (no shuffle). The decode is probed per payload: REAL Pillow
-    dimensions when the library is present and the bytes decode
-    (`decode_mode = 'pil'`), the deterministic fake otherwise
-    (`decode_mode = 'fake'`) — so the same job handles a mixed corpus
-    and records which path each row took."""
+    (no shuffle). The decode is probed per payload through the real
+    tiers (`decode_mode = 'pil'` under Pillow, `'header'` via the
+    pure-Python container parse) with the deterministic fake as the
+    labeled fallback (`'fake'`) — so the same job handles a mixed
+    corpus and records which path each row took."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             real = pdf["payload"].map(try_decode_meta)
             metas = [
-                r if r is not None else fake_decode_meta(b)
+                (r[0], r[1], r[2]) if r is not None else (*fake_decode_meta(b), "fake")
                 for r, b in zip(real, pdf["payload"])
             ]
             yield pd.DataFrame(
@@ -117,15 +235,13 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "header": pdf["payload"].map(
                         lambda b: b[:8].hex() if b is not None else None
                     ),
-                    "fake_width": pd.Series(
+                    "width": pd.Series(
                         [m[0] for m in metas], index=pdf.index
                     ).astype("int32"),
-                    "fake_height": pd.Series(
+                    "height": pd.Series(
                         [m[1] for m in metas], index=pdf.index
                     ).astype("int32"),
-                    "decode_mode": [
-                        "pil" if r is not None else "fake" for r in real
-                    ],
+                    "decode_mode": [m[2] for m in metas],
                 }
             )
 

@@ -32,22 +32,36 @@ MOD = 1_000_000_007
 MULT = 2_654_435_761  # Knuth's 2^32 / golden-ratio constant
 OFFSET = 12_345
 
+# Per-operator salts: each sampling family must draw from a DIFFERENT
+# hash stream.  With a shared unsalted bucket, survival under one
+# operator is perfectly correlated with assignment under another —
+# e.g. every weighted_sample survivor with quality < 0.9 was
+# necessarily a 'train' doc under the default 900/50/50 split, so
+# composing the two emptied val/test.  Salting the key before the
+# multiplicative hash decorrelates the families while staying pure
+# integer arithmetic (SQL-expressible, engine-stable).
+SALT_SPLIT = 0  # assign_split — the base stream
+SALT_STRATIFIED = 104_729  # stratified_sample (10000th prime)
+SALT_WEIGHTED = 7_919  # weighted_sample (1000th prime)
 
-def hash_bucket(key: Column | str, n_buckets: int = 1000) -> Column:
+
+def hash_bucket(key: Column | str, n_buckets: int = 1000, salt: int = 0) -> Column:
     """Deterministic bucket in [0, n_buckets) from a non-negative
-    integer key: ((key * MULT + OFFSET) % MOD) % n_buckets.
+    integer key: (((key + salt) * MULT + OFFSET) % MOD) % n_buckets.
 
     Pure arithmetic → identical in Spark and ANSI SQL; stable under
-    repartitioning, re-runs, and engine versions (unlike rand(seed))."""
+    repartitioning, re-runs, and engine versions (unlike rand(seed)).
+    ``salt`` decorrelates independent sampling decisions over the same
+    key (see the per-operator SALT_* constants)."""
     c = F.col(key) if isinstance(key, str) else key
-    return ((c.cast("long") * F.lit(MULT) + F.lit(OFFSET)) % F.lit(MOD)) % F.lit(
-        n_buckets
-    )
+    return (
+        ((c.cast("long") + F.lit(salt)) * F.lit(MULT) + F.lit(OFFSET)) % F.lit(MOD)
+    ) % F.lit(n_buckets)
 
 
-def hash_bucket_sql(key_expr: str, n_buckets: int = 1000) -> str:
+def hash_bucket_sql(key_expr: str, n_buckets: int = 1000, salt: int = 0) -> str:
     """The same bucket computation as ANSI SQL text (for oracles)."""
-    return f"((({key_expr}) * {MULT} + {OFFSET}) % {MOD}) % {n_buckets}"
+    return f"(((({key_expr}) + {salt}) * {MULT} + {OFFSET}) % {MOD}) % {n_buckets}"
 
 
 def assign_split(
@@ -89,8 +103,10 @@ def stratified_sample(
     The filter is a when-chain over the (small) strata domain, pushed
     into the scan like any other predicate; no shuffle, no RNG state.
     Exactly reproducible: re-running over recompacted files keeps the
-    SAME rows, which row-index-seeded Bernoulli sampling does not."""
-    b = hash_bucket(key_col, 1000)
+    SAME rows, which row-index-seeded Bernoulli sampling does not.
+    Salted with SALT_STRATIFIED so keep/drop here is independent of
+    :func:`assign_split`'s train/val/test assignment."""
+    b = hash_bucket(key_col, 1000, salt=SALT_STRATIFIED)
     rate = F.lit(default_permille)
     for stratum, r in sorted(rates_permille.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
@@ -108,9 +124,11 @@ def weighted_sample(
     function of the row's key and weight, stable under repartitioning
     and re-runs, pushed into the scan as an ordinary predicate — no
     RNG state, no shuffle.  Weight resolution is per-mille (matching
-    hash_bucket's 1000 buckets)."""
+    hash_bucket's 1000 buckets).  Salted with SALT_WEIGHTED so
+    survival here is independent of :func:`assign_split` /
+    :func:`stratified_sample` decisions over the same key."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    return df.filter(hash_bucket(key_col, 1000) < F.floor(w * 1000))
+    return df.filter(hash_bucket(key_col, 1000, salt=SALT_WEIGHTED) < F.floor(w * 1000))
 
 
 def pack_bins(

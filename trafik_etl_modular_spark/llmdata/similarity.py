@@ -260,10 +260,18 @@ def ivf_index(
         .transform(base.withColumn("__raw", array_to_vector("__vec")))
         .cache()
     )
+    # initMode='random', not the default k-means||: the parallel init
+    # runs ~init_steps extra distributed passes to seed well-separated
+    # centers — worth it when cluster QUALITY is the product, but an
+    # IVF coarse quantizer only needs a roughly balanced partition of
+    # the sphere (recall comes from nprobe, not centroid optimality);
+    # random init + Lloyd iterations is ~3× cheaper at equal recall
+    # (pinned by test_ivf_nprobe_recall_on_clustered_data).
     model = KMeans(
         k=n_centroids,
         seed=seed,
         maxIter=max_iter,
+        initMode="random",
         featuresCol="features",
         predictionCol="ivf_bucket",
     ).fit(ml_df)
@@ -285,11 +293,38 @@ def ivf_write_index(
     those buckets' files — at lake scale this is the difference between
     scanning nprobe/k of the data and all of it) plus the tiny
     centroid table.  Index build is a one-time offline job; probes
-    read the persisted layout."""
-    assigned.write.mode("overwrite").partitionBy("ivf_bucket").parquet(
-        f"{path}/assigned"
+    read the persisted layout.
+
+    The assigned side is repartitioned by bucket before the write so
+    each partition directory holds one file instead of one per task
+    (tasks × buckets small files otherwise — metadata poison for the
+    probes' pruned listing).  The centroid table is k driver-local
+    rows of model metadata — written directly with pyarrow, because
+    routing 16 rows through spark.createDataFrame().write costs a
+    pickle-RDD Python-worker round trip (~4 s measured) for no
+    distribution benefit."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    assigned.repartition("ivf_bucket").write.mode("overwrite").partitionBy(
+        "ivf_bucket"
+    ).parquet(f"{path}/assigned")
+    rows = centroids.collect()
+    table = pa.table(
+        {
+            "ivf_bucket": pa.array([r["ivf_bucket"] for r in rows], pa.int32()),
+            "centroid": pa.array(
+                [[float(x) for x in r["centroid"]] for r in rows],
+                pa.list_(pa.float64()),
+            ),
+        }
     )
-    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    os.makedirs(f"{path}/centroids", exist_ok=True)
+    pq.write_table(table, f"{path}/centroids/part-00000.parquet")
+    # _SUCCESS marker: ensure-index probes for it before trusting the dir
+    open(f"{path}/centroids/_SUCCESS", "w").close()
 
 
 def ivf_read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -307,41 +342,68 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """IVF probe: rank centroids against the query (k rows, broadcast
-    both ways), take the nprobe nearest buckets, exact-cosine rerank
-    ONLY inside those buckets.  Candidate volume ≈ nprobe/k of the
-    corpus; with `nprobe == n_centroids` the result is exactly
-    brute force (asserted in tests — the pruning is the ONLY
-    approximation)."""
-    q = query_vec.select(
+    """IVF probe: rank the stored centroids against the query, take
+    the nprobe nearest buckets, exact-cosine rerank ONLY inside those
+    buckets.  Candidate volume ≈ nprobe/k of the corpus; with
+    `nprobe == n_centroids` the result is exactly brute force
+    (asserted in tests — the pruning is the ONLY approximation).
+
+    EAGER-EVALUATION CONTRACT (intentional): reading the probe vector
+    and ranking centroids happen at DataFrame-CONSTRUCTION time — one
+    driver-tiny job for the probe row (plus one for the centroid table
+    unless ``centroid_rows`` supplies it pre-collected).  That is what
+    buys STATIC partition pruning: the winning bucket ids become IN
+    literals, so the scan of a persisted bucket-partitioned index
+    lists only nprobe directories; a broadcast-join bucket filter
+    would enumerate all files before dynamic pruning kicks in.  The
+    probe vector is likewise frozen into the plan as literals, so the
+    returned frame's one real job is a pruned scan + map + top-k —
+    callers composing plans lazily should construct this frame at
+    execution time, not ahead of it.
+
+    ``centroid_rows``: pre-collected ``[(ivf_bucket, centroid), …]``
+    (see the query layer's per-index cache) — a persisted index's
+    centroids are immutable, so collecting them once per process is
+    safe and removes a per-probe job."""
+    qrows = query_vec.select(
         F.col(id_col).alias("__qid"), to_double_array(vec_col).alias("__qvec")
+    ).collect()
+    if len(qrows) != 1:
+        raise ValueError(f"query_vec must have exactly 1 row, got {len(qrows)}")
+    qid = qrows[0]["__qid"]
+    qvec = [float(x) for x in qrows[0]["__qvec"]]
+    if centroid_rows is None:
+        centroid_rows = [
+            (r["ivf_bucket"], [float(x) for x in r["centroid"]])
+            for r in centroids.collect()
+        ]
+
+    # Rank centroids DRIVER-SIDE (an index lookup over n_centroids
+    # tiny vectors) — same strict left-fold dot product and IEEE
+    # doubles as the Spark expression, so the ranking is identical.
+    import math
+
+    def _cos(c: list[float]) -> float:
+        d = nc = nq = 0.0
+        for a, b in zip(c, qvec):
+            d += a * b
+            nc += a * a
+            nq += b * b
+        return d / (math.sqrt(nc) * math.sqrt(nq))
+
+    ranked = sorted(centroid_rows, key=lambda t: (-_cos(t[1]), t[0]))
+    probe_buckets = [b for b, _ in ranked[:nprobe]]
+
+    qvec_lit = F.array(*[F.lit(x) for x in qvec])
+    cands = assigned.filter(
+        F.col("ivf_bucket").isin(probe_buckets) & (F.col(id_col) != F.lit(qid))
     )
-    # Rank centroids and COLLECT the nprobe winners (nprobe tiny ints —
-    # a driver-scalar read, like any index lookup): pushing them as an
-    # IN literal gives STATIC partition pruning when `assigned` is the
-    # persisted bucket-partitioned index — the scan lists only nprobe
-    # directories, where a broadcast-join bucket filter would still
-    # enumerate all files before dynamic pruning kicks in.
-    probe_buckets = [
-        r["ivf_bucket"]
-        for r in (
-            centroids.crossJoin(F.broadcast(q))
-            .select(
-                "ivf_bucket",
-                cosine(F.col("centroid"), F.col("__qvec")).alias("__csim"),
-            )
-            .orderBy(F.desc("__csim"), F.asc("ivf_bucket"))
-            .limit(nprobe)
-            .collect()
-        )
-    ]
-    cands = assigned.filter(F.col("ivf_bucket").isin(probe_buckets))
-    scored = cands.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("__qid"))
     return (
-        scored.select(
+        cands.select(
             F.col(id_col),
-            cosine(F.col("__vec"), F.col("__qvec")).alias("cosine"),
+            cosine(F.col("__vec"), qvec_lit).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)

@@ -23,6 +23,8 @@ from trafik_etl_modular_spark.llmdata.dedup import (
 )
 from trafik_etl_modular_spark.llmdata.multimodal import extract_features, with_binary_payload
 from trafik_etl_modular_spark.llmdata.sampling import (
+    SALT_STRATIFIED,
+    SALT_WEIGHTED,
     assign_split,
     hash_bucket,
     hash_bucket_sql,
@@ -400,9 +402,14 @@ def dedup_minhash(spark, sf_dir):
     """MinHash(64) + LSH(16 bands × 4 rows) near-dup pairs verified by
     exact Jaccard ≥ 0.6. xxhash64 signatures are engine-specific →
     rows-only driver check; recall vs exact Jaccard is asserted in
-    tests/test_llmdata.py."""
+    tests/test_llmdata.py.  The band-bucket join carries the
+    hot-bucket cap (1000/bucket — inert at fixture occupancy, bounds
+    degenerate boilerplate buckets at corpus scale; truncation
+    observable via llmdata/dedup.py::lsh_bucket_stats)."""
     docs = t(spark, sf_dir, "documents")
-    return minhash_near_dups(docs, threshold=0.6).orderBy("id_a", "id_b")
+    return minhash_near_dups(docs, threshold=0.6, max_bucket_size=1000).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @query("dedup_simhash_candidates", sql=None, tags=("llmdata", "dedup"))
@@ -565,10 +572,14 @@ def sample_split_manifest(spark, sf_dir):
 
 _STRAT_RATES = {"en": 500, "de": 800, "es": 800, "fr": 800, "zh": 1000}
 
+# stratified_sample draws from its OWN salted hash stream so keep/drop
+# is independent of assign_split's train/val/test buckets.
+_BUCKET_STRAT = hash_bucket_sql("doc_id", 1000, salt=SALT_STRATIFIED)
+
 _STRAT_SQL = f"""
-SELECT doc_id, lang, {_BUCKET} AS bucket
+SELECT doc_id, lang, {_BUCKET_STRAT} AS bucket
 FROM documents
-WHERE {_BUCKET} < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 800
+WHERE {_BUCKET_STRAT} < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 800
                             WHEN 'es' THEN 800 WHEN 'fr' THEN 800
                             WHEN 'zh' THEN 1000 ELSE 0 END
 """
@@ -582,7 +593,9 @@ def sample_stratified_by_lang(spark, sf_dir):
     scan (llmdata/sampling.py::stratified_sample)."""
     docs = t(spark, sf_dir, "documents")
     return stratified_sample(docs, "lang", _STRAT_RATES, "doc_id").select(
-        "doc_id", "lang", hash_bucket("doc_id", 1000).alias("bucket")
+        "doc_id",
+        "lang",
+        hash_bucket("doc_id", 1000, salt=SALT_STRATIFIED).alias("bucket"),
     )
 
 
@@ -679,27 +692,77 @@ def sim_ann(spark, sf_dir):
     return bucketed_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
 
 
-def _ivf_index_path(sf_dir: str) -> str:
-    """Deterministic per-sf_dir location for the persisted IVF index
-    (under the gitignored warehouse dir)."""
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint (names + sizes + mtimes) of the embeddings
+    fixture, so a regenerated fixture gets a NEW index path instead of
+    a stale index silently serving probes."""
     import hashlib
+    import json
     import os
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join("spark-warehouse", "ivf_index", tag)
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    files = (
+        sorted(os.path.join(p, f) for f in os.listdir(p)) if os.path.isdir(p) else [p]
+    )
+    stat = [(f, os.path.getsize(f), int(os.path.getmtime(f))) for f in files]
+    return hashlib.sha256(json.dumps(stat).encode()).hexdigest()[:12]
+
+
+def _ivf_index_path(spark, sf_dir: str) -> str:
+    """Index location anchored to the session's warehouse dir (not the
+    cwd) and keyed by sf_dir + data fingerprint."""
+    import hashlib
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    tag = hashlib.sha256(
+        f"{sf_dir}|{_embeddings_fingerprint(sf_dir)}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(wh, "ivf_index", tag)
+
+
+# Per-process cache over the IMMUTABLE persisted index: the read
+# DataFrames (skip per-probe file re-listing) and the collected
+# centroid rows (skip the per-probe centroid-ranking job).  Keyed by
+# (session, path); a new fixture fingerprint yields a new path, so
+# entries can never serve stale data.
+_IVF_CACHE: dict[tuple[int, str], tuple] = {}
 
 
 def _ivf_ensure_index(spark, sf_dir: str):
     """Build-and-persist the IVF index if absent; return (assigned,
-    centroids) read from the persisted, bucket-partitioned layout."""
-    import os
+    centroids, centroid_rows) — the persisted bucket-partitioned
+    corpus, the centroid table, and the centroids collected driver-side.
 
-    path = _ivf_index_path(sf_dir)
+    Concurrent-build safe: the index is written to a process-private
+    temp dir and atomically renamed into place; if another process won
+    the rename race, its (identical: same data, fixed seed) index is
+    used and ours is discarded.  Once a path exists it is immutable."""
+    import os
+    import shutil
+
+    path = _ivf_index_path(spark, sf_dir)
+    key = (id(spark), path)
+    if key in _IVF_CACHE:
+        return _IVF_CACHE[key]
     if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
+        tmp = f"{path}.tmp.{os.getpid()}"
         emb = t(spark, sf_dir, "embeddings")
         assigned, centroids = ivf_index(emb, n_centroids=16)
-        ivf_write_index(assigned, centroids, path)
-    return ivf_read_index(spark, path)
+        ivf_write_index(assigned, centroids, tmp)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost the race — the winner's index is identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    assigned, centroids = ivf_read_index(spark, path)
+    rows = [
+        (r["ivf_bucket"], [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
+    ]
+    _IVF_CACHE[key] = (assigned, centroids, rows)
+    return assigned, centroids, rows
 
 
 @query("sim_ann_ivf_build", sql=None, tags=("llmdata", "similarity", "index-build"))
@@ -711,7 +774,7 @@ def sim_ann_ivf_build(spark, sf_dir):
     query-time cost — hence the build/probe split.  Returns the bucket
     occupancy histogram (deterministic with the fixed seed).  K-means
     is iterative/engine-specific → rows-only driver check."""
-    assigned, _ = _ivf_ensure_index(spark, sf_dir)
+    assigned, _, _ = _ivf_ensure_index(spark, sf_dir)
     return (
         assigned.groupBy("ivf_bucket")
         .agg(F.count("*").alias("n_vectors"))
@@ -728,12 +791,12 @@ def sim_ann_ivf_probe(spark, sf_dir):
     recall vs brute force and that nprobe == n_centroids reproduces
     brute force exactly.  Rows-only driver check (k-means bucket
     boundaries are engine-specific)."""
-    assigned, centroids = _ivf_ensure_index(spark, sf_dir)
+    assigned, centroids, rows = _ivf_ensure_index(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0)
-    return ivf_topk(assigned, centroids, probe, k=10, nprobe=4).orderBy(
-        F.desc("cosine"), F.asc("vec_id")
-    )
+    return ivf_topk(
+        assigned, centroids, probe, k=10, nprobe=4, centroid_rows=rows
+    ).orderBy(F.desc("cosine"), F.asc("vec_id"))
 
 
 _NEARDUP_EMB_SQL = f"""
@@ -781,12 +844,18 @@ def multimodal_payload_stats(spark, sf_dir):
 
 @query("multimodal_extract_features", sql=None, tags=("llmdata", "multimodal"))
 def multimodal_features(spark, sf_dir):
-    """Arrow-batched (mapInPandas) feature extraction over binary
-    payloads with a deterministic FAKE decode (real codecs absent in
-    this container — llmdata/multimodal.py). Rows-only check; batch
-    shape and schema unit-tested."""
+    """Arrow-batched (mapInPandas) feature extraction over a MIXED
+    binary corpus: genuine PNG/GIF payloads on a deterministic doc
+    subset take the REAL decode tiers (Pillow when present, else the
+    pure-Python container-header parse — decode_mode 'pil'/'header'),
+    text payloads take the labeled deterministic fake
+    (llmdata/multimodal.py). Rows-only check (decode tier depends on
+    installed codecs); batch shape, schema, and every tier
+    unit-tested."""
     docs = t(spark, sf_dir, "documents")
-    return extract_features(with_binary_payload(docs)).orderBy("doc_id")
+    return extract_features(with_binary_payload(docs, with_images=True)).orderBy(
+        "doc_id"
+    )
 
 
 _FRAMES_SQL = """
@@ -1222,7 +1291,7 @@ SELECT doc_id, quality
 FROM (
   SELECT doc_id,
          {_QUALITY_EXPR_SQL} AS quality,
-         {hash_bucket_sql('doc_id', 1000)} AS b
+         {hash_bucket_sql('doc_id', 1000, salt=SALT_WEIGHTED)} AS b
   FROM documents
 )
 WHERE b < floor(quality * 1000)

@@ -51,15 +51,24 @@ _OUT_SCHEMA = (
 _STATE_SCHEMA = "session_start_us bigint, last_ts_us bigint, n_events bigint"
 
 
-def stage_time_ordered_chunks(sf_dir: str, n_chunks: int = 4) -> str:
+def stage_time_ordered_chunks(sf_dir: str, n_chunks: int = 2) -> str:
     """Stage the events fixture as n time-ordered parquet chunks so the
     file source delivers multiple micro-batches in event-time order
-    (one file per trigger, ascending mtimes)."""
+    (one file per trigger, ascending mtimes).
+
+    Two chunks by default: the MINIMUM that still exercises
+    cross-batch session stitching (state carried over a batch
+    boundary), which is the property the batch-equivalence oracle
+    pins.  Every extra micro-batch re-pays state-store open/commit
+    per partition plus a per-group Python invocation round — pure
+    fixed overhead at fixture scale, no additional coverage."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    # v2: chunks carry int64-µs ts (unit normalized at staging time).
-    d = f"/tmp/trafik_sessionize_v2_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    # v2: chunks carry int64-µs ts (unit normalized at staging time);
+    # chunk count is part of the staging key.
+    tag = hashlib.md5(f"{sf_dir}|{n_chunks}".encode()).hexdigest()[:10]
+    d = f"/tmp/trafik_sessionize_v2_{tag}"
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
