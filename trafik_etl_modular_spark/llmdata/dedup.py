@@ -281,7 +281,15 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold."""
     from trafik_etl_modular_spark.operators.partitions import fan_out
 
-    sh = fan_out(docs).select(F.col(id_col), shingles(F.col(text_col), k).alias("s"))
+    # 64-bit HASHED shingles, not strings: the inverted index is the
+    # shuffled payload, and a long key moves ~4× fewer bytes than a
+    # 3-word shingle string; Jaccard over the hashed sets equals
+    # Jaccard over the string sets up to ~n²/2⁶⁴ in-doc collisions
+    # (see hashed_shingles) — the DuckDB oracle computes the string
+    # form and the values agree.
+    sh = fan_out(docs).select(
+        F.col(id_col), hashed_shingles(F.col(text_col), k).alias("s")
+    )
     # Both join sides read the same postings — materialize once instead
     # of re-running shingle+explode per leg (at lake scale: persist the
     # inverted index to storage between build and join stages).
@@ -348,14 +356,21 @@ def ngram_jaccard_pairs_prefix(
 
     sh = (
         fan_out(docs)
-        .select(F.col(id_col), shingles(F.col(text_col), k).alias("s"))
+        # Hashed (long) shingles — same global-order argument holds for
+        # ANY total order on shingles; (df, hash) is one.  Shuffle
+        # payload shrinks ~4× vs 3-word strings and the candidate
+        # verify intersects long arrays (see ngram_jaccard_pairs).
+        .select(F.col(id_col), hashed_shingles(F.col(text_col), k).alias("s"))
         .filter(F.size("s") > 0)
         # Both the prefix index and the verify join read these arrays —
         # materialize once (at lake scale: persist between stages).
         .localCheckpoint(eager=False)
     )
     ex = sh.select(F.col(id_col), F.size("s").alias("sz"), F.explode("s").alias("shingle"))
-    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    # Document frequency as a COUNT WINDOW over the shingle partition:
+    # one shuffle attaches df to every posting row — the groupBy+join
+    # formulation pays the same shingle shuffle PLUS a join probe.
+    wdf = Window.partitionBy("shingle")
     w = Window.partitionBy(id_col).orderBy("df", "shingle")
     # ⌈t·|s|⌉ with a downward epsilon: a bare double ceil(t*sz) is
     # wrong whenever t's binary representation exceeds its rational
@@ -368,7 +383,7 @@ def ngram_jaccard_pairs_prefix(
     ceil_t_sz = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
     prefix_len = F.col("sz") - ceil_t_sz + 1
     pref = (
-        ex.join(dfreq, "shingle")
+        ex.withColumn("df", F.count("*").over(wdf))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
         .select(F.col(id_col), "shingle")
