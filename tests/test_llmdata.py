@@ -798,3 +798,55 @@ def test_quality_quantile_keeps_top_decile(spark, sf_dir):
         .first()[0]
     )
     assert dropped_max <= min_kept
+
+
+def test_crossdoc_chunk_stats_semantics(spark):
+    """Chunk-level cross-doc duplication on a constructed corpus:
+    docs 1 and 2 share their first 10-token window exactly (chunk=10,
+    stride=5 → window starts at token 1), doc 3 is disjoint, doc 4 is
+    shorter than one chunk (whole-doc chunk, unique)."""
+    from trafik_etl_modular_spark.llmdata.dedup import crossdoc_chunk_stats
+
+    shared = "a b c d e f g h i j"          # exactly one 10-token window
+    docs = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, shared),
+            (3, "k l m n o p q r s t"),
+            (4, "u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_chunk_fraction"])
+        for r in crossdoc_chunk_stats(docs, chunk=10, stride=5).collect()
+    }
+    assert out[1] == (1, 1, 1.0)
+    assert out[2] == (1, 1, 1.0)
+    assert out[3] == (1, 0, 0.0)
+    assert out[4] == (1, 0, 0.0)
+
+
+def test_crossdoc_chunk_partial_overlap(spark):
+    """A doc that EMBEDS another doc's 10-token span among unique
+    context is flagged on exactly that window: doc 6 = 5 unique tokens
+    + doc 5's span + 5 unique tokens, so with stride 5 its window at
+    start 6 reproduces doc 5's chunk while its other windows are
+    unique — document-level exact dedup would score these 0% similar."""
+    from trafik_etl_modular_spark.llmdata.dedup import crossdoc_chunk_stats
+
+    span = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (5, span),
+            (6, "x1 x2 x3 x4 x5 " + span + " y1 y2 y3 y4 y5"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
+        for r in crossdoc_chunk_stats(docs, chunk=10, stride=5).collect()
+    }
+    # doc 6: 20 tokens → starts 1, 6, 11 → 3 chunks, one shared
+    assert out[5] == (1, 1)
+    assert out[6] == (3, 1)

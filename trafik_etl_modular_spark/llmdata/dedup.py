@@ -409,6 +409,85 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def crossdoc_chunk_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 10,
+    stride: int = 5,
+) -> DataFrame:
+    """Cross-document REPEATED-CHUNK statistics — the scalable
+    approximation of suffix-array substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"):
+    slide a ``chunk``-token window with ``stride`` over every doc,
+    hash each window, and measure how much of each document is made of
+    chunks that also appear in OTHER documents.  This catches
+    boilerplate and partial-copy contamination that document-level
+    exact/MinHash dedup misses (two docs sharing a paragraph are not
+    near-dups of each other).
+
+    Shape: tokenize → token-hash once → chunk hashes from a sequence
+    of window starts (all JVM array ops, no per-window string ever
+    allocated) → distinct (doc, chunk) postings → chunk document
+    frequency (map-side combinable groupBy on the chunk hash) → join
+    the postings back → per-doc aggregate.  Every shuffle key is a
+    64-bit hash; no stage is ever corpus² — cost is Σ postings, same
+    as the inverted-index Jaccard path.  Docs shorter than ``chunk``
+    tokens contribute their whole token span as one (short) chunk, so
+    every doc appears in the output.
+
+    Output: (doc_id, n_chunks, n_dup_chunks, dup_chunk_fraction)
+    where n_chunks counts the doc's DISTINCT chunk hashes and a chunk
+    is "dup" when its document frequency ≥ 2."""
+    from trafik_etl_modular_spark.operators.partitions import fan_out
+
+    # Token hashes as a MATERIALIZED column, checkpointed before the
+    # windowing projection: a lambda-body reference to an inline
+    # expression re-evaluates it per element (the shingles() gotcha),
+    # and CollapseProject would inline a same-plan projection straight
+    # into the lambda — the checkpoint pins the evaluate-once boundary.
+    base = (
+        fan_out(docs)
+        .select(
+            F.col(id_col),
+            F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)).alias(
+                "__th"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    th = F.col("__th")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(th) - (chunk - 1), F.lit(1)), F.lit(stride)
+    )
+    # xxhash64 hashes the sliced long-array directly (no per-window
+    # string is ever allocated)
+    chunks = F.array_distinct(
+        F.transform(starts, lambda i: F.xxhash64(F.slice(th, i, chunk)))
+    )
+    postings = (
+        base.select(F.col(id_col), F.explode(chunks).alias("chunk_hash"))
+        # distinct postings once, reused by both the df agg and the
+        # per-doc rollup (at lake scale: persist between stages)
+        .localCheckpoint(eager=False)
+    )
+    cdf = postings.groupBy("chunk_hash").agg(
+        F.count("*").alias("chunk_df")  # postings are distinct per doc
+    )
+    return (
+        postings.join(cdf, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("chunk_df") >= 2).cast("bigint")).alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_chunk_fraction",
+            F.col("n_dup_chunks").cast("double") / F.col("n_chunks"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-cluster resolution
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from trafik_etl_modular_spark.llmdata.dedup import (
     connected_components,
+    crossdoc_chunk_stats,
     minhash_near_dups,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_prefix,
@@ -325,6 +326,44 @@ def dedup_jaccard_prefix(spark, sf_dir):
     so it shares the oracle."""
     docs = t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs_prefix(docs, k=3, threshold=0.6)
+
+
+_CROSSDOC_CHUNK_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+postings AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+9], ' ') AS chunk FROM (
+    SELECT doc_id, t,
+           UNNEST(range(1, greatest(len(t) - 9, 1) + 1, 5)) AS i
+    FROM toks
+  )
+),
+cdf AS (
+  SELECT chunk, COUNT(*) AS chunk_df FROM postings GROUP BY chunk
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_chunks,
+       SUM(CASE WHEN c.chunk_df >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN c.chunk_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_chunk_fraction
+FROM postings p JOIN cdf c USING (chunk)
+GROUP BY p.doc_id
+"""
+
+
+@query("dedup_chunk_crossdoc", sql=_CROSSDOC_CHUNK_SQL, tags=("llmdata", "dedup"))
+def dedup_chunk_crossdoc(spark, sf_dir):
+    """Cross-document repeated-chunk statistics (10-token windows,
+    stride 5): per doc, how many of its distinct chunk hashes also
+    appear in at least one OTHER document — the chunk-hash
+    approximation of suffix-array substring dedup (Lee et al. 2021)
+    that catches shared boilerplate/partial copies document-level
+    dedup misses (llmdata/dedup.py::crossdoc_chunk_stats).  The SQL
+    oracle computes chunk strings; Spark hashes the token-hash slices
+    (values agree up to negligible collisions)."""
+    docs = t(spark, sf_dir, "documents")
+    return crossdoc_chunk_stats(docs, chunk=10, stride=5)
 
 
 _CLUSTERS_SQL = """
