@@ -850,3 +850,36 @@ def test_crossdoc_chunk_partial_overlap(spark):
     # doc 6: 20 tokens → starts 1, 6, 11 → 3 chunks, one shared
     assert out[5] == (1, 1)
     assert out[6] == (3, 1)
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """SemDeDup recovers planted near-dup groups: 6 well-separated
+    base directions, each with 3 tiny-noise copies (pairwise cosine
+    ≈ 1) → every group resolves to one keeper (its min id); the
+    separated groups never merge (cross-group cosine ≈ 0)."""
+    import numpy as np
+
+    from trafik_etl_modular_spark.llmdata.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # orthogonalize so cross-group cosine is ~0
+    q, _ = np.linalg.qr(base.T)
+    base = q.T[:6]
+    rows = []
+    for g in range(6):
+        for j in range(3):
+            v = base[g] + 0.01 * rng.randn(32)
+            rows.append((g * 10 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, threshold=0.9, n_clusters=4).collect()
+    by_vec = {r["vec_id"]: r for r in out}
+    assert len(by_vec) == 18
+    for g in range(6):
+        ids = [g * 10 + j for j in range(3)]
+        groups = {by_vec[i]["group_id"] for i in ids}
+        assert groups == {g * 10}, f"group {g} split: {groups}"
+        keepers = [i for i in ids if by_vec[i]["is_keeper"]]
+        assert keepers == [g * 10]
+        assert all(by_vec[i]["group_size"] == 3 for i in ids)

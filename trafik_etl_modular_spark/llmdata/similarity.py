@@ -495,3 +495,70 @@ def knn_join(
         .filter(F.col("rn") <= k)
         .select("query_id", id_col, "cosine", "rn")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with the sample-
+    trained spherical k-means quantizer (:func:`ivf_index`), generate
+    cosine-near-dup pairs ONLY within each learned cluster, resolve
+    the pairs into duplicate groups (connected components), and keep
+    the minimum id per group.
+
+    This is the embedding-space sibling of MinHash document dedup:
+    text near-dups cluster together in any reasonable embedding, so
+    restricting the quadratic pair term to k-means cells bounds it by
+    cell occupancy while recall follows from cluster coherence — the
+    exact trade SemDeDup makes at web scale.  All stages are existing
+    scale-shaped operators: one bounded training pass + map-only
+    assignment, equi-join pair generation (never corpus²), O(log n)
+    pointer-jumping rounds.
+
+    ``assigned``: a prebuilt (id, __vec, ivf_bucket) cluster
+    assignment — e.g. the persisted IVF index layout — skips quantizer
+    training entirely, which is the realistic pipeline: semantic
+    dedup runs over a corpus you already clustered for retrieval.
+
+    Output: (vec_id, group_id, group_size, is_keeper) — singleton
+    vectors form their own group with is_keeper = true."""
+    from trafik_etl_modular_spark.llmdata.dedup import connected_components
+
+    if assigned is None:
+        assigned, _ = ivf_index(
+            embeddings, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+        # Both legs of the within-cluster pair join read the assignment —
+        # materialize it once (at lake scale: the persisted ivf_bucket-
+        # partitioned layout plays this role).
+        assigned = assigned.localCheckpoint(eager=False)
+    pairs = near_dup_pairs_by_bucket(
+        assigned,
+        threshold=threshold,
+        bucket_col="ivf_bucket",
+        id_col=id_col,
+        vec_col="__vec",
+    ).localCheckpoint(eager=False)
+    cc = connected_components(pairs, "id_a", "id_b", n_partitions=8)
+    labeled = embeddings.select(F.col(id_col)).join(
+        cc.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    # Singletons (no near-dup pair) keep their own id as the group.
+    grouped = labeled.select(
+        F.col(id_col), F.coalesce("label", F.col(id_col)).alias("group_id")
+    )
+    sizes = grouped.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    return grouped.join(sizes, "group_id").select(
+        F.col(id_col),
+        "group_id",
+        "group_size",
+        (F.col(id_col) == F.col("group_id")).alias("is_keeper"),
+    )

@@ -876,6 +876,25 @@ def sim_neardup(spark, sf_dir):
     return near_dup_pairs_by_bucket(emb, threshold=0.4)
 
 
+@query("dedup_semantic_embeddings", sql=None, tags=("llmdata", "dedup", "similarity"))
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup: sample-trained k-means clusters
+    the embedding space, cosine-near-dup pairs within each learned
+    cluster only, connected components pick one keeper per duplicate
+    group (llmdata/similarity.py::semantic_dedup).  Runs over the
+    PERSISTED IVF assignment (the realistic pipeline — the corpus is
+    already clustered for retrieval; training is the build query's
+    job, not this one's).  K-means cell boundaries are
+    engine-specific → rows-only driver check; planted-duplicate
+    recovery is pinned in
+    tests/test_llmdata.py::test_semantic_dedup_planted_groups."""
+    from trafik_etl_modular_spark.llmdata.similarity import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    assigned, _, _ = _ivf_ensure_index(spark, sf_dir)
+    return semantic_dedup(emb, threshold=0.4, assigned=assigned).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
