@@ -119,3 +119,46 @@ def test_incremental_rollup_merge_identity(spark, sf_dir):
     full = {tuple(r) for r in aggregate_delta(ev, keys, "value").collect()}
     empty = aggregate_delta(ev.filter(F.lit(False)), keys, "value")
     assert {tuple(r) for r in merge_rollups(aggregate_delta(ev, keys, "value"), empty, keys).collect()} == full
+
+
+_word = st.sampled_from(["w0", "w1", "w2", "w3", "w4"])
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(_word, min_size=1, max_size=24).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=2, max_value=6),
+    stride=st.integers(min_value=1, max_value=4),
+)
+def test_crossdoc_chunk_stats_matches_reference(spark, texts, chunk, stride):
+    """crossdoc_chunk_stats equals a brute-force Python reference for
+    arbitrary (tiny-vocab) corpora, chunk sizes, and strides — tiny
+    vocab forces heavy cross-doc chunk collisions, the regime the
+    operator exists for."""
+    from trafik_etl_modular_spark.llmdata.dedup import crossdoc_chunk_stats
+
+    def ref_chunks(text: str) -> set[tuple[str, ...]]:
+        toks = text.split(" ")
+        n = max(len(toks) - (chunk - 1), 1)
+        return {tuple(toks[i : i + chunk]) for i in range(0, n, stride)}
+
+    per_doc = {i: ref_chunks(t) for i, t in enumerate(texts)}
+    from collections import Counter
+
+    cdf = Counter(c for s in per_doc.values() for c in s)
+    expect = {
+        i: (len(s), sum(1 for c in s if cdf[c] >= 2)) for i, s in per_doc.items()
+    }
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
+        for r in crossdoc_chunk_stats(docs, chunk=chunk, stride=stride).collect()
+    }
+    assert got == expect, (got, expect, texts)
