@@ -883,3 +883,36 @@ def test_semantic_dedup_planted_groups(spark):
         keepers = [i for i in ids if by_vec[i]["is_keeper"]]
         assert keepers == [g * 10]
         assert all(by_vec[i]["group_size"] == 3 for i in ids)
+
+
+def test_incremental_dedup_verdicts(spark):
+    """All three verdicts on a constructed batch: doc 100 is an exact
+    copy of corpus doc 1 (verdict exact_dup, matched to the corpus
+    keeper), doc 101 shares most shingles with corpus doc 2 (near_dup),
+    doc 102 is disjoint (novel)."""
+    from trafik_etl_modular_spark.llmdata.dedup import incremental_near_dups
+
+    c2 = "p q r s t u v w x y z"
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, c2),
+            (3, "m n o"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "a b c d e f g h i j"),   # exact copy of doc 1
+            (101, c2 + " extra"),            # superset of doc 2's shingles
+            (102, "k1 k2 k3 k4 k5 k6"),      # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["verdict"], r["matched_id"], r["n_near_matches"])
+        for r in incremental_near_dups(corpus, batch, threshold=0.6).collect()
+    }
+    assert out[100] == ("exact_dup", 1, 1)   # jaccard 1.0 also counts as near
+    assert out[101][0] == "near_dup" and out[101][1] == 2
+    assert out[102] == ("novel", None, 0)

@@ -328,6 +328,80 @@ def dedup_jaccard_prefix(spark, sf_dir):
     return ngram_jaccard_pairs_prefix(docs, k=3, threshold=0.6)
 
 
+_INCREMENTAL_SQL = """
+WITH batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+),
+bsh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS s
+  FROM batch
+),
+csh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS s
+  FROM csh_src
+),
+binv AS (SELECT doc_id, len(s) AS sz, UNNEST(s) AS shingle FROM bsh),
+cinv AS (SELECT doc_id, len(s) AS sz, UNNEST(s) AS shingle FROM csh),
+shared AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         ANY_VALUE(b.sz) AS sz_b, ANY_VALUE(c.sz) AS sz_c,
+         COUNT(*) AS n_shared
+  FROM binv b JOIN cinv c USING (shingle)
+  GROUP BY b.doc_id, c.doc_id
+),
+near AS (
+  SELECT batch_id, MIN(corpus_id) AS near_match_id,
+         COUNT(*) AS n_near_matches
+  FROM shared
+  WHERE CAST(n_shared AS DOUBLE) / (sz_b + sz_c - n_shared) >= 0.6
+  GROUP BY batch_id
+),
+chash AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS exact_match_id
+  FROM corpus GROUP BY 1
+)
+SELECT b.doc_id,
+       CASE WHEN chash.exact_match_id IS NOT NULL THEN 'exact_dup'
+            WHEN near.near_match_id IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS verdict,
+       COALESCE(chash.exact_match_id, near.near_match_id) AS matched_id,
+       COALESCE(near.n_near_matches, 0) AS n_near_matches
+FROM batch b
+LEFT JOIN chash ON md5(b.text) = chash.h
+LEFT JOIN near ON b.doc_id = near.batch_id
+"""
+# csh mirrors bsh over the corpus side
+_INCREMENTAL_SQL = _INCREMENTAL_SQL.replace("FROM csh_src", "FROM corpus")
+
+
+@query("dedup_incremental_batch", sql=_INCREMENTAL_SQL, tags=("llmdata", "dedup"))
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental dedup of a NEW crawl batch (doc_id % 10 = 0)
+    against the EXISTING corpus (the rest): exact content-hash
+    lookup, then asymmetric inverted-index Jaccard — pair volume
+    proportional to the batch, never corpus²
+    (llmdata/dedup.py::incremental_near_dups)."""
+    from trafik_etl_modular_spark.llmdata.dedup import incremental_near_dups
+
+    docs = t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_near_dups(corpus, batch, k=3, threshold=0.6)
+
+
 _CROSSDOC_CHUNK_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
