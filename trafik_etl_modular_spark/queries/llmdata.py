@@ -1145,6 +1145,74 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Unigram LM scoring — the distributable form of CCNet-style LM
+# quality filtering (Wenzek et al. 2020 filter by KenLM perplexity;
+# the self-trained unigram is its one-pass map-reduce proxy).  The
+# score is the doc's MEAN UNIGRAM PROBABILITY, computed log-free:
+# with a common denominator it is (Σ token_count) / (n · total) —
+# an INTEGER sum + one double division, so partition-parallel
+# aggregation order cannot perturb the value and the DuckDB oracle is
+# bit-exact (same trick as the tf-idf rarity score; exp/ln last-bit
+# rounding differs across engines, and perplexity ranking is monotone
+# in this score anyway).
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+cnt AS (
+  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+),
+total AS (
+  SELECT COUNT(*) AS total FROM toks
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(c.c) AS sum_token_count,
+       SUM(CASE WHEN c.c <= 2 THEN 1 ELSE 0 END) AS n_rare_tokens,
+       CAST(SUM(c.c) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * CAST(ANY_VALUE(total.total) AS DOUBLE))
+         AS mean_unigram_prob
+FROM toks t JOIN cnt c USING (term) CROSS JOIN total
+GROUP BY t.doc_id
+"""
+
+
+@query("text_unigram_lm_score", sql=_UNIGRAM_SQL, tags=("llmdata", "text"))
+def text_unigram_lm_score(spark, sf_dir):
+    """Self-trained unigram LM quality score per document: mean
+    unigram probability of the doc's tokens under the corpus unigram
+    distribution (low = rare-token-heavy = high-perplexity proxy),
+    plus the rare-token count (corpus count ≤ 2).  One token shuffle
+    to count, one to join counts back, per-doc integer aggregation —
+    the whole score is exact-integer until a single final division."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    cnt = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("total"))
+    per_doc = (
+        toks.join(cnt, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("c").alias("sum_token_count"),
+            F.sum((F.col("c") <= 2).cast("bigint")).alias("n_rare_tokens"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_token_count",
+        "n_rare_tokens",
+        (
+            F.col("sum_token_count").cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("total").cast("double"))
+        ).alias("mean_unigram_prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Decontamination / deterministic shuffle / quantile curation
 # ---------------------------------------------------------------------------
 
