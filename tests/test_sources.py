@@ -356,3 +356,29 @@ def test_landing_sink_two_phase_commit(spark, tmp_path):
     v0 = read_committed(spark, out_dir, as_of_batch=0)
     got = sorted(r.event_id for r in v0.collect())
     assert got in (list(range(10)), list(range(10, 20)))
+
+
+def test_export_training_shards_caps_and_roundtrips(spark, tmp_path):
+    """JSONL shard export: every shard file holds at most the cap,
+    the read-back content equals the input, and range ordering yields
+    contiguous shards."""
+    import glob
+    import json as _json
+
+    from trafik_etl_modular_spark.pipelines.sink import export_training_shards
+
+    df = spark.range(250).select(
+        F.col("id").alias("seq_id"), F.concat(F.lit("doc "), F.col("id")).alias("text")
+    )
+    path = str(tmp_path / "shards")
+    stats = export_training_shards(df, path, max_records_per_file=40)
+    assert stats["n_records"] == 250
+    assert stats["n_shards"] >= 7  # ceil(250/40) at minimum
+
+    seen = []
+    for f in sorted(glob.glob(path + "/part-*")):
+        with open(f) as fh:
+            rows = [_json.loads(line) for line in fh if line.strip()]
+        assert len(rows) <= 40
+        seen.extend(r["seq_id"] for r in rows)
+    assert sorted(seen) == list(range(250))

@@ -166,3 +166,43 @@ def conform_schema(df: DataFrame, ddl: str) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = 10_000,
+    order_col: str | None = None,
+    compression: str | None = None,
+) -> dict:
+    """Export a training dataset as size-capped JSONL shards — the
+    hand-off format for tokenizer/training jobs downstream of the
+    pack → materialize pipeline.
+
+    ``maxRecordsPerFile`` caps every shard WITHOUT a global count or
+    repartition pass: each write task rolls to a new file at the cap,
+    so the write stays one map-only stage at any corpus size (a
+    repartition-to-exact-shard-count formulation would add a full
+    shuffle of the payload for cosmetic shard numbering).  With
+    ``order_col`` the frame is range-partitioned on that column first
+    — shard files then hold contiguous key ranges (resumable,
+    skippable by range) at the cost of that one shuffle.
+
+    Returns {"n_shards": ..., "n_records": ...} for observability;
+    the record count is read back from the written files, so the
+    number reported is the number durably on disk."""
+    writer = df if order_col is None else df.repartitionByRange(F.col(order_col))
+    w = writer.write.mode("overwrite").option(
+        "maxRecordsPerFile", str(max_records_per_file)
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+    spark = df.sparkSession
+    written = spark.read.json(path)
+    import glob as _glob
+
+    n_shards = len(
+        [f for f in _glob.glob(os.path.join(path, "part-*")) if not f.endswith(".crc")]
+    )
+    return {"n_shards": n_shards, "n_records": written.count()}
