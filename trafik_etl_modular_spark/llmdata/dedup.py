@@ -162,6 +162,10 @@ def lsh_candidate_pairs(
             .filter(F.col("__rn") <= max_bucket_size)
             .drop("__rn")
         )
+    # Both self-join legs read the banded (and possibly capped) rows —
+    # materialize once instead of re-running the banding (and the cap
+    # window's sort) per leg (at lake scale: persist between stages).
+    banded = banded.localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -708,6 +712,10 @@ def simhash_candidate_pairs(
     multi-chunk-duplicate pairs to the ~100k that survive the bound
     (pigeonhole guarantees recall for max_hamming ≤ 3 with 4 chunks
     regardless)."""
+    # Both self-join legs read the signatures, and the signature agg
+    # (explode + 64 vote lanes) is the expensive stage — materialize
+    # it once instead of once per leg.
+    signed = signed.localCheckpoint(eager=False)
     chunked = signed.select(
         F.col(id_col),
         F.col("simhash"),
