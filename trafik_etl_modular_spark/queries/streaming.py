@@ -16,6 +16,7 @@ from trafik_etl_modular_spark.registry import query
 from trafik_etl_modular_spark.streaming.pipeline import (
     dedup_within_watermark,
     hourly_windowed_counts,
+    interval_joined_clicks_outer,
     interval_joined_purchases,
     sliding_windowed_counts,
     static_enriched_counts,
@@ -182,3 +183,30 @@ def streaming_interval_join(spark, sf_dir):
     Inner-join emissions are exactly the batch self-join rows, so the
     oracle is the equivalent batch interval self-join."""
     return interval_joined_purchases(spark, sf_dir)
+
+
+_INTERVAL_OUTER_SQL = f"""
+SELECT a.user_id AS user_id,
+       COUNT(*) AS n_rows,
+       COUNT(b.value) AS n_attributed,
+       {oracle_dsum('b.value', 2)} AS purchase_revenue
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') a
+LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.user_id
+"""
+
+
+@query(
+    "streaming_interval_join_outer",
+    sql=_INTERVAL_OUTER_SQL,
+    tags=("streaming", "join"),
+)
+def streaming_interval_join_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: unmatched clicks emit
+    null-padded rows once the watermark proves no purchase can still
+    arrive — the same watermark+range bound that evicts state also
+    makes absence definitive.  Completed-stream output equals the
+    batch LEFT JOIN, which is the oracle."""
+    return interval_joined_clicks_outer(spark, sf_dir)

@@ -39,7 +39,62 @@ def _stream_dir(sf_dir: str) -> str:
     return d
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sentinel_stream_dir(sf_dir: str) -> str:
+    """Events stream dir with a FINAL micro-batch of two
+    watermark-advancing sentinel rows (one per join side, negative
+    user ids, ts = max + 4h).  Outer stream-stream joins only emit
+    their null-padded rows when the watermark PROVES absence; a
+    stream that simply ends leaves the last window's unmatched rows
+    withheld in state.  The sentinel is the standard flush marker a
+    production feed emits at end-of-partition/close — here staged as
+    the mtime-last file so `maxFilesPerTrigger=1` delivers it as its
+    own closing batch."""
+    import hashlib
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = table_path(sf_dir, "events")
+    d = f"/tmp/trafik_stream_sent_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    tbl = pq.read_table(src, columns=["ts"])
+    max_ts = pc.max(tbl["ts"]).as_py()
+    from datetime import timedelta
+
+    sent_ts = max_ts + timedelta(hours=4)
+    schema = pq.read_schema(src)
+    rows = {
+        "event_id": [-1, -2],
+        "ts": [sent_ts, sent_ts],
+        "user_id": [-1, -2],
+        "event_type": ["click", "purchase"],
+        "value": [0.0, 0.0],
+        "props": ["", ""],
+    }
+    sent = pa.table(
+        {f.name: pa.array(rows[f.name], type=f.type) for f in schema},
+        schema=pa.schema([schema.field(i) for i in range(len(schema.names))]),
+    )
+    p = os.path.join(d, "zz_sentinel.parquet")
+    pq.write_table(sent, p)
+    now = _time.time()
+    os.utime(p, (now + 10, now + 10))  # strictly after the fixture file
+    open(done, "w").close()
+    return d
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, stream_dir: str | None = None
+) -> DataFrame:
     """File-source stream over the events fixture. maxFilesPerTrigger
     keeps micro-batches bounded; in production this is the Kafka /
     cloud-files source with the same downstream plan."""
@@ -54,7 +109,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("parquet")
         .schema(spark.read.parquet(table_path(sf_dir, "events")).schema)
         .option("maxFilesPerTrigger", "1")
-        .load(_stream_dir(sf_dir))
+        .load(stream_dir or _stream_dir(sf_dir))
     )
     if dict(raw.dtypes).get("ts") == "bigint":
         # Legacy nanos-as-long fixture: same conversion as
@@ -253,6 +308,65 @@ def interval_joined_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy(F.col("click_user").alias("user_id"))
         .agg(
             F.count("*").alias("n_pairs"),
+            dsum("purchase_value", 2).alias("purchase_revenue"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def interval_joined_clicks_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits —
+    matched rows eagerly, UNMATCHED clicks as null-padded rows once
+    the watermark passes click_ts + 1h and the engine can PROVE no
+    purchase can still arrive.  That proof obligation is the semantic
+    difference from the inner form: an outer result is only correct
+    because watermark + range bound make absence definitive, which is
+    also exactly what lets state be evicted (same bound as the inner
+    join).  availableNow runs a state-flush batch after the data is
+    exhausted, so the completed sink equals the batch LEFT JOIN — the
+    oracle checks precisely that."""
+    from trafik_etl_modular_spark.functions.scalars import dsum
+
+    ev = read_events_stream(
+        spark, sf_dir, stream_dir=_sentinel_stream_dir(sf_dir)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "click_user = purchase_user"
+            " AND purchase_ts >= click_ts"
+            " AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    )
+    out = _run_to_memory(pairs, "append")
+    return (
+        # user_id >= 0 drops the sentinel's own (withheld-or-emitted)
+        # row; real users are non-negative in the fixture and the
+        # sentinel is not data.
+        out.filter(F.col("click_user") >= 0)
+        .groupBy(F.col("click_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("purchase_value").alias("n_attributed"),
             dsum("purchase_value", 2).alias("purchase_revenue"),
         )
         .orderBy("user_id")
