@@ -18,6 +18,7 @@ from trafik_etl_modular_spark.streaming.pipeline import (
     hourly_windowed_counts,
     interval_joined_clicks_outer,
     interval_joined_purchases,
+    session_windowed_native,
     sliding_windowed_counts,
     static_enriched_counts,
     upsert_sink_run,
@@ -183,6 +184,47 @@ def streaming_interval_join(spark, sf_dir):
     Inner-join emissions are exactly the batch self-join rows, so the
     oracle is the equivalent batch interval self-join."""
     return interval_joined_purchases(spark, sf_dir)
+
+
+# Same island-SQL as the batch window_session_window_native oracle
+# (session_window's STRICT-< gap rule), emitted with NTZ bounds.
+_SESSION_STREAM_SQL = """
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) < 1800000000
+                THEN 0 ELSE 1 END AS is_new
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
+"""
+
+
+@query(
+    "streaming_session_window_native",
+    sql=_SESSION_STREAM_SQL,
+    tags=("streaming", "sessionize", "agg"),
+)
+def streaming_session_window_native(spark, sf_dir):
+    """Watermarked native session-window aggregation (Catalyst's
+    merging session state) driven to completion — append-mode rows
+    emit as the watermark closes each session, with the sentinel
+    flush batch closing the last ones.  The oracle is the batch
+    sessionization island SQL: the streaming session set must equal
+    it regardless of micro-batching."""
+    return session_windowed_native(spark, sf_dir)
 
 
 _INTERVAL_OUTER_SQL = f"""

@@ -314,6 +314,36 @@ def interval_joined_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_windowed_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING native session windows: `groupBy(session_window(ts,
+    gap), user_id)` with a watermark — Catalyst's merging session
+    state, the built-in alternative to the applyInPandasWithState
+    sessionizer for plain per-session aggregates.  Sessions merge as
+    events arrive and a session row is emitted (append mode) only
+    once the watermark passes its close — so the stream needs the
+    end-of-close sentinel batch (`_sentinel_stream_dir`) to flush the
+    final open sessions, exactly like the outer interval join.
+    Completed output equals the batch session_window aggregation."""
+    ev = read_events_stream(
+        spark, sf_dir, stream_dir=_sentinel_stream_dir(sf_dir)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    out = _run_to_memory(agg, "append")
+    # Drop the sentinel rows' own sessions — they are flush markers,
+    # not data (negative user ids never occur in the fixture).
+    return out.filter(F.col("user_id") >= 0)
+
+
 def interval_joined_clicks_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join: every click emits —
     matched rows eagerly, UNMATCHED clicks as null-padded rows once
