@@ -18,6 +18,7 @@ from trafik_etl_modular_spark.streaming.pipeline import (
     hourly_windowed_counts,
     interval_joined_clicks_outer,
     interval_joined_purchases,
+    joined_then_windowed,
     session_windowed_native,
     sliding_windowed_counts,
     static_enriched_counts,
@@ -184,6 +185,32 @@ def streaming_interval_join(spark, sf_dir):
     Inner-join emissions are exactly the batch self-join rows, so the
     oracle is the equivalent batch interval self-join."""
     return interval_joined_purchases(spark, sf_dir)
+
+
+_JOIN_WINDOW_SQL = """
+SELECT date_trunc('hour', a.ts) AS window_start,
+       COUNT(*) AS n_attributed
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') a
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
+@query(
+    "streaming_join_then_window",
+    sql=_JOIN_WINDOW_SQL,
+    tags=("streaming", "join", "agg"),
+)
+def streaming_join_then_window(spark, sf_dir):
+    """CHAINED stateful streaming operators — interval join feeding a
+    tumbling window aggregation in ONE query, with watermark
+    propagation through the join, on the RocksDB state store
+    (off-heap state + changelog checkpoint: the 100-TB state
+    configuration).  Completed output equals the batch join+group-by
+    oracle."""
+    return joined_then_windowed(spark, sf_dir)
 
 
 # Same island-SQL as the batch window_session_window_native oracle

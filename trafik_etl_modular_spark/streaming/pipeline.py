@@ -403,6 +403,69 @@ def interval_joined_clicks_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def joined_then_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query: stream-
+    stream interval join → tumbling event-time window aggregation,
+    with watermark propagation through the join (Spark 3.4+ multiple-
+    stateful-operator support; before that the second stateful op
+    required its own query epoch — the inner-join query's rollup
+    comment).  Runs on the RocksDB state store provider: join +
+    window state live off-heap/on-disk with changelog checkpointing,
+    the configuration that keeps 100-TB-scale state from competing
+    with execution memory (the default HDFS-backed store holds every
+    version in executor heap).  Output: purchases attributed to a
+    click, counted per click-hour window; completed stream equals the
+    batch join + group-by."""
+    ev = read_events_stream(
+        spark, sf_dir, stream_dir=_sentinel_stream_dir(sf_dir)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "click_user = purchase_user"
+            " AND purchase_ts >= click_ts"
+            " AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    agg = (
+        pairs.groupBy(F.window("click_ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_attributed"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_attributed",
+        )
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = _run_to_memory(agg, "append")
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    # The sentinel click is unmatched (no sentinel purchase shares its
+    # user), so no sentinel-derived window row exists — but filter on
+    # the fixture's time domain defensively anyway.
+    return out.filter(F.col("n_attributed") > 0)
+
+
 def upsert_sink_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch keyed upsert: every micro-batch MERGEs into the
     accumulated state with latest-wins on (entity_id) — the
