@@ -266,6 +266,8 @@ def ivf_index(
         .select("__vec")
         .collect()
     )
+    if not sample_rows:
+        raise ValueError("ivf_index: cannot train a quantizer on an empty corpus")
     x = np.array([r["__vec"] for r in sample_rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0, 1.0, norms)

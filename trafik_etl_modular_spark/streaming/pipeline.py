@@ -86,8 +86,10 @@ def _sentinel_stream_dir(sf_dir: str) -> str:
     )
     p = os.path.join(d, "zz_sentinel.parquet")
     pq.write_table(sent, p)
-    now = _time.time()
-    os.utime(p, (now + 10, now + 10))  # strictly after the fixture file
+    # Strictly after the fixture file even under clock skew (a
+    # just-generated fixture can carry an mtime ahead of now).
+    after = max(_time.time(), os.path.getmtime(src) + 1) + 10
+    os.utime(p, (after, after))
     open(done, "w").close()
     return d
 
