@@ -477,11 +477,15 @@ def test_connected_components_handcrafted(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (7, 9)], ["id_a", "id_b"]
     )
-    got = {
-        (r["id"], r["label"])
-        for r in connected_components(edges).collect()
-    }
-    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (9, 7)}
+    # Both strategy paths must produce identical labels: the driver
+    # union-find (size-gated default) and the distributed loop
+    # (forced with driver_threshold=0).
+    for thr in (100_000, 0):
+        got = {
+            (r["id"], r["label"])
+            for r in connected_components(edges, driver_threshold=thr).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (9, 7)}, thr
 
 
 def test_connected_components_path_graph_converges(spark):
@@ -494,7 +498,9 @@ def test_connected_components_path_graph_converges(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
     )
-    labels = connected_components(edges, max_iter=10).collect()
+    # driver_threshold=0 forces the DISTRIBUTED loop — this test pins
+    # the pointer-jumping round bound, not the union-find fast path.
+    labels = connected_components(edges, max_iter=10, driver_threshold=0).collect()
     assert {r["label"] for r in labels} == {0}
     assert len(labels) == n + 1
 

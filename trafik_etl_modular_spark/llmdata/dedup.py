@@ -588,6 +588,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 30,
     n_partitions: int | None = None,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
     components by iterative min-label propagation with pointer
@@ -621,12 +622,52 @@ def connected_components(
     the loop gets its own parallelism — inheriting the corpus-sized
     shuffle width makes every tiny round pay full task-scheduling
     overhead.  Default: cluster parallelism.
+
+    `driver_threshold`: SIZE-GATED strategy switch, the same call
+    engines make between broadcast and shuffle joins.  A near-dup
+    edge set ≤ the threshold (100k edges ≈ a few MB) resolves faster
+    with a driver-side union-find than with 2+ distributed rounds of
+    join+agg+checkpoint — each round is several jobs of pure
+    scheduling overhead at that size.  Labels are identical (min id
+    per component, path-compressed union by min), so callers and
+    oracles can't tell which path ran; above the threshold the
+    distributed pointer-jumping loop below is the only shape that
+    scales.  Pass 0 to force the distributed path (tests do).
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     if n_partitions:
         sym = sym.repartition(n_partitions, "v")
     sym = sym.localCheckpoint(eager=False)
+
+    if driver_threshold:
+        # limit(threshold+1) bounds the driver read — if the full
+        # threshold+1 rows come back the graph is "large" and nothing
+        # further is collected.
+        head = e.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            parent: dict = {}
+
+            def find(a):
+                r = a
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(a, a) != a:  # path compression
+                    parent[a], a = r, parent[a]
+                return r
+
+            for row in head:
+                ra, rb = find(row["u"]), find(row["v"])
+                if ra != rb:
+                    # union by MIN so the root IS the canonical label
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            nodes = set(parent)
+            for row in head:
+                nodes.add(row["u"])
+                nodes.add(row["v"])
+            rows = [(n, find(n)) for n in sorted(nodes)]
+            return edges.sparkSession.createDataFrame(rows, "id long, label long")
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
