@@ -162,3 +162,62 @@ def test_crossdoc_chunk_stats_matches_reference(spark, texts, chunk, stride):
         for r in crossdoc_chunk_stats(docs, chunk=chunk, stride=stride).collect()
     }
     assert got == expect, (got, expect, texts)
+
+
+@_SETTINGS
+@given(
+    corpus=st.lists(
+        st.lists(_word, min_size=1, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    batch=st.lists(
+        st.lists(_word, min_size=1, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_incremental_dedup_matches_reference(spark, corpus, batch):
+    """incremental_near_dups verdicts equal a brute-force Python
+    reference (exact hash + 3-shingle Jaccard ≥ 0.6 vs every corpus
+    doc) on arbitrary tiny-vocab corpora — the collision-heavy regime
+    where precedence (exact > near > novel) and the min-qualifying-id
+    tiebreak actually get exercised."""
+    from trafik_etl_modular_spark.llmdata.dedup import incremental_near_dups
+
+    def sh(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    cdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    expect = {}
+    for bi, bt in enumerate(batch):
+        bid = 100 + bi
+        exact = min((ci for ci, ct in enumerate(corpus) if ct == bt), default=None)
+        near = []
+        bs = sh(bt)
+        for ci, ct in enumerate(corpus):
+            cs = sh(ct)
+            if not bs and not cs:
+                continue  # both shingle-less: no inverted-index pairing
+            inter = len(bs & cs)
+            union = len(bs) + len(cs) - inter
+            if union > 0 and inter / union >= 0.6:
+                near.append(ci)
+        if exact is not None:
+            expect[bid] = ("exact_dup", exact, len(near))
+        elif near:
+            expect[bid] = ("near_dup", min(near), len(near))
+        else:
+            expect[bid] = ("novel", None, 0)
+
+    got = {
+        r["doc_id"]: (r["verdict"], r["matched_id"], r["n_near_matches"])
+        for r in incremental_near_dups(cdf, bdf, k=3, threshold=0.6).collect()
+    }
+    assert got == expect, (got, expect, corpus, batch)
