@@ -382,3 +382,28 @@ def test_export_training_shards_caps_and_roundtrips(spark, tmp_path):
         assert len(rows) <= 40
         seen.extend(r["seq_id"] for r in rows)
     assert sorted(seen) == list(range(250))
+
+
+def test_export_training_shards_range_ordered(spark, tmp_path):
+    """With order_col, shard files hold contiguous key ranges: the
+    per-file id intervals must not overlap."""
+    import glob
+    import json as _json
+
+    from trafik_etl_modular_spark.pipelines.sink import export_training_shards
+
+    df = spark.range(300).select(F.col("id").alias("seq_id"))
+    path = str(tmp_path / "ordered_shards")
+    stats = export_training_shards(
+        df, path, max_records_per_file=50, order_col="seq_id"
+    )
+    assert stats["n_records"] == 300
+    intervals = []
+    for f in glob.glob(path + "/part-*"):
+        with open(f) as fh:
+            ids = [_json.loads(line)["seq_id"] for line in fh if line.strip()]
+        if ids:
+            intervals.append((min(ids), max(ids)))
+    intervals.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(intervals, intervals[1:]):
+        assert a_hi < b_lo, intervals
