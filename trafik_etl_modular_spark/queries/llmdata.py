@@ -645,6 +645,100 @@ def curation_pipeline(spark, sf_dir):
     )
 
 
+_CURATION_V2_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+total AS (SELECT COUNT(*) AS total FROM toks),
+uni AS (
+  SELECT t.doc_id,
+         CAST(SUM(c.c) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * CAST(ANY_VALUE(total.total) AS DOUBLE))
+           AS mean_p
+  FROM toks t JOIN cnt c USING (term) CROSS JOIN total
+  GROUP BY t.doc_id
+),
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+postings AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+9], ' ') AS chunk FROM (
+    SELECT doc_id, t, UNNEST(range(1, greatest(len(t) - 9, 1) + 1, 5)) AS i
+    FROM tk
+  )
+),
+cdf2 AS (SELECT chunk, COUNT(*) AS chunk_df FROM postings GROUP BY chunk),
+chunkstats AS (
+  SELECT p.doc_id,
+         CAST(SUM(CASE WHEN c.chunk_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS dupf
+  FROM postings p JOIN cdf2 c USING (chunk)
+  GROUP BY p.doc_id
+),
+keepable AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN uni USING (doc_id) JOIN chunkstats USING (doc_id)
+  WHERE uni.mean_p >= CAST(0.033 AS DOUBLE)
+    AND chunkstats.dupf <= CAST(0.5 AS DOUBLE)
+),
+kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM keepable
+  ) WHERE rn = 1
+)
+SELECT CASE WHEN {_BUCKET} < 900 THEN 'train'
+            WHEN {_BUCKET} < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM kept GROUP BY 1
+"""
+
+
+@query("curation_pipeline_v2", sql=_CURATION_V2_SQL, tags=("llmdata", "pipeline"))
+def curation_pipeline_v2(spark, sf_dir):
+    """Round-3 curation capstone, still ONE declarative plan:
+    corpus-trained unigram-LM quality floor (mean unigram prob ≥
+    0.033 — the CCNet-style perplexity filter's proxy) → cross-doc
+    repeated-chunk cap (≤ 50% of a doc's 10-token windows shared with
+    other docs) → exact dedup keep-min-id → deterministic split
+    manifest.  Both score tables come from the same corpus being
+    filtered (self-trained statistics, two hash shuffles each) and
+    Catalyst stitches filter+join+window+agg into a single plan — no
+    materialization between 'steps'."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    uni = (
+        text_unigram_lm_score(spark, sf_dir)
+        .select("doc_id", F.col("mean_unigram_prob").alias("mean_p"))
+    )
+    chunks = crossdoc_chunk_stats(docs, chunk=10, stride=5).select(
+        "doc_id", F.col("dup_chunk_fraction").alias("dupf")
+    )
+    keepable = (
+        docs.join(uni, "doc_id")
+        .join(chunks, "doc_id")
+        .filter((F.col("mean_p") >= 0.033) & (F.col("dupf") <= 0.5))
+        .select("doc_id", "text")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        keepable.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        assign_split(kept, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("text").cast("long")).alias("n_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / packing
 # ---------------------------------------------------------------------------
