@@ -347,6 +347,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "sim_topk_cosine_bruteforce",  # single probe vector
         "text_tfidf_top_terms",  # corpus-size N row
         "text_unigram_lm_score",  # corpus token-count total row
+        "curation_pipeline_v2",  # composes the unigram score's total row
         "tpch_q11_important_stock",  # global-fraction scalar
         "tpch_q22_dormant_customers",  # global avg scalar
     }
