@@ -97,3 +97,106 @@ def dq_expectations_report(spark, sf_dir):
         return stacked.select("kv.metric", "kv.value")
 
     return tall(o).unionByName(tall(l)).unionByName(tall(orphans)).orderBy("metric")
+
+
+_PROFILE_SQL = """
+SELECT 'o_custkey' AS column_name,
+       COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_nulls,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderdate',
+       COUNT(*) FILTER (WHERE o_orderdate IS NULL),
+       COUNT(DISTINCT o_orderdate),
+       strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+FROM orders
+UNION ALL
+SELECT 'o_orderkey',
+       COUNT(*) FILTER (WHERE o_orderkey IS NULL),
+       COUNT(DISTINCT o_orderkey),
+       CAST(MIN(o_orderkey) AS VARCHAR),
+       CAST(MAX(o_orderkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       COUNT(*) FILTER (WHERE o_orderpriority IS NULL),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority),
+       MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       COUNT(*) FILTER (WHERE o_orderstatus IS NULL),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus),
+       MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       COUNT(*) FILTER (WHERE o_totalprice IS NULL),
+       COUNT(DISTINCT o_totalprice),
+       CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+       CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+FROM orders
+ORDER BY column_name
+"""
+
+
+@query("dq_profile_columns", sql=_PROFILE_SQL, tags=("quality", "agg"))
+def dq_profile_columns(spark, sf_dir):
+    """ANALYZE-style column profile of `orders` — null count, EXACT
+    distinct count, and canonical-string min/max per column, computed
+    in ONE aggregation pass (the multi-distinct agg plans a single
+    scan + Expand, not one scan per column; approx profiles swap
+    countDistinct for approx_count_distinct and drop the Expand).
+    Min/max are canonicalized per type (bigint/string direct,
+    timestamp formatted, double via DECIMAL(18,2)) so the tall
+    (column, metrics) frame is engine-comparable."""
+    o = t(spark, sf_dir, "orders")
+
+    def nulls(c):
+        return F.count(F.when(F.col(c).isNull(), F.lit(1)))
+
+    specs = {
+        "o_orderkey": (F.min("o_orderkey").cast("string"), F.max("o_orderkey").cast("string")),
+        "o_custkey": (F.min("o_custkey").cast("string"), F.max("o_custkey").cast("string")),
+        "o_orderstatus": (F.min("o_orderstatus"), F.max("o_orderstatus")),
+        "o_totalprice": (
+            F.min("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.max("o_totalprice").cast("decimal(18,2)").cast("string"),
+        ),
+        "o_orderdate": (
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+        ),
+        "o_orderpriority": (F.min("o_orderpriority"), F.max("o_orderpriority")),
+    }
+    aggs = []
+    for c, (mn, mx) in specs.items():
+        aggs += [
+            nulls(c).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+                F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in specs
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("kv"))
+        .select("kv.column_name", "kv.n_nulls", "kv.n_distinct", "kv.min_value", "kv.max_value")
+        .orderBy("column_name")
+    )
