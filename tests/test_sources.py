@@ -407,3 +407,65 @@ def test_export_training_shards_range_ordered(spark, tmp_path):
     intervals.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(intervals, intervals[1:]):
         assert a_hi < b_lo, intervals
+
+
+def test_landing_zone_vacuum_retention(spark, tmp_path):
+    """VACUUM keeps the newest N batches readable, removes superseded
+    manifests + their now-unreferenced files, reclaims stale orphans,
+    and spares young orphans (in-flight commit protection)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.sources.landing_sink import (
+        read_committed,
+        register_landing_sink,
+        vacuum_landing_zone,
+    )
+
+    register_landing_sink(spark)
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "landing")
+    for i in range(3):
+        pq.write_table(
+            pa.table({"event_id": list(range(i * 10, i * 10 + 10))}),
+            str(src_dir / f"part{i}.parquet"),
+        )
+    q = (
+        spark.readStream.schema("event_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+        .writeStream.format("landing_zone")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    # plant one STALE orphan (no manifest references it) and one
+    # YOUNG orphan (inside the grace period)
+    stale = os.path.join(out_dir, "task-deadbeef.parquet")
+    young = os.path.join(out_dir, "task-cafebabe.parquet")
+    for p in (stale, young):
+        pq.write_table(pa.table({"event_id": [999]}), p)
+    os.utime(stale, (time.time() - 7200, time.time() - 7200))
+
+    stats = vacuum_landing_zone(out_dir, keep_batches=1, orphan_grace_s=3600)
+    assert stats["removed_manifests"] == 2
+    assert stats["removed_files"] == 2          # batches 0 and 1, one file each
+    assert stats["removed_orphans"] == 1        # stale only
+    assert stats["kept_batches"] == 1
+    assert os.path.exists(young) and not os.path.exists(stale)
+
+    # latest batch still reads; retained window holds exactly ONE
+    # batch's decade of rows (source-file batch order is mtime-based
+    # and not deterministic across runs)
+    got = sorted(r["event_id"] for r in read_committed(spark, out_dir).collect())
+    assert len(got) == 10 and got == list(range(got[0], got[0] + 10))

@@ -129,3 +129,75 @@ def read_committed(
     if not files:
         raise ValueError(f"no committed batches under {path}")
     return spark.read.parquet(*files)
+
+
+def vacuum_landing_zone(
+    path: str, keep_batches: int = 2, orphan_grace_s: float = 3600.0
+) -> dict:
+    """Retention for the landing zone — the VACUUM half of the
+    manifest-log lifecycle.  Two kinds of garbage accumulate:
+
+      * SUPERSEDED HISTORY: manifests (and the task files only they
+        reference) older than the newest ``keep_batches`` batches.
+        Dropping them bounds the time-travel window, exactly the
+        trade Delta's VACUUM makes — snapshot reads older than the
+        retained window stop working, current reads are untouched.
+      * ORPHANS: task files no manifest references (crashed executors
+        whose batch aborted before `abort()` ran).  They are already
+        invisible to readers; deletion is pure space reclamation.
+        ``orphan_grace_s`` protects files younger than the grace
+        period — they may belong to a batch whose manifest commit is
+        IN FLIGHT (task files land before the driver publishes).
+
+    Driver-local metadata work (a directory listing + json reads, no
+    Spark job), same as manifest commit itself.  Returns counts for
+    observability."""
+    manifests = sorted(f for f in os.listdir(path) if f.endswith(".manifest"))
+    keep = set(manifests[-keep_batches:]) if keep_batches > 0 else set()
+    # Pre-pass: collect every file a KEPT manifest references, so a
+    # file shared across batches can never be deleted while a live
+    # manifest still points at it (task files are uuid-per-batch
+    # today, but correctness must not depend on that).
+    referenced_kept: set[str] = set()
+    for mf in keep:
+        with open(os.path.join(path, mf)) as fh:
+            referenced_kept.update(json.load(fh)["files"])
+    removed_manifests = removed_files = removed_orphans = 0
+    for mf in manifests:
+        if mf in keep:
+            continue
+        with open(os.path.join(path, mf)) as fh:
+            files = json.load(fh)["files"]
+        # retire the manifest FIRST so a concurrent reader can never
+        # see a manifest whose files are already gone
+        os.remove(os.path.join(path, mf))
+        removed_manifests += 1
+        for f in files:
+            if f in referenced_kept:
+                continue
+            try:
+                os.remove(os.path.join(path, f))
+                removed_files += 1
+            except FileNotFoundError:
+                pass
+    import time as _time
+
+    now = _time.time()
+    data_files = {
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and f.startswith("task-")
+    }
+    for f in sorted(data_files - referenced_kept):
+        fp = os.path.join(path, f)
+        try:
+            if now - os.path.getmtime(fp) >= orphan_grace_s:
+                os.remove(fp)
+                removed_orphans += 1
+        except FileNotFoundError:
+            pass
+    return {
+        "removed_manifests": removed_manifests,
+        "removed_files": removed_files,
+        "removed_orphans": removed_orphans,
+        "kept_batches": len(keep),
+    }
