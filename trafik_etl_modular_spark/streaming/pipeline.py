@@ -252,6 +252,48 @@ def static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def _click_purchase_streams(
+    spark: SparkSession, sf_dir: str, sentinel: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """The two watermarked sides every interval-join variant shares:
+    clicks (click_user, click_ts, click_id) and purchases
+    (purchase_user, purchase_ts, purchase_value), both with 2-hour
+    watermarks.  ``sentinel`` reads the flush-marker staging dir —
+    required by any variant whose emission waits on watermark PROOF
+    (outer join, chained window agg)."""
+    ev = read_events_stream(
+        spark,
+        sf_dir,
+        stream_dir=_sentinel_stream_dir(sf_dir) if sentinel else None,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return clicks, purchases
+
+
+_INTERVAL_COND = (
+    "click_user = purchase_user"
+    " AND purchase_ts >= click_ts"
+    " AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+)
+
+
 def interval_joined_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream INNER join with an event-time interval condition:
     clicks joined to purchases by the same user within the following
@@ -274,37 +316,8 @@ def interval_joined_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from trafik_etl_modular_spark.functions.scalars import dsum
 
-    # TIMESTAMP cast for the two watermark clocks (session tz UTC —
-    # value-preserving); neither ts column reaches the output.
-    ev = read_events_stream(spark, sf_dir).withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("click_user"),
-            F.col("ts").alias("click_ts"),
-            F.col("event_id").alias("click_id"),
-        )
-        .withWatermark("click_ts", "2 hours")
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("purchase_user"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", "2 hours")
-    )
-    pairs = clicks.join(
-        purchases,
-        F.expr(
-            "click_user = purchase_user"
-            " AND purchase_ts >= click_ts"
-            " AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
-        ),
-    )
+    clicks, purchases = _click_purchase_streams(spark, sf_dir)
+    pairs = clicks.join(purchases, F.expr(_INTERVAL_COND))
     out = _run_to_memory(pairs, "append")
     return (
         out.groupBy(F.col("click_user").alias("user_id"))
@@ -359,36 +372,8 @@ def interval_joined_clicks_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks precisely that."""
     from trafik_etl_modular_spark.functions.scalars import dsum
 
-    ev = read_events_stream(
-        spark, sf_dir, stream_dir=_sentinel_stream_dir(sf_dir)
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("click_user"),
-            F.col("ts").alias("click_ts"),
-            F.col("event_id").alias("click_id"),
-        )
-        .withWatermark("click_ts", "2 hours")
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("purchase_user"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", "2 hours")
-    )
-    pairs = clicks.join(
-        purchases,
-        F.expr(
-            "click_user = purchase_user"
-            " AND purchase_ts >= click_ts"
-            " AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
-        ),
-        "leftOuter",
-    )
+    clicks, purchases = _click_purchase_streams(spark, sf_dir, sentinel=True)
+    pairs = clicks.join(purchases, F.expr(_INTERVAL_COND), "leftOuter")
     out = _run_to_memory(pairs, "append")
     return (
         # user_id >= 0 drops the sentinel's own (withheld-or-emitted)
@@ -418,30 +403,8 @@ def joined_then_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     version in executor heap).  Output: purchases attributed to a
     click, counted per click-hour window; completed stream equals the
     batch join + group-by."""
-    ev = read_events_stream(
-        spark, sf_dir, stream_dir=_sentinel_stream_dir(sf_dir)
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("click_user"), F.col("ts").alias("click_ts"))
-        .withWatermark("click_ts", "2 hours")
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("purchase_user"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "2 hours")
-    )
-    pairs = clicks.join(
-        purchases,
-        F.expr(
-            "click_user = purchase_user"
-            " AND purchase_ts >= click_ts"
-            " AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
-        ),
-    )
+    clicks, purchases = _click_purchase_streams(spark, sf_dir, sentinel=True)
+    pairs = clicks.join(purchases, F.expr(_INTERVAL_COND))
     agg = (
         pairs.groupBy(F.window("click_ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n_attributed"))
