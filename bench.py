@@ -28,6 +28,68 @@ from trafik_etl_modular_spark import get_spark  # noqa: E402
 from trafik_etl_modular_spark.registry import REGISTRY, _load_all  # noqa: E402
 
 
+def _write_local_artifact(
+    sf: float | None,
+    timings: dict[str, float],
+    errors: dict[str, str],
+    total: float,
+    n_reruns: int,
+    path: str | None = None,
+) -> None:
+    """Persist the FULL per-query record to BENCH_LOCAL.json.
+
+    The driver keeps only the last 2000 chars of stdout, which at 131
+    queries preserves roughly the last 60 per-query timings — so
+    round-over-round regression analysis on the rest was impossible
+    from the repo alone.  This committed artifact carries every
+    per-query time plus the delta ratio vs the previous run at the
+    same scale factor (previous run's numbers are kept under "prev"
+    so one file is enough to rebuild the comparison table).
+    Best-effort: an unwritable repo dir must never fail the bench.
+    """
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        if not isinstance(doc, dict):
+            doc = {}
+    except Exception:  # noqa: BLE001 — first run or corrupt file
+        doc = {}
+    key = f"sf{sf}" if sf is not None else "sf?"
+    prev = doc.get(key)
+    record = {
+        "metric": "total_wall_sec_all_queries",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_reruns": n_reruns,
+        "unit": "sec",
+        "value": round(total, 3),
+        "queries": timings,
+    }
+    if errors:
+        record["errors"] = errors
+    if isinstance(prev, dict) and isinstance(prev.get("queries"), dict):
+        prev_q = prev["queries"]
+        record["prev"] = {
+            "value": prev.get("value"),
+            "n_queries": prev.get("n_queries"),
+            "queries": prev_q,
+        }
+        record["delta_ratio"] = {
+            n: round(t / prev_q[n], 3)
+            for n, t in timings.items()
+            if n in prev_q and prev_q[n] > 0
+        }
+    doc[key] = record
+    try:
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -160,6 +222,7 @@ def main() -> int:
         "value": round(total, 3),
     })
     print(json.dumps(out))
+    _write_local_artifact(sf, timings, errors, total, len(rerun))
     # Guaranteed-parseable short summary line as a fallback for
     # tail-truncating consumers that parse line-by-line.
     print(json.dumps({

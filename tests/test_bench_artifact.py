@@ -1,0 +1,39 @@
+"""BENCH_LOCAL.json artifact: full per-query record with
+delta-vs-previous, keyed by scale factor (round-3 verdict ask #2 —
+the driver's 2000-char stdout tail keeps only ~60 of 131 per-query
+timings, so the committed artifact is the only complete
+round-over-round record)."""
+
+from __future__ import annotations
+
+import json
+
+from bench import _write_local_artifact
+
+
+def test_artifact_first_run_and_delta(tmp_path):
+    path = str(tmp_path / "BENCH_LOCAL.json")
+    _write_local_artifact(0.1, {"q1": 1.0, "q2": 2.0}, {}, 3.0, 0, path=path)
+    doc = json.loads(open(path).read())
+    rec = doc["sf0.1"]
+    assert rec["queries"] == {"q1": 1.0, "q2": 2.0}
+    assert rec["value"] == 3.0
+    assert "prev" not in rec
+
+    # second run at the same sf: deltas vs previous, prev retained
+    _write_local_artifact(0.1, {"q1": 2.0, "q3": 5.0}, {}, 7.0, 1, path=path)
+    rec = json.loads(open(path).read())["sf0.1"]
+    assert rec["prev"]["queries"] == {"q1": 1.0, "q2": 2.0}
+    assert rec["delta_ratio"] == {"q1": 2.0}  # q3 is new, q2 gone
+
+
+def test_artifact_sf_keys_do_not_clobber(tmp_path):
+    path = str(tmp_path / "BENCH_LOCAL.json")
+    _write_local_artifact(0.1, {"q1": 1.0}, {}, 1.0, 0, path=path)
+    _write_local_artifact(0.01, {"q1": 0.5}, {"error:qx": "boom"}, 0.5, 0, path=path)
+    doc = json.loads(open(path).read())
+    assert set(doc) == {"sf0.1", "sf0.01"}
+    assert doc["sf0.1"]["queries"] == {"q1": 1.0}
+    assert doc["sf0.01"]["errors"] == {"error:qx": "boom"}
+    # a cross-sf run never produces deltas against the other sf
+    assert "prev" not in doc["sf0.01"]

