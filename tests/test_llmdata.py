@@ -488,6 +488,33 @@ def test_connected_components_handcrafted(spark):
         assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (9, 7)}, thr
 
 
+def test_connected_components_string_ids_schema_parity(spark):
+    """Both strategy paths must return IDENTICAL schemas for any id
+    type (advisor r3: the union-find fast path hardcoded
+    'id long, label long', crashing/diverging on string doc ids)."""
+    from trafik_etl_modular_spark.llmdata.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        ["id_a", "id_b"],
+    )
+    results = {}
+    for thr in (100_000, 0):
+        df = connected_components(edges, driver_threshold=thr)
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "string",
+            "string",
+        ], thr
+        results[thr] = {(r["id"], r["label"]) for r in df.collect()}
+    assert results[100_000] == results[0] == {
+        ("doc-a", "doc-a"),
+        ("doc-b", "doc-a"),
+        ("doc-c", "doc-a"),
+        ("doc-x", "doc-x"),
+        ("doc-y", "doc-x"),
+    }
+
+
 def test_connected_components_path_graph_converges(spark):
     """A 64-node path is the worst case for plain one-hop propagation
     (63 rounds); pointer jumping must resolve it within max_iter=10
@@ -611,6 +638,26 @@ def test_grouped_map_matches_native_window(spark, sf_dir):
         for r in docs.withColumn("pr", F.percent_rank().over(w)).collect()
     }
     assert arrow == native
+
+
+def test_kmeans_empty_cluster_repair_distinct_seeds():
+    """Simultaneously-empty clusters must reseed to DISTINCT points
+    (advisor r3: reseeding them all to the single farthest point left
+    duplicate centroids → permanently empty IVF buckets).  40 copies
+    of one vector + 4 singletons forces multi-empty repair whenever
+    init draws ≥3 copies — which happens for most seeds; all 5
+    centers must come out pairwise distinct within 3 iterations."""
+    import numpy as np
+
+    from trafik_etl_modular_spark.llmdata.similarity import _train_unit_kmeans
+
+    eye = np.eye(5)
+    x = np.vstack([np.repeat(eye[:1], 40, axis=0), eye[1:]])
+    for seed in range(40):
+        c = _train_unit_kmeans(x, 5, seed, max_iter=3)
+        gram = c @ c.T
+        off_diag = gram - np.diag(gram.diagonal())
+        assert not np.any(off_diag > 0.99), f"duplicate centroids, seed={seed}"
 
 
 def test_ivf_full_probe_equals_brute_force(spark, sf_dir):

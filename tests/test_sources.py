@@ -384,6 +384,17 @@ def test_export_training_shards_caps_and_roundtrips(spark, tmp_path):
     assert sorted(seen) == list(range(250))
 
 
+def test_export_training_shards_empty_input(spark, tmp_path):
+    """An empty input (e.g. a fully-filtered curation run) must report
+    0 shards / 0 records, not crash the read-back (advisor r3: zero
+    part files made a schema-inferring spark.read.json throw)."""
+    from trafik_etl_modular_spark.pipelines.sink import export_training_shards
+
+    df = spark.range(10).filter("id < 0").select(F.col("id").alias("seq_id"))
+    stats = export_training_shards(df, str(tmp_path / "empty_shards"))
+    assert stats == {"n_shards": 0, "n_records": 0}
+
+
 def test_export_training_shards_range_ordered(spark, tmp_path):
     """With order_col, shard files hold contiguous key ranges: the
     per-file id intervals must not overlap."""
@@ -469,3 +480,55 @@ def test_landing_zone_vacuum_retention(spark, tmp_path):
     # and not deterministic across runs)
     got = sorted(r["event_id"] for r in read_committed(spark, out_dir).collect())
     assert len(got) == 10 and got == list(range(got[0], got[0] + 10))
+
+
+def test_sentinel_stream_dir_invalidates_on_fixture_change(tmp_path):
+    """The sentinel stream dir is cached on disk; its key must
+    identify the fixture CONTENT, not just the path (advisor r3: a
+    regenerated fixture at the same path with later timestamps reused
+    a stale sentinel whose ts no longer advanced the watermark past
+    the new data)."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.streaming.pipeline import _sentinel_stream_dir
+
+    sf_dir = str(tmp_path)
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def write_fixture(base_ts):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], type=pa.int64()),
+                "ts": pa.array(
+                    [base_ts, base_ts + timedelta(minutes=5)],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([10, 20], type=pa.int64()),
+                "event_type": pa.array(["click", "purchase"]),
+                "value": pa.array([1.0, 2.0]),
+                "props": pa.array(["", ""]),
+            }
+        )
+        pq.write_table(tbl, src)
+
+    write_fixture(datetime(2024, 1, 1))
+    d1 = _sentinel_stream_dir(sf_dir)
+    sent1 = pq.read_table(os.path.join(d1, "zz_sentinel.parquet"))
+    ts1 = max(sent1["ts"].to_pylist())
+
+    # regenerate the fixture at the SAME path with LATER timestamps
+    # (force a different mtime even on coarse-granularity filesystems)
+    write_fixture(datetime(2030, 6, 1))
+    os.utime(src, (time.time() + 5, time.time() + 5))
+    d2 = _sentinel_stream_dir(sf_dir)
+    sent2 = pq.read_table(os.path.join(d2, "zz_sentinel.parquet"))
+    ts2 = max(sent2["ts"].to_pylist())
+
+    assert d2 != d1, "regenerated fixture must get a fresh sentinel dir"
+    assert ts2 > datetime(2030, 6, 1), "sentinel must advance past the NEW max ts"
+    assert ts1 < datetime(2025, 1, 1)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def shingles(text: Column | str, k: int = 3) -> Column:
@@ -609,13 +610,14 @@ def connected_components(
     is localCheckpoint'd to truncate lineage (at lake scale: persist
     labels between rounds).
 
-    Convergence is certified by the LABEL SUM, not a diff join: both
-    the neighbor-min and the pointer jump are monotone non-increasing
-    per node, so the sum of labels strictly decreases every round that
-    changes anything and a fixpoint is exactly "sum unchanged".  The
-    per-round check therefore costs one aggregate over the
-    just-materialized labels instead of a self-join + count (the sum
-    is taken in DECIMAL(38,0) so it cannot overflow at any id scale).
+    Convergence is certified by a CHANGED-LABEL COUNT carried through
+    the round's own aggregate, not a diff join: each node's previous
+    label rides along the min-aggregation (tagged union, one
+    conditional min), so "did anything change" is a single filter
+    count over the just-materialized round output — no self-join
+    against the previous iteration, and fully type-generic (string
+    doc ids work; an earlier DECIMAL label-sum certificate could only
+    certify numeric ids).
 
     `n_partitions`: the edge set is typically orders of magnitude
     smaller than the corpus (only docs in near-dup pairs appear), so
@@ -667,7 +669,18 @@ def connected_components(
                 nodes.add(row["u"])
                 nodes.add(row["v"])
             rows = [(n, find(n)) for n in sorted(nodes)]
-            return edges.sparkSession.createDataFrame(rows, "id long, label long")
+            # Schema must be IDENTICAL to the distributed path's for
+            # any id type (string doc ids, ints, ...): both columns
+            # carry the src column's type, so callers can't tell
+            # which strategy ran.
+            id_type = e.schema["u"].dataType
+            out_schema = T.StructType(
+                [
+                    T.StructField("id", id_type, True),
+                    T.StructField("label", id_type, True),
+                ]
+            )
+            return edges.sparkSession.createDataFrame(rows, out_schema)
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
@@ -675,28 +688,32 @@ def connected_components(
         .localCheckpoint()
     )
 
-    def label_sum(lbl: DataFrame) -> object:
-        return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-
-    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         neigh = sym.join(labels, sym["v"] == labels["id"]).select(
-            F.col("u").alias("id"), "label"
+            F.col("u").alias("id"), "label", F.lit(False).alias("is_old")
         )
-        merged = (
-            labels.unionByName(neigh).groupBy("id").agg(F.min("label").alias("label"))
+        tagged = labels.withColumn("is_old", F.lit(True)).unionByName(neigh)
+        # One aggregate yields BOTH the new min-label and the node's
+        # previous label (unique per id), so convergence needs no
+        # join against the previous iteration.
+        merged = tagged.groupBy("id").agg(
+            F.min("label").alias("label"),
+            F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
         )
         hop = merged.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
         jumped = (
             merged.join(hop, merged["label"] == hop["jid"], "left")
-            .select("id", F.coalesce("jlabel", "label").alias("label"))
+            .select(
+                "id",
+                F.coalesce("jlabel", "label").alias("label"),
+                "old_label",
+            )
             .localCheckpoint()
         )
-        labels = jumped
-        cur_sum = label_sum(labels)
-        if cur_sum == prev_sum:
+        labels = jumped.select("id", "label")
+        n_changed = jumped.filter(F.col("label") != F.col("old_label")).count()
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     return labels
 
 

@@ -218,6 +218,37 @@ def hyperplane_lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def _train_unit_kmeans(x, k: int, seed: int, max_iter: int):
+    """Seeded spherical k-means over unit-normalized rows ``x``
+    (driver-side numpy; the IVF quantizer's training loop).
+
+    Empty-cluster repair seeds each repaired cluster from the points
+    ranked worst-covered (lowest best-similarity) FIRST, consuming the
+    next index per repair — so simultaneously-empty clusters get
+    DISTINCT seeds (advisor r3: reseeding them all to the single
+    farthest point made duplicate centroids and permanently empty IVF
+    buckets)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(max_iter):
+        sims = x @ centers.T  # (n, k) cosine since both sides unit
+        assign = sims.argmax(axis=1)
+        reseed_order = np.argsort(sims.max(axis=1))
+        next_seed = 0
+        for i in range(k):
+            members = x[assign == i]
+            if len(members) == 0:
+                centers[i] = x[reseed_order[next_seed]]
+                next_seed += 1
+            else:
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                centers[i] = m / (n if n > 0 else 1.0)
+    return centers
+
+
 def ivf_index(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -272,21 +303,7 @@ def ivf_index(
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0, 1.0, norms)
     k = min(n_centroids, len(x))
-    rng = np.random.RandomState(seed)
-    centers = x[rng.choice(len(x), size=k, replace=False)]
-    for _ in range(max_iter):
-        sims = x @ centers.T  # (n, k) cosine since both sides unit
-        assign = sims.argmax(axis=1)
-        for i in range(k):
-            members = x[assign == i]
-            if len(members) == 0:
-                # empty cluster → reseed to the point farthest from
-                # its current centroid (standard Lloyd repair)
-                centers[i] = x[sims.max(axis=1).argmin()]
-            else:
-                m = members.sum(axis=0)
-                n = np.linalg.norm(m)
-                centers[i] = m / (n if n > 0 else 1.0)
+    centers = _train_unit_kmeans(x, k, seed, max_iter)
 
     # Distributed assignment: k dot-product expressions against frozen
     # unit-centroid literals, argmax via array_position(array_max).

@@ -189,8 +189,12 @@ def export_training_shards(
     skippable by range) at the cost of that one shuffle.
 
     Returns {"n_shards": ..., "n_records": ...} for observability;
-    the record count is read back from the written files, so the
-    number reported is the number durably on disk."""
+    the record count is a line count over the written files (JSONL =
+    one record per line, via ``spark.read.text`` — no schema
+    inference, no JSON re-parse), so the number reported is the
+    number durably on disk.  An empty input writes zero part files;
+    that is reported as 0/0 rather than crashing a schema-inferring
+    read-back (advisor r3)."""
     writer = df if order_col is None else df.repartitionByRange(F.col(order_col))
     w = writer.write.mode("overwrite").option(
         "maxRecordsPerFile", str(max_records_per_file)
@@ -198,11 +202,16 @@ def export_training_shards(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
-    spark = df.sparkSession
-    written = spark.read.json(path)
     import glob as _glob
 
     n_shards = len(
-        [f for f in _glob.glob(os.path.join(path, "part-*")) if not f.endswith(".crc")]
+        [
+            f
+            for f in _glob.glob(os.path.join(path, "part-*"))
+            if not f.endswith(".crc") and os.path.getsize(f) > 0
+        ]
     )
-    return {"n_shards": n_shards, "n_records": written.count()}
+    if n_shards == 0:
+        return {"n_shards": 0, "n_records": 0}
+    n_records = df.sparkSession.read.text(path).count()
+    return {"n_shards": n_shards, "n_records": n_records}

@@ -914,16 +914,23 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     return hashlib.sha256(json.dumps(stat).encode()).hexdigest()[:12]
 
 
+# Bump when the quantizer training algorithm changes: the persisted
+# index caches TRAINED centroids, so a code change must invalidate it
+# the same way a data change does (v2: distinct-seed empty-cluster
+# repair in _train_unit_kmeans).
+_IVF_TRAINER_VERSION = 2
+
+
 def _ivf_index_path(spark, sf_dir: str) -> str:
     """Index location anchored to the session's warehouse dir (not the
-    cwd) and keyed by sf_dir + data fingerprint."""
+    cwd) and keyed by sf_dir + data fingerprint + trainer version."""
     import hashlib
     import os
     from urllib.parse import urlparse
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     tag = hashlib.sha256(
-        f"{sf_dir}|{_embeddings_fingerprint(sf_dir)}".encode()
+        f"{sf_dir}|{_embeddings_fingerprint(sf_dir)}|v{_IVF_TRAINER_VERSION}".encode()
     ).hexdigest()[:12]
     return os.path.join(wh, "ivf_index", tag)
 

@@ -58,7 +58,15 @@ def _sentinel_stream_dir(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     src = table_path(sf_dir, "events")
-    d = f"/tmp/trafik_stream_sent_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    # The cache key must identify the fixture CONTENT, not just its
+    # path (advisor r3): a regenerated fixture at the same path with
+    # later timestamps would otherwise reuse a stale sentinel whose ts
+    # no longer advances the watermark past the new data — silently
+    # withholding the final outer-join/session rows.  mtime+size of
+    # the source file stand in for content identity.
+    st = os.stat(src)
+    key = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    d = f"/tmp/trafik_stream_sent_{hashlib.md5(key.encode()).hexdigest()[:10]}"
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
@@ -403,7 +411,18 @@ def joined_then_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     version in executor heap).  Output: purchases attributed to a
     click, counted per click-hour window; completed stream equals the
     batch join + group-by."""
-    clicks, purchases = _click_purchase_streams(spark, sf_dir, sentinel=True)
+    # The state-store provider is a session-level SQL conf captured at
+    # query start — there is no per-query writeStream option for it.
+    # Scope the RocksDB override to an ISOLATED session clone (shared
+    # SparkContext, separate SQLConf) so a concurrently started query
+    # on the caller's session can never silently pick up the RocksDB
+    # provider (advisor r3); the caller's conf is untouched.
+    scoped = spark.newSession()
+    scoped.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    clicks, purchases = _click_purchase_streams(scoped, sf_dir, sentinel=True)
     pairs = clicks.join(purchases, F.expr(_INTERVAL_COND))
     agg = (
         pairs.groupBy(F.window("click_ts", "1 hour").alias("w"))
@@ -413,18 +432,7 @@ def joined_then_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_attributed",
         )
     )
-    prev = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-    )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        out = _run_to_memory(agg, "append")
-    finally:
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    out = _run_to_memory(agg, "append")
     # The sentinel click is unmatched (no sentinel purchase shares its
     # user), so no sentinel-derived window row exists — but filter on
     # the fixture's time domain defensively anyway.
