@@ -121,6 +121,29 @@ def main() -> int:
         .start()
     )
     q.awaitTermination()
+    # RocksDB state-store warmup: the first RocksDB-provider query in
+    # a JVM pays native-lib load + provider class init (~3 s measured)
+    # — run the same trivial stateful batch once on a RocksDB-scoped
+    # session so the measured RocksDB query times the operator.
+    rock = spark.newSession()
+    rock.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    rock.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        rock.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .load()
+        .withWatermark("timestamp", "1 second")
+        .groupBy(F.window("timestamp", "1 second"))
+        .count()
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     # Python-worker warmup: fork the Arrow/pandas worker pool once so
     # the first mapInPandas/DataSource query isn't charged worker
     # startup + imports across all cores.

