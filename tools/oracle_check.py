@@ -94,7 +94,7 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(q.sql)
+            res = con.execute(q.render_sql(sf_dir))
             drows = res.fetchall()
             dcols = [d[0] for d in res.description]
         except Exception as e:

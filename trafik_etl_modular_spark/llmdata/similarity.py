@@ -287,12 +287,15 @@ def ivf_index(
     import numpy as np
 
     base = embeddings.select(F.col(id_col), to_double_array(vec_col).alias("__vec"))
-    # Deterministic bounded sample: order by xxhash64(id) and take the
+    # Deterministic bounded sample: order by md5(id) and take the
     # first train_sample rows.  orderBy+limit plans TakeOrdered — each
     # partition keeps its local top-N, the driver merges; no global
-    # sort, no RNG state, same sample every run.
+    # sort, no RNG state, same sample every run.  md5 (not xxhash64)
+    # so the ordering — and therefore the trained quantizer — is
+    # reproducible OUTSIDE the engine too (hashlib), which is what
+    # lets the probe's DuckDB oracle re-derive the candidate set.
     sample_rows = (
-        base.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        base.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(train_sample)
         .select("__vec")
         .collect()

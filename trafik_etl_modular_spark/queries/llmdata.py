@@ -917,8 +917,9 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
 # Bump when the quantizer training algorithm changes: the persisted
 # index caches TRAINED centroids, so a code change must invalidate it
 # the same way a data change does (v2: distinct-seed empty-cluster
-# repair in _train_unit_kmeans).
-_IVF_TRAINER_VERSION = 2
+# repair in _train_unit_kmeans; v3: md5-ordered training sample so
+# the probe oracle can re-derive training outside the engine).
+_IVF_TRAINER_VERSION = 3
 
 
 def _ivf_index_path(spark, sf_dir: str) -> str:
@@ -1004,15 +1005,94 @@ def sim_ann_ivf_build(spark, sf_dir):
     )
 
 
-@query("sim_ann_ivf_probe", sql=None, tags=("llmdata", "similarity", "topk"))
+def _ivf_probe_oracle_sql(sf_dir: str) -> str:
+    """DERIVED DuckDB oracle for the IVF probe (round-3 verdict ask
+    #5): the whole index pipeline is deterministic — md5-ordered
+    training sample, seeded numpy k-means, strict-left-fold argmax
+    assignment — so this builder RE-DERIVES it outside the engine
+    (pyarrow + the same `_train_unit_kmeans`), freezes the resulting
+    nprobe-bucket candidate ids into an IN-list, and lets DuckDB do
+    the exact cosine rerank.  Assignment dots replicate the engine's
+    fold summation order exactly (column-ascending adds over IEEE
+    doubles), so bucket boundaries cannot drift by a last bit."""
+    import hashlib
+    import math
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.llmdata.similarity import _train_unit_kmeans
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_pylist()
+    vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    # --- replicate ivf_index's training: md5-ordered sample, unit-
+    # normalized, seeded spherical k-means (identical numpy code path)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )
+    x = vecs[order[:65536]]
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)
+    k = min(16, len(x))
+    centers = _train_unit_kmeans(x, k, seed=42, max_iter=5)
+    # --- replicate the engine's assignment argmax with the SAME
+    # left-fold order: acc = ((0 + v0*c0) + v1*c1) + ... column-wise
+    dots = np.zeros((len(ids), k))
+    for j in range(k):
+        acc = np.zeros(len(ids))
+        for d in range(vecs.shape[1]):
+            acc = acc + vecs[:, d] * float(centers[j][d])
+        dots[:, j] = acc
+    assign = dots.argmax(axis=1)
+    # --- replicate ivf_topk's centroid ranking (same scalar fold)
+    idx0 = ids.index(0)
+    qvec = [float(v) for v in tbl["embedding"].to_pylist()[idx0]]
+
+    def _cos(c):
+        d = nc = nq = 0.0
+        for a, b in zip(c, qvec):
+            d += a * b
+            nc += a * a
+            nq += b * b
+        return d / (math.sqrt(nc) * math.sqrt(nq))
+
+    centroid_rows = [(j, [float(v) for v in centers[j]]) for j in range(k)]
+    ranked = sorted(centroid_rows, key=lambda t_: (-_cos(t_[1]), t_[0]))
+    probe_buckets = {b for b, _ in ranked[:4]}
+    cands = sorted(
+        int(ids[i])
+        for i in range(len(ids))
+        if int(assign[i]) in probe_buckets and ids[i] != 0
+    )
+    in_list = ",".join(map(str, cands))
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {_cos_sql('e.embedding', 'q.qvec')} AS cosine
+FROM embeddings e, q
+WHERE e.vec_id IN ({in_list})
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@query(
+    "sim_ann_ivf_probe", sql=_ivf_probe_oracle_sql, tags=("llmdata", "similarity", "topk")
+)
 def sim_ann_ivf_probe(spark, sf_dir):
     """IVF ANN PROBE against the persisted index: rank the 16 stored
     centroids vs the query (driver-tiny), scan ONLY the 4 nearest
     buckets' parquet partitions, exact-cosine rerank inside them.
     Query-time cost is nprobe/k of a brute-force scan; tests assert
     recall vs brute force and that nprobe == n_centroids reproduces
-    brute force exactly.  Rows-only driver check (k-means bucket
-    boundaries are engine-specific)."""
+    brute force exactly.  Oracle: a DERIVED per-fixture SQL — the
+    deterministic training is re-run outside the engine and the
+    candidate set frozen as an IN-list, DuckDB reranks exactly
+    (see _ivf_probe_oracle_sql)."""
     assigned, centroids, rows = _ivf_ensure_index(spark, sf_dir)
     # The probe vector is REQUEST input — in a serving path it arrives
     # with the query, not from a corpus scan.  Materialize it driver-
@@ -1161,14 +1241,51 @@ def text_bpe_token_stats(spark, sf_dir):
     )
 
 
-@query("sim_ann_hyperplane_lsh", sql=None, tags=("llmdata", "similarity", "topk"))
+def _hyperplane_lsh_oracle_sql() -> str:
+    """STATIC DuckDB oracle for the hyperplane-LSH probe: the planes
+    are seeded frozen literals (same numpy draw as the Spark side),
+    and both engines compute every projection as the same strict
+    ascending left fold over IEEE doubles — so DuckDB re-derives the
+    SAME sign-bit buckets and does the exact in-bucket cosine rerank
+    itself.  No engine output is frozen into the SQL; it is a full
+    independent re-derivation (round-3 verdict ask #5)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((6, 64)).round(6)  # == hyperplane_bucket's
+    terms = []
+    for p in range(6):
+        lit = "[" + ",".join(repr(float(v)) for v in planes[p]) + "]"
+        proj = _DOT.format(a="e.embedding", b=lit)
+        terms.append(f"CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END")
+    bucket_expr = "\n     + ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT e.vec_id, e.embedding,
+         ({bucket_expr}) AS bucket
+  FROM embeddings e
+), q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT b.vec_id, {_cos_sql('b.embedding', 'q.qvec')} AS cosine
+FROM b, q
+WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@query(
+    "sim_ann_hyperplane_lsh",
+    sql=_hyperplane_lsh_oracle_sql(),
+    tags=("llmdata", "similarity", "topk"),
+)
 def sim_ann_hyperplane(spark, sf_dir):
     """Random-hyperplane LSH ANN (Charikar 2002): 6 sign-bit planes →
     64 buckets; probe scores only its own bucket with exact cosine.
-    Plane projections are frozen deterministic literals, but the
-    12-term fold per plane is engine-specific arithmetic → rows-only
-    check; subset-of-brute-force + bucket-locality asserted in
-    tests/test_llmdata.py."""
+    Plane projections are frozen deterministic literals shared with
+    the DuckDB oracle, which re-derives the buckets from the same
+    literals with the same strict-fold arithmetic and reranks exactly
+    (no engine output frozen in); subset-of-brute-force +
+    bucket-locality additionally asserted in tests/test_llmdata.py."""
     from trafik_etl_modular_spark.llmdata.similarity import hyperplane_lsh_topk
 
     emb = t(spark, sf_dir, "embeddings")

@@ -26,14 +26,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# An oracle is either a literal SQL string or a BUILDER
+# ``(sf_dir) -> str`` for oracles that must be derived from the
+# fixture (e.g. the IVF probe freezes the deterministically-trained
+# candidate set into an IN-list).  The driver contract surfaces plain
+# strings, rendered for the driver's documented sf (DRIVER_SF_DIR);
+# tools/oracle_check.py re-renders per sweep sf_dir.
+# The scale factor the driver's t2 correctness pass runs at.
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
 
 @dataclass
 class Query:
     name: str
     fn: QueryFn
-    sql: str | None  # DuckDB oracle; None → rows-only check
+    sql: str | Callable[[str], str] | None  # DuckDB oracle; None → rows-only
     tags: tuple[str, ...] = ()
     doc: str = ""
+
+    def render_sql(self, sf_dir: str) -> str | None:
+        return self.sql(sf_dir) if callable(self.sql) else self.sql
 
 
 REGISTRY: dict[str, Query] = {}
@@ -132,8 +144,6 @@ DRIVER_WINDOW: list[str] = [
     "streaming_interval_join",
     # set ops + windows
     "setop_union_pages_dedup",
-    "setop_intersect_users",
-    "window_top3_orders_per_customer",
     "window_sessionize_users",
     # llmdata core: dedup + similarity + text + curation + multimodal
     "dedup_exact_documents",
@@ -141,6 +151,11 @@ DRIVER_WINDOW: list[str] = [
     "dedup_clusters",
     "sim_topk_cosine_bruteforce",
     "sim_knn_join",
+    # newly oracle-bearing in round 4 (previously rows-only): the
+    # hyperplane-LSH probe gets a static self-derived SQL oracle, the
+    # IVF probe a per-fixture derived one (see queries/llmdata.py)
+    "sim_ann_hyperplane_lsh",
+    "sim_ann_ivf_probe",
     "text_token_stats",
     "curation_pipeline",
     "multimodal_payload_stats",
@@ -192,6 +207,10 @@ def all_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
 
-def all_oracle_sql() -> dict[str, str]:
+def all_oracle_sql(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     _load_all()
-    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+    return {
+        name: q.render_sql(sf_dir)
+        for name, q in REGISTRY.items()
+        if q.sql is not None
+    }
