@@ -532,3 +532,29 @@ def test_sentinel_stream_dir_invalidates_on_fixture_change(tmp_path):
     assert d2 != d1, "regenerated fixture must get a fresh sentinel dir"
     assert ts2 > datetime(2030, 6, 1), "sentinel must advance past the NEW max ts"
     assert ts1 < datetime(2025, 1, 1)
+
+
+def test_iter_listing_bounded_pages(tmp_path):
+    """The landing zone's listing iterator: lexicographic order,
+    complete coverage, and bounded pages (the object-store
+    ListObjectsV2 contract) — including deletion of already-yielded
+    names mid-iteration, which vacuum relies on."""
+    import os
+
+    from trafik_etl_modular_spark.sources.landing_sink import iter_listing
+
+    d = str(tmp_path)
+    names = [f"task-{i:04d}.parquet" for i in range(57)]
+    for n in names:
+        open(os.path.join(d, n), "w").close()
+    open(os.path.join(d, "_batch_0000000001.manifest"), "w").close()
+
+    got = list(iter_listing(d, suffix=".parquet", prefix="task-", page_size=10))
+    assert got == names  # sorted, complete, manifest excluded
+
+    # deleting yielded names while paginating must not skip anything
+    seen = []
+    for n in iter_listing(d, suffix=".parquet", prefix="task-", page_size=7):
+        seen.append(n)
+        os.remove(os.path.join(d, n))
+    assert seen == names

@@ -117,14 +117,17 @@ def try_decode_meta(payload: bytes) -> tuple[int, int, str] | None:
     then falls back to the deterministic fake."""
     if payload is None:
         return None
-    if _pil_image() is not None:
-        try:
-            with decode_image(payload) as im:
-                return (im.width, im.height, "pil")
-        except NotImplementedError:  # pragma: no cover - race on probe
-            pass
-        except Exception:
-            pass
+    try:
+        with decode_image(payload) as im:
+            return (im.width, im.height, "pil")
+    except NotImplementedError:
+        # Pillow absent — the REAL fallback path in this container,
+        # not a defensive guard: every decode drops to the header tier.
+        pass
+    except Exception:
+        # Pillow present but the bytes aren't decodable by it — the
+        # header tier may still read the container dimensions.
+        pass
     hdr = parse_image_header(bytes(payload))
     if hdr is not None:
         return (hdr[0], hdr[1], "header")

@@ -105,13 +105,51 @@ def register_landing_sink(spark: SparkSession) -> None:
     spark.dataSource.register(LandingZoneSink)
 
 
+def iter_listing(
+    path: str,
+    suffix: str | None = None,
+    prefix: str | None = None,
+    page_size: int = 1000,
+):
+    """Bounded-page directory listing — the object-store contract
+    (S3 ListObjectsV2 / GCS objects.list: lexicographic order,
+    start-after token, max-keys page), backed locally by os.scandir
+    with a bounded min-heap per page.  Driver memory is O(page_size),
+    never O(files-in-zone): at lake scale a landing zone holds
+    millions of task files, and an unbounded listdir on the driver is
+    exactly the metadata bottleneck the manifest log exists to avoid.
+    On a real object store each loop iteration maps 1:1 to one
+    paginated LIST call with ``StartAfter=token``.  Yields names in
+    lexicographic order."""
+    import heapq
+
+    token = ""
+    while True:
+        with os.scandir(path) as it:
+            page = heapq.nsmallest(
+                page_size,
+                (
+                    e.name
+                    for e in it
+                    if e.name > token
+                    and (suffix is None or e.name.endswith(suffix))
+                    and (prefix is None or e.name.startswith(prefix))
+                ),
+            )
+        if not page:
+            return
+        yield from page
+        token = page[-1]
+
+
 def committed_files(path: str, as_of_batch: int | None = None) -> list[str]:
     """Files published by a committed manifest, in batch order.
     ``as_of_batch`` reads the table as of that batch id (inclusive) —
     the manifest log doubles as a version history, so snapshot reads
-    and time travel are free."""
+    and time travel are free.  Manifests are listed through the
+    bounded-page iterator (manifest names sort by batch id)."""
     out: list[str] = []
-    for mf in sorted(f for f in os.listdir(path) if f.endswith(".manifest")):
+    for mf in iter_listing(path, suffix=".manifest"):
         with open(os.path.join(path, mf)) as fh:
             m = json.load(fh)
         if as_of_batch is not None and m["batch_id"] > as_of_batch:
@@ -149,11 +187,23 @@ def vacuum_landing_zone(
         period — they may belong to a batch whose manifest commit is
         IN FLIGHT (task files land before the driver publishes).
 
-    Driver-local metadata work (a directory listing + json reads, no
-    Spark job), same as manifest commit itself.  Returns counts for
+    Driver-local metadata work (bounded-page listings + json reads,
+    no Spark job), same as manifest commit itself.  Memory is
+    O(page + kept snapshot metadata), never O(files-in-zone): both
+    the manifest scan and the orphan scan stream through
+    :func:`iter_listing` pages, so the same loop runs against an
+    object store's paginated LIST at lake scale.  Returns counts for
     observability."""
-    manifests = sorted(f for f in os.listdir(path) if f.endswith(".manifest"))
-    keep = set(manifests[-keep_batches:]) if keep_batches > 0 else set()
+    import collections
+
+    # Pass 1 (streaming): the last keep_batches manifest names via a
+    # bounded deque — zero-padded names make lexicographic order the
+    # batch order.
+    tail: collections.deque[str] = collections.deque(maxlen=max(keep_batches, 0))
+    for mf in iter_listing(path, suffix=".manifest"):
+        if keep_batches > 0:
+            tail.append(mf)
+    keep = set(tail)
     # Pre-pass: collect every file a KEPT manifest references, so a
     # file shared across batches can never be deleted while a live
     # manifest still points at it (task files are uuid-per-batch
@@ -163,7 +213,10 @@ def vacuum_landing_zone(
         with open(os.path.join(path, mf)) as fh:
             referenced_kept.update(json.load(fh)["files"])
     removed_manifests = removed_files = removed_orphans = 0
-    for mf in manifests:
+    # Pass 2 (streaming): retire every manifest not in the kept tail.
+    # Deleting a yielded name is pagination-safe: it is already behind
+    # the page token, so later pages never rescan it.
+    for mf in iter_listing(path, suffix=".manifest"):
         if mf in keep:
             continue
         with open(os.path.join(path, mf)) as fh:
@@ -183,11 +236,11 @@ def vacuum_landing_zone(
     import time as _time
 
     now = _time.time()
-    data_files = {
-        f for f in os.listdir(path)
-        if f.endswith(".parquet") and f.startswith("task-")
-    }
-    for f in sorted(data_files - referenced_kept):
+    # Orphan scan: stream task files page by page; only kept-manifest
+    # references (bounded snapshot metadata) are held in memory.
+    for f in iter_listing(path, suffix=".parquet", prefix="task-"):
+        if f in referenced_kept:
+            continue
         fp = os.path.join(path, f)
         try:
             if now - os.path.getmtime(fp) >= orphan_grace_s:
