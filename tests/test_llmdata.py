@@ -969,3 +969,85 @@ def test_incremental_dedup_verdicts(spark):
     assert out[100] == ("exact_dup", 1, 1)   # jaccard 1.0 also counts as near
     assert out[101][0] == "near_dup" and out[101][1] == 2
     assert out[102] == ("novel", None, 0)
+
+
+def test_xxh64_matches_spark(spark):
+    """llmdata/xxh64.py is the foundation of the derived sketch
+    oracles: every form the sketches use — string, long, chained
+    longs, (long, int) lane form — must match Spark's xxhash64
+    bit-for-bit."""
+    import numpy as np
+
+    from trafik_etl_modular_spark.llmdata import xxh64 as X
+
+    strs = [
+        "",
+        "a",
+        "hello",
+        "0123456789abcdef0123456789abcdef-exceeds-32-bytes",
+        "åäö unicode ÿ",
+    ]
+    got = spark.createDataFrame([(s,) for s in strs], "s string").select(
+        F.xxhash64("s").alias("h")
+    ).collect()
+    assert [int(r["h"]) for r in got] == [
+        int(np.int64(np.uint64(X.hash_string(s)))) for s in strs
+    ]
+
+    longs = [0, 1, -1, 2**62, -(2**63), 123456789123456789]
+    got = spark.createDataFrame([(v,) for v in longs], "v long").select(
+        F.xxhash64("v").alias("h")
+    ).collect()
+    assert [int(r["h"]) for r in got] == [
+        int(X.to_signed(X.hash_long(np.uint64(v & (2**64 - 1)), X.SPARK_SEED)))
+        for v in longs
+    ]
+
+    trips = [(1, 2, 3), (-5, 7, -9), (2**40, -(2**40), 17)]
+    got = spark.createDataFrame(trips, "a long, b long, c long").select(
+        F.xxhash64("a", "b", "c").alias("h")
+    ).collect()
+    assert [int(r["h"]) for r in got] == [
+        int(np.int64(np.uint64(X.chain_longs(list(t_))))) for t_ in trips
+    ]
+
+    pairs = [(123, 0), (-99, 5), (2**50, 63)]
+    got = spark.createDataFrame(pairs, "h long, s int").select(
+        F.xxhash64("h", "s").alias("x")
+    ).collect()
+    expect = []
+    for hv, sv in pairs:
+        h1 = X.hash_long(np.uint64(hv & (2**64 - 1)), X.SPARK_SEED)
+        expect.append(int(X.to_signed(X.hash_int(np.uint64(sv), h1))))
+    assert [int(r["x"]) for r in got] == expect
+
+
+def test_sketch_oracle_derivations_match_engine(spark, sf_dir):
+    """The derived-oracle builders re-run the engine's sketches
+    outside Spark; candidate pairs and signatures must be IDENTICAL
+    to the engine's own, else the frozen oracle would diverge."""
+    from trafik_etl_modular_spark.catalog import load_table
+    from trafik_etl_modular_spark.llmdata import sketch_oracle as SO
+    from trafik_etl_modular_spark.llmdata.dedup import (
+        hashed_shingles,
+        lsh_candidate_pairs,
+        minhash_signature,
+        simhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", hashed_shingles(F.col("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    signed = sh.select("doc_id", minhash_signature(F.col("sh"), 64).alias("minhash"))
+    eng_pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(signed, "doc_id", "minhash", 16, 4, 1000).collect()
+    )
+    assert eng_pairs == SO.derive_minhash_candidates(sf_dir, max_bucket_size=1000)
+    SO.check_no_shingle_collisions(sf_dir)
+
+    eng_sig = sorted(
+        (r["doc_id"], r["simhash"]) for r in simhash_signatures(docs).collect()
+    )
+    assert eng_sig == sorted(SO.derive_simhash_signatures(sf_dir))

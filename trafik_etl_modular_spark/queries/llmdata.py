@@ -509,26 +509,106 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
-@query("dedup_minhash_lsh", sql=None, tags=("llmdata", "dedup"))
+def _minhash_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for MinHash-LSH: the sketch (xxhash64 MinHash
+    signatures → band buckets) is the only engine-specific part, so
+    it is re-derived OUTSIDE the engine with Spark-parity XXH64
+    (llmdata/xxh64.py, pinned against the engine by test) and the
+    resulting candidate-pair set frozen into the SQL; DuckDB then
+    does the real verification itself — string-shingle sets, exact
+    Jaccard, the ≥ 0.6 threshold.  A collision guard fails the BUILD
+    if hash-set and string-set shingle counts could ever diverge."""
+    from trafik_etl_modular_spark.llmdata.sketch_oracle import (
+        check_no_shingle_collisions,
+        derive_minhash_candidates,
+    )
+
+    check_no_shingle_collisions(sf_dir)
+    pairs = derive_minhash_candidates(sf_dir, max_bucket_size=1000)
+    if not pairs:
+        return "SELECT doc_id AS id_a, doc_id AS id_b, 0.0 AS jaccard FROM documents WHERE 1=0"
+    values = ",".join(f"({a},{b})" for a, b in pairs)
+    return f"""
+WITH cand(id_a, id_b) AS (VALUES {values}),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+             i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh
+  FROM w
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))
+           AS jaccard
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM scored
+WHERE jaccard >= CAST(0.6 AS DOUBLE)
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_minhash_lsh", sql=_minhash_oracle_sql, tags=("llmdata", "dedup"))
 def dedup_minhash(spark, sf_dir):
     """MinHash(64) + LSH(16 bands × 4 rows) near-dup pairs verified by
-    exact Jaccard ≥ 0.6. xxhash64 signatures are engine-specific →
-    rows-only driver check; recall vs exact Jaccard is asserted in
-    tests/test_llmdata.py.  The band-bucket join carries the
-    hot-bucket cap (1000/bucket — inert at fixture occupancy, bounds
-    degenerate boilerplate buckets at corpus scale; truncation
-    observable via llmdata/dedup.py::lsh_bucket_stats)."""
+    exact Jaccard ≥ 0.6.  Oracle: DERIVED per fixture — the xxhash64
+    sketch is recomputed outside the engine (Spark-parity XXH64) and
+    the candidate set frozen; DuckDB performs the exact-Jaccard
+    verification itself (see _minhash_oracle_sql).  Recall vs exact
+    Jaccard additionally asserted in tests/test_llmdata.py.  The
+    band-bucket join carries the hot-bucket cap (1000/bucket — inert
+    at fixture occupancy, bounds degenerate boilerplate buckets at
+    corpus scale; truncation observable via
+    llmdata/dedup.py::lsh_bucket_stats)."""
     docs = t(spark, sf_dir, "documents")
     return minhash_near_dups(docs, threshold=0.6, max_bucket_size=1000).orderBy(
         "id_a", "id_b"
     )
 
 
-@query("dedup_simhash_candidates", sql=None, tags=("llmdata", "dedup"))
+def _simhash_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for SimHash: only the 64-bit signatures are
+    engine-specific — re-derived outside the engine (Spark-parity
+    XXH64 token hashes, ±1 bit votes) and frozen as VALUES; DuckDB
+    does the pigeonhole 16-bit chunk self-join, the Hamming-distance
+    computation (bit_count over xor), the ≤ 3 filter, and the pair
+    dedup itself."""
+    from trafik_etl_modular_spark.llmdata.sketch_oracle import (
+        derive_simhash_signatures,
+    )
+
+    sigs = derive_simhash_signatures(sf_dir)
+    values = ",".join(f"({d},{s})" for d, s in sigs)
+    return f"""
+WITH s(doc_id, simhash) AS (VALUES {values}),
+chunks AS (
+  SELECT s.doc_id, s.simhash, i.i AS chunk_idx,
+         (s.simhash >> (16 * CAST(i.i AS INTEGER))) & 65535 AS chunk_val
+  FROM s, (SELECT unnest(range(4)) AS i) i
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM chunks a
+JOIN chunks b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_simhash_candidates", sql=_simhash_oracle_sql, tags=("llmdata", "dedup"))
 def dedup_simhash(spark, sf_dir):
     """SimHash-64 signatures + pigeonhole (4×16-bit chunk) candidate
-    pairs with Hamming distance ≤ 3 (the pigeonhole bound the 4-chunk bucketing guarantees). Engine-specific hashing →
-    rows-only check + unit tests."""
+    pairs with Hamming distance ≤ 3 (the pigeonhole bound the 4-chunk
+    bucketing guarantees).  Oracle: DERIVED — signatures recomputed
+    outside the engine and frozen; DuckDB does the chunk join,
+    Hamming filter, and dedup itself (see _simhash_oracle_sql); unit
+    tests pin the sketch semantics."""
     docs = t(spark, sf_dir, "documents")
     signed = simhash_signatures(docs)
     return (
