@@ -1068,15 +1068,34 @@ def _ivf_ensure_index(spark, sf_dir: str):
     return assigned, centroids, rows
 
 
-@query("sim_ann_ivf_build", sql=None, tags=("llmdata", "similarity", "index-build"))
+def _ivf_build_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for the IVF build: the per-vector bucket
+    assignment (the engine-specific part) is re-derived outside the
+    engine and frozen as VALUES; DuckDB computes the occupancy
+    histogram itself."""
+    ids, _, assign, _ = _derive_ivf_assignment(sf_dir)
+    values = ",".join(f"({int(i)},{int(b)})" for i, b in zip(ids, assign))
+    return f"""
+WITH a(vec_id, ivf_bucket) AS (VALUES {values})
+SELECT ivf_bucket, COUNT(*) AS n_vectors
+FROM a GROUP BY ivf_bucket ORDER BY ivf_bucket
+"""
+
+
+@query(
+    "sim_ann_ivf_build",
+    sql=_ivf_build_oracle_sql,
+    tags=("llmdata", "similarity", "index-build"),
+)
 def sim_ann_ivf_build(spark, sf_dir):
     """IVF index BUILD (offline phase): train the k-means(16) coarse
     quantizer (llmdata/similarity.py::ivf_index), assign every vector
     its bucket, persist the corpus partitioned by ivf_bucket plus the
     centroid table.  At lake scale this is a one-time batch job, not
     query-time cost — hence the build/probe split.  Returns the bucket
-    occupancy histogram (deterministic with the fixed seed).  K-means
-    is iterative/engine-specific → rows-only driver check."""
+    occupancy histogram (deterministic with the fixed seed).  Oracle:
+    DERIVED — the assignment is re-derived outside the engine and
+    frozen; DuckDB aggregates the histogram (_ivf_build_oracle_sql)."""
     assigned, _, _ = _ivf_ensure_index(spark, sf_dir)
     return (
         assigned.groupBy("ivf_bucket")
@@ -1085,18 +1104,16 @@ def sim_ann_ivf_build(spark, sf_dir):
     )
 
 
-def _ivf_probe_oracle_sql(sf_dir: str) -> str:
-    """DERIVED DuckDB oracle for the IVF probe (round-3 verdict ask
-    #5): the whole index pipeline is deterministic — md5-ordered
-    training sample, seeded numpy k-means, strict-left-fold argmax
-    assignment — so this builder RE-DERIVES it outside the engine
-    (pyarrow + the same `_train_unit_kmeans`), freezes the resulting
-    nprobe-bucket candidate ids into an IN-list, and lets DuckDB do
-    the exact cosine rerank.  Assignment dots replicate the engine's
-    fold summation order exactly (column-ascending adds over IEEE
-    doubles), so bucket boundaries cannot drift by a last bit."""
+def _derive_ivf_assignment(sf_dir: str):
+    """Re-derive the persisted IVF index OUTSIDE the engine: the
+    pipeline is deterministic — md5-ordered training sample, seeded
+    numpy k-means (the same `_train_unit_kmeans` the engine runs on
+    the driver), strict-left-fold argmax assignment — so pyarrow +
+    numpy reproduce it bit-for-bit.  Assignment dots replicate the
+    engine's fold summation order exactly (column-ascending adds over
+    IEEE doubles), so bucket boundaries cannot drift by a last bit.
+    Returns (ids, vectors_float64, assign, centers)."""
     import hashlib
-    import math
     import os
 
     import numpy as np
@@ -1109,8 +1126,6 @@ def _ivf_probe_oracle_sql(sf_dir: str) -> str:
     )
     ids = tbl["vec_id"].to_pylist()
     vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
-    # --- replicate ivf_index's training: md5-ordered sample, unit-
-    # normalized, seeded spherical k-means (identical numpy code path)
     order = sorted(
         range(len(ids)),
         key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
@@ -1120,18 +1135,28 @@ def _ivf_probe_oracle_sql(sf_dir: str) -> str:
     x = x / np.where(norms == 0, 1.0, norms)
     k = min(16, len(x))
     centers = _train_unit_kmeans(x, k, seed=42, max_iter=5)
-    # --- replicate the engine's assignment argmax with the SAME
-    # left-fold order: acc = ((0 + v0*c0) + v1*c1) + ... column-wise
     dots = np.zeros((len(ids), k))
     for j in range(k):
         acc = np.zeros(len(ids))
         for d in range(vecs.shape[1]):
             acc = acc + vecs[:, d] * float(centers[j][d])
         dots[:, j] = acc
-    assign = dots.argmax(axis=1)
+    return ids, vecs, dots.argmax(axis=1), centers
+
+
+def _ivf_probe_oracle_sql(sf_dir: str) -> str:
+    """DERIVED DuckDB oracle for the IVF probe (round-3 verdict ask
+    #5): re-derive the deterministic index
+    (:func:`_derive_ivf_assignment`), freeze the nprobe-bucket
+    candidate ids into an IN-list, and let DuckDB do the exact cosine
+    rerank."""
+    import math
+
+    ids, vecs, assign, centers = _derive_ivf_assignment(sf_dir)
+    k = len(centers)
     # --- replicate ivf_topk's centroid ranking (same scalar fold)
     idx0 = ids.index(0)
-    qvec = [float(v) for v in tbl["embedding"].to_pylist()[idx0]]
+    qvec = [float(v) for v in vecs[idx0]]
 
     def _cos(c):
         d = nc = nq = 0.0
@@ -1211,7 +1236,56 @@ def sim_neardup(spark, sf_dir):
     return near_dup_pairs_by_bucket(emb, threshold=0.4)
 
 
-@query("dedup_semantic_embeddings", sql=None, tags=("llmdata", "dedup", "similarity"))
+def _semantic_dedup_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for SemDeDup: only the k-means CELL ASSIGNMENT
+    is engine-specific — re-derived outside the engine
+    (:func:`_derive_ivf_assignment`) and frozen as VALUES.  DuckDB
+    then does all the relational work itself: within-cell pair
+    generation with the exact strict-fold cosine ≥ 0.4, connected
+    components via a recursive min-reachable-id CTE (the
+    dedup_clusters pattern), singleton groups, sizes, and keepers."""
+    ids, _, assign, _ = _derive_ivf_assignment(sf_dir)
+    values = ",".join(f"({int(i)},{int(b)})" for i, b in zip(ids, assign))
+    return f"""
+WITH RECURSIVE a(vec_id, bucket) AS (VALUES {values}),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM a x
+  JOIN a y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE {_cos_sql('ex.embedding', 'ey.embedding')} >= CAST(0.4 AS DOUBLE)
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(id, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, w.r FROM walk w JOIN edges e ON e.u = w.id
+),
+cc AS (
+  SELECT id, MIN(r) AS label FROM walk GROUP BY id
+),
+grouped AS (
+  SELECT emb.vec_id, COALESCE(cc.label, emb.vec_id) AS group_id
+  FROM embeddings emb LEFT JOIN cc ON cc.id = emb.vec_id
+)
+SELECT g.vec_id, g.group_id, s.group_size, g.vec_id = g.group_id AS is_keeper
+FROM grouped g
+JOIN (SELECT group_id, COUNT(*) AS group_size FROM grouped GROUP BY group_id) s
+  USING (group_id)
+ORDER BY vec_id
+"""
+
+
+@query(
+    "dedup_semantic_embeddings",
+    sql=_semantic_dedup_oracle_sql,
+    tags=("llmdata", "dedup", "similarity"),
+)
 def dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup: sample-trained k-means clusters
     the embedding space, cosine-near-dup pairs within each learned
@@ -1219,9 +1293,11 @@ def dedup_semantic(spark, sf_dir):
     group (llmdata/similarity.py::semantic_dedup).  Runs over the
     PERSISTED IVF assignment (the realistic pipeline — the corpus is
     already clustered for retrieval; training is the build query's
-    job, not this one's).  K-means cell boundaries are
-    engine-specific → rows-only driver check; planted-duplicate
-    recovery is pinned in
+    job, not this one's).  Oracle: DERIVED — only the cell assignment
+    is frozen; DuckDB does the cosine pair generation, recursive-CTE
+    connected components, and keeper selection itself
+    (_semantic_dedup_oracle_sql).  Planted-duplicate recovery is
+    additionally pinned in
     tests/test_llmdata.py::test_semantic_dedup_planted_groups."""
     from trafik_etl_modular_spark.llmdata.similarity import semantic_dedup
 
@@ -1256,16 +1332,88 @@ def multimodal_payload_stats(spark, sf_dir):
     )
 
 
-@query("multimodal_extract_features", sql=None, tags=("llmdata", "multimodal"))
+def _mm_features_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for the multimodal feature extraction: the
+    three image payload classes (doc_id % 10 ∈ {0,1,2}) are fixed
+    literals whose features are computed in the BUILDER through the
+    same decode tiers available to the engine in this environment
+    (so 'pil' vs 'header' can never disagree) and frozen; every TEXT
+    payload's features are computed by DuckDB itself from the
+    documents table (byte length, utf-8 header hex, the deterministic
+    fake's first/last-byte arithmetic).  Loud guards: every text must
+    be ascii (so char slicing == byte slicing), non-empty, and
+    undecodable as an image — else the build fails rather than the
+    comparison."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.llmdata.multimodal import (
+        synthetic_gif,
+        synthetic_png,
+        try_decode_meta,
+    )
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids, texts = tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+    img_payloads = {
+        0: synthetic_png(320, 240),
+        1: synthetic_png(64, 64),
+        2: synthetic_gif(128, 96),
+    }
+    frozen = []
+    for did, text in zip(ids, texts):
+        sel = did % 10
+        if sel in img_payloads:
+            p = img_payloads[sel]
+            meta = try_decode_meta(p)
+            if meta is None:
+                raise RuntimeError("image payload failed every decode tier")
+            frozen.append(
+                f"({did},{len(p)},'{p[:8].hex()}',{meta[0]},{meta[1]},'{meta[2]}')"
+            )
+        else:
+            if not text or not text.isascii():
+                raise RuntimeError("text fixture not ascii/non-empty — oracle invalid")
+            if try_decode_meta(text.encode()) is not None:
+                raise RuntimeError("text payload decodes as image — oracle invalid")
+    values = ",".join(frozen)
+    return f"""
+WITH img(doc_id, n_bytes, header, width, height, decode_mode) AS (VALUES {values})
+SELECT doc_id, CAST(n_bytes AS INTEGER) AS n_bytes, header,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       decode_mode
+FROM img
+UNION ALL
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       lower(hex(encode(substring(text, 1, 8)))) AS header,
+       CAST(64 + ascii(substring(text, 1, 1)) % 64 AS INTEGER) AS width,
+       CAST(64 + ascii(substring(text, length(text), 1)) % 64 AS INTEGER) AS height,
+       'fake' AS decode_mode
+FROM documents
+WHERE doc_id % 10 NOT IN (0, 1, 2)
+ORDER BY doc_id
+"""
+
+
+@query(
+    "multimodal_extract_features",
+    sql=_mm_features_oracle_sql,
+    tags=("llmdata", "multimodal"),
+)
 def multimodal_features(spark, sf_dir):
     """Arrow-batched (mapInPandas) feature extraction over a MIXED
     binary corpus: genuine PNG/GIF payloads on a deterministic doc
     subset take the REAL decode tiers (Pillow when present, else the
     pure-Python container-header parse — decode_mode 'pil'/'header'),
     text payloads take the labeled deterministic fake
-    (llmdata/multimodal.py). Rows-only check (decode tier depends on
-    installed codecs); batch shape, schema, and every tier
-    unit-tested."""
+    (llmdata/multimodal.py).  Oracle: DERIVED — image-literal rows
+    frozen through the same decode tiers; DuckDB computes every text
+    row's features itself (_mm_features_oracle_sql); batch shape,
+    schema, and every tier additionally unit-tested."""
     docs = t(spark, sf_dir, "documents")
     return extract_features(with_binary_payload(docs, with_images=True)).orderBy(
         "doc_id"
