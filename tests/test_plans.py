@@ -350,6 +350,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "curation_pipeline_v2",  # composes the unigram score's total row
         "tpch_q11_important_stock",  # global-fraction scalar
         "tpch_q22_dormant_customers",  # global avg scalar
+        "dq_profile_columns",  # 1-row stats × 1-row distinct-counts join
     }
     bad = []
     for name in sorted(REGISTRY):
