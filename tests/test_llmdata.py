@@ -1051,3 +1051,41 @@ def test_sketch_oracle_derivations_match_engine(spark, sf_dir):
         (r["doc_id"], r["simhash"]) for r in simhash_signatures(docs).collect()
     )
     assert eng_sig == sorted(SO.derive_simhash_signatures(sf_dir))
+
+
+def test_quality_classifier_planted_and_stable(spark):
+    """Hashed linear classifier: score is an exact integer fold over
+    planted features (verified against a Python re-computation) and
+    identical under any repartitioning (pure per-row function)."""
+    import hashlib
+
+    from trafik_etl_modular_spark.llmdata.classifier import score_documents
+
+    texts = ["alpha beta gamma", "single", "x y x y"]
+    docs = spark.createDataFrame(
+        [(i, t_) for i, t_ in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def py_score(text):
+        toks = text.split(" ")
+        terms = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        raw = sum(
+            (int(hashlib.md5(t.encode()).hexdigest()[:4], 16) * 2654435761) % 1001
+            - 500
+            for t in terms
+        )
+        return len(terms), raw
+
+    got = {r["doc_id"]: r for r in score_documents(docs).collect()}
+    for i, t_ in enumerate(texts):
+        n, raw = py_score(t_)
+        assert got[i]["n_features"] == n
+        assert got[i]["raw_score"] == raw
+        assert got[i]["score"] == raw / (1000.0 * n)
+        assert got[i]["label"] == ("keep" if got[i]["score"] >= 0.0 else "drop")
+
+    re32 = {
+        r["doc_id"]: (r["raw_score"], r["score"])
+        for r in score_documents(docs.repartition(32)).collect()
+    }
+    assert re32 == {k: (v["raw_score"], v["score"]) for k, v in got.items()}

@@ -1440,6 +1440,55 @@ def multimodal_frame_sample(spark, sf_dir):
     return sample_frames(media, every_n=4, frame_bytes=64).select("doc_id", "frame_no")
 
 
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText shape) — the standard
+# web-corpus keep/drop gate.  Fully SQL-expressible: md5 feature
+# hashing and integer weights are identical in both engines, so the
+# oracle is a straight static mirror (no freezing).
+# ---------------------------------------------------------------------------
+
+_CLASSIFIER_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         list_concat(
+           string_split(text, ' '),
+           CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+             list_transform(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1])
+           ELSE CAST([] AS VARCHAR[]) END) AS terms
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(terms) AS n_features,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(terms, t ->
+             (('0x' || substring(md5(t), 1, 4))::BIGINT * 2654435761) % 1001 - 500)),
+           (a, b) -> a + b) AS raw_score
+  FROM f
+)
+SELECT doc_id, CAST(n_features AS INTEGER) AS n_features, raw_score,
+       CAST(raw_score AS DOUBLE) / (1000.0 * n_features) AS score,
+       CASE WHEN CAST(raw_score AS DOUBLE) / (1000.0 * n_features) >= 0.0
+            THEN 'keep' ELSE 'drop' END AS label
+FROM s
+"""
+
+
+@query("text_quality_classifier", sql=_CLASSIFIER_SQL, tags=("llmdata", "text"))
+def text_quality_classifier(spark, sf_dir):
+    """fastText-shaped hashed linear quality classifier
+    (llmdata/classifier.py::score_documents): word unigram+bigram
+    features md5-hashed into 2^16 buckets, integer bucket weights,
+    integer-fold score with ONE final normalization division —
+    map-only codegen'd scoring, the CCNet-style keep/drop gate.  The
+    oracle recomputes the identical model in DuckDB (md5 and integer
+    arithmetic agree across engines — no freezing needed)."""
+    from trafik_etl_modular_spark.llmdata.classifier import score_documents
+
+    docs = t(spark, sf_dir, "documents")
+    return score_documents(docs, threshold=0.0)
+
+
 _BPE_SQL = """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)

@@ -267,6 +267,41 @@ GROUP BY a.user_id
 """
 
 
+_INTERVAL_FULL_SQL = f"""
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN a.event_id IS NOT NULL AND b.user_id IS NOT NULL
+                  THEN 1 END) AS n_matched,
+       COUNT(CASE WHEN b.user_id IS NULL THEN 1 END) AS n_unmatched_clicks,
+       COUNT(CASE WHEN a.event_id IS NULL THEN 1 END) AS n_unmatched_purchases,
+       {oracle_dsum('CASE WHEN a.event_id IS NOT NULL THEN b.value END', 2)}
+         AS matched_revenue
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') a
+FULL JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY COALESCE(a.user_id, b.user_id)
+"""
+
+
+@query(
+    "streaming_interval_join_full_outer",
+    sql=_INTERVAL_FULL_SQL,
+    tags=("streaming", "join"),
+)
+def streaming_interval_join_full_outer(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join — the last cell of the
+    join-mode matrix: unmatched rows on BOTH sides emit null-padded
+    once the shared watermark + range bound proves absence (the same
+    bound that evicts state).  Completed-stream output equals the
+    batch FULL JOIN, which is the oracle."""
+    from trafik_etl_modular_spark.streaming.pipeline import (
+        interval_joined_full_outer,
+    )
+
+    return interval_joined_full_outer(spark, sf_dir)
+
+
 @query(
     "streaming_interval_join_outer",
     sql=_INTERVAL_OUTER_SQL,

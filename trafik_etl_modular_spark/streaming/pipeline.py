@@ -400,6 +400,56 @@ def interval_joined_clicks_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_joined_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the join-
+    mode matrix (inner / left-outer / full-outer): matched rows emit
+    eagerly, unmatched CLICKS null-pad once the watermark passes
+    click_ts + 1h, and unmatched PURCHASES null-pad once it passes
+    purchase_ts — both proofs of absence come from the same
+    watermark + range bound that evicts join state, so the state
+    story is identical to the inner join's.  The sentinel flush batch
+    closes both sides (each sentinel row is itself unmatched and is
+    filtered below).  Completed output equals the batch FULL JOIN —
+    the oracle."""
+    from trafik_etl_modular_spark.functions.scalars import dsum
+
+    clicks, purchases = _click_purchase_streams(spark, sf_dir, sentinel=True)
+    pairs = clicks.join(purchases, F.expr(_INTERVAL_COND), "fullOuter")
+    out = _run_to_memory(pairs, "append")
+    # Drop the two sentinel rows (negative user ids, one per side);
+    # on a matched row the JOIN-KEY columns are non-null, so side
+    # presence tests use click_id / purchase_user, never the value.
+    return (
+        out.filter(
+            (F.col("click_user").isNull() | (F.col("click_user") >= 0))
+            & (F.col("purchase_user").isNull() | (F.col("purchase_user") >= 0))
+        )
+        .groupBy(
+            F.coalesce("click_user", "purchase_user").alias("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(
+                F.when(
+                    F.col("click_id").isNotNull()
+                    & F.col("purchase_user").isNotNull(),
+                    1,
+                )
+            ).alias("n_matched"),
+            F.count(F.when(F.col("purchase_user").isNull(), 1)).alias(
+                "n_unmatched_clicks"
+            ),
+            F.count(F.when(F.col("click_id").isNull(), 1)).alias(
+                "n_unmatched_purchases"
+            ),
+            dsum(
+                F.when(F.col("click_id").isNotNull(), F.col("purchase_value")), 2
+            ).alias("matched_revenue"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def joined_then_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful operators in one streaming query: stream-
     stream interval join → tumbling event-time window aggregation,
