@@ -60,6 +60,25 @@ def bucket_weight(bucket: Column) -> Column:
     return (bucket * F.lit(_MIX)) % F.lit(_WEIGHT_MOD) - F.lit(500)
 
 
+def _raw_score(terms: Column) -> Column:
+    return F.aggregate(
+        F.transform(terms, lambda t: bucket_weight(feature_bucket(t))),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+
+
+def quality_keep(text: Column | str, threshold: float = 0.0) -> Column:
+    """The classifier as a SCAN PREDICATE — a curation pipeline gates
+    on the score inline (one codegen'd filter in the same stage as
+    the read), it does not join against a scored table."""
+    terms = feature_terms(text)
+    score = _raw_score(terms).cast("double") / (
+        F.lit(1000.0) * F.size(terms).cast("double")
+    )
+    return score >= F.lit(threshold)
+
+
 def score_documents(
     docs: DataFrame,
     text_col: str = "text",
@@ -71,11 +90,7 @@ def score_documents(
     the threshold.  Map-only plan — one codegen'd projection over the
     scan."""
     terms = feature_terms(text_col)
-    raw = F.aggregate(
-        F.transform(terms, lambda t: bucket_weight(feature_bucket(t))),
-        F.lit(0).cast("long"),
-        lambda acc, w: acc + w,
-    )
+    raw = _raw_score(terms)
     n = F.size(terms)
     score = raw.cast("double") / (F.lit(1000.0) * n.cast("double"))
     return docs.select(

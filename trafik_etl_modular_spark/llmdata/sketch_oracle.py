@@ -119,10 +119,18 @@ def derive_minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: int | None = 1000,
+    keep_ids: set | None = None,
 ) -> list[tuple[int, int]]:
     """The LSH candidate pair set, exactly as lsh_candidate_pairs
-    produces it (band equi-buckets, id_a < id_b, hot-bucket cap)."""
+    produces it (band equi-buckets, id_a < id_b, hot-bucket cap).
+    ``keep_ids`` restricts the corpus FIRST (a pipeline that gates
+    before sketching buckets only the kept docs — bucket membership,
+    and therefore the hot-bucket cap, must see the same subset)."""
     ids, texts = _load_documents(sf_dir)
+    if keep_ids is not None:
+        pairs_kept = [(i, t) for i, t in zip(ids, texts) if i in keep_ids]
+        ids = [i for i, _ in pairs_kept]
+        texts = [t for _, t in pairs_kept]
     sets = _shingle_hash_sets(_token_hashes(texts))
     sigs = _minhash_signatures(sets, num_hashes)
     rows_per_band = num_hashes // bands
@@ -159,6 +167,34 @@ def check_no_shingle_collisions(sf_dir: str) -> None:
         strs = {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))}
         if len(strs) != len(hs):
             raise RuntimeError("shingle hash collision — oracle would diverge")
+
+
+def derive_classifier_keep_ids(sf_dir: str, threshold: float = 0.0) -> set:
+    """The quality classifier's keep set (llmdata/classifier.py),
+    recomputed exactly: md5 feature buckets, integer weights, one
+    final double division — the same arithmetic in Python."""
+    import hashlib
+
+    ids, texts = _load_documents(sf_dir)
+    wcache: dict[str, int] = {}
+
+    def w(term: str) -> int:
+        v = wcache.get(term)
+        if v is None:
+            v = (
+                int(hashlib.md5(term.encode()).hexdigest()[:4], 16) * 2654435761
+            ) % 1001 - 500
+            wcache[term] = v
+        return v
+
+    keep = set()
+    for did, text in zip(ids, texts):
+        toks = text.split(" ")
+        terms = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        raw = sum(w(t) for t in terms)
+        if raw / (1000.0 * len(terms)) >= threshold:
+            keep.add(did)
+    return keep
 
 
 def derive_simhash_signatures(sf_dir: str) -> list[tuple[int, int]]:

@@ -1489,6 +1489,139 @@ def text_quality_classifier(spark, sf_dir):
     return score_documents(docs, threshold=0.0)
 
 
+def _curation_v3_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for curation v3: the classifier gate, exact-
+    Jaccard verification, recursive-CTE connected components,
+    dedup anti-filter, token-budget window, and the final per-source
+    rollup are all DuckDB's own work; only the MinHash-LSH candidate
+    set — computed over the classifier-kept subset, since bucket
+    membership (and the hot-bucket cap) must see the gated corpus —
+    is frozen from the outside-the-engine re-derivation."""
+    from trafik_etl_modular_spark.llmdata.sketch_oracle import (
+        check_no_shingle_collisions,
+        derive_classifier_keep_ids,
+        derive_minhash_candidates,
+    )
+
+    check_no_shingle_collisions(sf_dir)
+    keep_ids = derive_classifier_keep_ids(sf_dir)
+    cands = derive_minhash_candidates(sf_dir, max_bucket_size=1000, keep_ids=keep_ids)
+    cand_cte = (
+        "cand(id_a, id_b) AS (VALUES " + ",".join(f"({a},{b})" for a, b in cands) + ")"
+        if cands
+        else "cand(id_a, id_b) AS (SELECT 0, 0 WHERE 1 = 0)"
+    )
+    return f"""
+WITH RECURSIVE keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(
+               list_concat(
+                 string_split(text, ' '),
+                 CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+                   list_transform(range(1, len(string_split(text, ' '))),
+                     i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1])
+                 ELSE CAST([] AS VARCHAR[]) END),
+               t -> (('0x' || substring(md5(t), 1, 4))::BIGINT * 2654435761) % 1001 - 500)),
+             (a, b) -> a + b) AS raw_score,
+           len(string_split(text, ' ')) * 2 - 1 AS n_features
+    FROM documents
+  )
+  WHERE CAST(raw_score AS DOUBLE) / (1000.0 * n_features) >= 0.0
+),
+{cand_cte},
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+             i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sh
+  FROM w
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))
+        >= CAST(0.6 AS DOUBLE)
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(id, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, w2.r FROM walk w2 JOIN edges e ON e.u = w2.id
+),
+cc AS (SELECT id, MIN(r) AS label FROM walk GROUP BY id),
+dupes AS (SELECT id FROM cc WHERE id <> label),
+dd AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d
+  JOIN keep k USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT id FROM dupes)
+),
+tks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS sk
+  FROM dd
+),
+cum AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY sk
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tok AS tokens_before
+  FROM tks
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tok_total
+FROM cum WHERE tokens_before < 3000
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("curation_pipeline_v3", sql=_curation_v3_oracle_sql, tags=("llmdata", "pipeline"))
+def curation_pipeline_v3(spark, sf_dir):
+    """Round-4 curation capstone composing this round's operators,
+    still ONE declarative plan per stage boundary: the hashed-linear
+    quality classifier as a SCAN PREDICATE (no scored-table join) →
+    MinHash-LSH near-dup removal over the gated corpus (candidate
+    pairs verified by exact Jaccard, connected components pick the
+    min-id keeper, non-keepers anti-joined away) → per-source
+    token-budget mix (3000-token budgets, md5-shuffled admission) →
+    per-source rollup (docs kept, tokens admitted).  The oracle
+    re-runs everything in DuckDB with only the LSH candidate set
+    frozen (_curation_v3_oracle_sql)."""
+    from trafik_etl_modular_spark.llmdata.classifier import quality_keep
+    from trafik_etl_modular_spark.llmdata.dedup import (
+        connected_components,
+        minhash_near_dups,
+    )
+    from trafik_etl_modular_spark.llmdata.sampling import token_budget_mix
+
+    docs = t(spark, sf_dir, "documents")
+    kept = docs.filter(quality_keep("text"))
+    pairs = minhash_near_dups(kept, threshold=0.6, max_bucket_size=1000)
+    cc = connected_components(pairs, "id_a", "id_b", n_partitions=8)
+    dupes = cc.filter(F.col("id") != F.col("label")).select(
+        F.col("id").alias("doc_id")
+    )
+    deduped = kept.join(dupes, "doc_id", "left_anti").select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tok")
+    )
+    mixed = token_budget_mix(deduped, "source", "n_tok", 3000)
+    return (
+        mixed.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tok_total"))
+        .orderBy("source")
+    )
+
+
 _BPE_SQL = """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
