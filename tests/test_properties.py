@@ -270,3 +270,37 @@ def test_token_budget_mix_matches_reference(spark, docs, budget):
         for r in token_budget_mix(df, "source", "n_tok", budget).collect()
     }
     assert got == expect, (got, expect, rows, budget)
+
+
+def test_scd2_current_snapshot_equals_latest_wins(spark, sf_dir):
+    """The SCD2 history's is_current slice must equal W2's
+    latest-wins output — same entities, same winning versions."""
+    from trafik_etl_modular_spark.queries.dedup import dedup_latest_wins, scd2_history
+
+    hist = scd2_history(spark, sf_dir)
+    current = {
+        (r["entity_id"], r["version_id"])
+        for r in hist.filter("is_current").collect()
+    }
+    latest = {
+        (r["entity_id"], r["event_id"])
+        for r in dedup_latest_wins(spark, sf_dir).collect()
+    }
+    assert current == latest
+
+    # intervals chain: within an entity, each valid_to equals the
+    # next version's valid_from, and exactly one row is current
+    rows = sorted(
+        ((r["entity_id"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in hist.collect()),
+    )
+    from collections import defaultdict
+
+    by_ent = defaultdict(list)
+    for ent, vf, vt, cur in rows:
+        by_ent[ent].append((vf, vt, cur))
+    for ent, chain in by_ent.items():
+        assert sum(1 for _, _, cur in chain if cur) == 1, ent
+        for (vf1, vt1, _), (vf2, _, _) in zip(chain, chain[1:]):
+            assert vt1 == vf2, ent
+        assert chain[-1][1] is None

@@ -67,6 +67,48 @@ def dedup_latest_wins(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SCD2 history build — the versioned sibling of W2: instead of keeping
+# only the latest version, keep EVERY version as a validity interval.
+# This is the standard lakehouse "slowly changing dimension type 2"
+# shape the reference's upsert-with-history workflow implies
+# (load_sqlite.py keeps only latest; a warehouse keeps the history).
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+SELECT (event_id % 700) AS entity_id,
+       event_id AS version_id,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY (event_id % 700)
+                      ORDER BY ts, event_id) AS valid_to,
+       value,
+       (LEAD(ts) OVER (PARTITION BY (event_id % 700)
+                       ORDER BY ts, event_id) IS NULL) AS is_current
+FROM events
+"""
+
+
+@query("scd2_history", sql=_SCD2_SQL, tags=("dedup", "window"))
+def scd2_history(spark, sf_dir):
+    """SCD2 (type-2 slowly-changing-dimension) history: every entity
+    version becomes a [valid_from, valid_to) interval, the open
+    interval flagged current — one window per entity (lead on the
+    version order), one hash shuffle on the entity key, memory
+    bounded by the version chain, embarrassingly parallel across
+    entities.  The current-snapshot projection of this table equals
+    W2's latest-wins output (pinned in tests/test_properties.py)."""
+    ev = t(spark, sf_dir, "events").withColumn("entity_id", F.col("event_id") % 700)
+    w = Window.partitionBy("entity_id").orderBy("ts", "event_id")
+    return ev.select(
+        "entity_id",
+        F.col("event_id").alias("version_id"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "value",
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # W1 — composite-natural-key dedup.
 # ---------------------------------------------------------------------------
 
