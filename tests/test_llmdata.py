@@ -1089,3 +1089,24 @@ def test_quality_classifier_planted_and_stable(spark):
         for r in score_documents(docs.repartition(32)).collect()
     }
     assert re32 == {k: (v["raw_score"], v["score"]) for k, v in got.items()}
+
+
+def test_exact_quota_split_proportions_and_stability(spark):
+    """Per group: exactly floor(0.8*n) train rows regardless of n's
+    divisibility, and identical assignment under repartitioning."""
+    from trafik_etl_modular_spark.llmdata.sampling import exact_quota_split
+
+    rows = [(i, "a") for i in range(13)] + [(100 + i, "b") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = exact_quota_split(df, "lang", "doc_id", 8, 10).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["lang"], []).append(r)
+    assert sum(1 for r in by_grp["a"] if r["split"] == "train") == 10  # floor(10.4)
+    assert sum(1 for r in by_grp["b"] if r["split"] == "train") == 5  # floor(5.6)
+
+    re_out = {
+        r["doc_id"]: r["split"]
+        for r in exact_quota_split(df.repartition(16), "lang", "doc_id", 8, 10).collect()
+    }
+    assert re_out == {r["doc_id"]: r["split"] for r in out}

@@ -90,6 +90,39 @@ def assign_split(
     return df.withColumn("split", expr)
 
 
+def exact_quota_split(
+    df: DataFrame,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    num: int = 8,
+    den: int = 10,
+) -> DataFrame:
+    """EXACT-quota stratified split: within each group, the first
+    ``(n·num) div den`` rows in salted-md5 order are 'train', the
+    rest 'holdout' — per-group proportions hit exactly (integer
+    arithmetic, no rounding drift), unlike the hash-bucket split
+    whose per-group fractions only converge in expectation.
+
+    Costs one shuffle (the per-group window); the hash-bucket split
+    stays a pure scan predicate — that's the trade: exact quotas
+    need the group count, expected-fraction splits don't.  The md5
+    order key is salted with the operator name so quota assignment is
+    decorrelated from every other sampling family."""
+    sk = F.md5(F.concat(F.lit("quota|"), F.col(key_col).cast("string")))
+    w_rank = Window.partitionBy(group_col).orderBy(sk, key_col)
+    w_cnt = Window.partitionBy(group_col)
+    rn = F.row_number().over(w_rank).cast("long")
+    n = F.count("*").over(w_cnt)
+    # rn ≤ floor(n·num/den)  ⟺  rn·den ≤ n·num — pure integer
+    # comparison, no division, no floating point anywhere.
+    return df.withColumn(
+        "split",
+        F.when(rn * F.lit(den) <= n * F.lit(num), F.lit("train")).otherwise(
+            F.lit("holdout")
+        ),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -856,6 +856,35 @@ def sample_split_manifest(spark, sf_dir):
     )
 
 
+_QUOTA_SPLIT_SQL = """
+SELECT doc_id, lang, split FROM (
+  SELECT doc_id, lang,
+         CASE WHEN CAST(ROW_NUMBER() OVER (
+                PARTITION BY lang
+                ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)), doc_id
+              ) AS BIGINT) * 10
+              <= COUNT(*) OVER (PARTITION BY lang) * 8
+              THEN 'train' ELSE 'holdout' END AS split
+  FROM documents
+)
+"""
+
+
+@query("sample_exact_quota_split", sql=_QUOTA_SPLIT_SQL, tags=("llmdata", "sampling"))
+def sample_exact_quota_split(spark, sf_dir):
+    """EXACT-quota stratified 80/20 split per language
+    (llmdata/sampling.py::exact_quota_split): each group's train
+    count is exactly floor(0.8·n) — rank-vs-count integer comparison,
+    no floating point, salted-md5 admission order decorrelated from
+    the other sampling families.  The trade vs the hash-bucket split:
+    one shuffle buys exact per-group proportions instead of
+    in-expectation ones."""
+    from trafik_etl_modular_spark.llmdata.sampling import exact_quota_split
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return exact_quota_split(docs, "lang", "doc_id", 8, 10)
+
+
 _STRAT_RATES = {"en": 500, "de": 800, "es": 800, "fr": 800, "zh": 1000}
 
 # stratified_sample draws from its OWN salted hash stream so keep/drop
