@@ -1634,7 +1634,12 @@ def curation_pipeline_v3(spark, sf_dir):
     from trafik_etl_modular_spark.llmdata.sampling import token_budget_mix
 
     docs = t(spark, sf_dir, "documents")
-    kept = docs.filter(quality_keep("text"))
+    # The classifier fold is ~60 integer ops × features per row;
+    # materialize the gated corpus ONCE instead of re-running the
+    # fold on every plan leg that reads `kept` (the sketch side and
+    # the dedup side both do).  At lake scale this is the persisted
+    # post-gate corpus between pipeline stages.
+    kept = docs.filter(quality_keep("text")).localCheckpoint(eager=False)
     pairs = minhash_near_dups(kept, threshold=0.6, max_bucket_size=1000)
     cc = connected_components(pairs, "id_a", "id_b", n_partitions=8)
     dupes = cc.filter(F.col("id") != F.col("label")).select(

