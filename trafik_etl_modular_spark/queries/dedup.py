@@ -108,6 +108,47 @@ def scd2_history(spark, sf_dir):
     )
 
 
+@query("scd2_incremental_merge", sql=_SCD2_SQL, tags=("dedup", "window", "incremental"))
+def scd2_incremental_merge(spark, sf_dir):
+    """INCREMENTAL SCD2 maintenance with LATE data: a small batch of
+    newly-arrived versions (~0.1% of events, landing anywhere in
+    history — the hard case, since a mid-history insert rewrites its
+    neighbors' valid_to) is merged into the materialized history by
+    rebuilding ONLY the touched entities:
+
+      merged = untouched history rows (anti join on the batch's
+               entity set, broadcast — they are bit-identical)
+             ∪ re-windowed versions of touched entities only
+               (semi join prunes the recompute to the affected keys).
+
+    Work scales with the BATCH's entity footprint, not the history —
+    the same shape as agg_incremental_rollup.  The oracle is the FULL
+    recompute over all events: the driver hash-check IS the proof
+    that incremental maintenance equals recomputation."""
+    ev = t(spark, sf_dir, "events").withColumn("entity_id", F.col("event_id") % 700)
+    base = ev.filter(F.col("event_id") % 997 != 0)  # materialized history input
+    batch = ev.filter(F.col("event_id") % 997 == 0)  # late-arriving versions
+
+    def scd2(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("entity_id").orderBy("ts", "event_id")
+        return df.select(
+            "entity_id",
+            F.col("event_id").alias("version_id"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            "value",
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+
+    history = scd2(base)
+    touched = batch.select("entity_id").distinct()
+    untouched_rows = history.join(F.broadcast(touched), "entity_id", "left_anti")
+    rebuilt = scd2(
+        ev.join(F.broadcast(touched), "entity_id", "left_semi")
+    )
+    return untouched_rows.unionByName(rebuilt)
+
+
 # ---------------------------------------------------------------------------
 # W1 — composite-natural-key dedup.
 # ---------------------------------------------------------------------------
