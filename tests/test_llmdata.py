@@ -1081,7 +1081,9 @@ def test_quality_classifier_planted_and_stable(spark):
         n, raw = py_score(t_)
         assert got[i]["n_features"] == n
         assert got[i]["raw_score"] == raw
-        assert got[i]["score"] == raw / (1000.0 * n)
+        # projected score is fquant'd to 1e-9 (integer round-trip,
+        # see functions.scalars.fquant) — compare within the quantum
+        assert abs(got[i]["score"] - raw / (1000.0 * n)) <= 1e-9
         assert got[i]["label"] == ("keep" if got[i]["score"] >= 0.0 else "drop")
 
     re32 = {

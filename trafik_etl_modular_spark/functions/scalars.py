@@ -47,6 +47,28 @@ def davg(col: Column | str, scale: int = 4) -> Column:
     return dsum(c, scale) / F.count(c)
 
 
+def fquant(col: Column, ndigits: int = 9) -> Column:
+    """Quantize a double through an exact integer round-trip:
+    ``round(x·10^n) :: bigint :: double / 10^n``.
+
+    Both engines round the same double to the same integer and divide
+    by the same power of ten, so the emitted float is DERIVED FROM
+    IDENTICAL INTEGERS on both sides of an oracle comparison — immune
+    to engine- or harness-side float-repr / last-ULP divergence.  Use
+    on every driver-visible ratio column (m/n projections); exact at
+    0.0/1.0 endpoints.  (Round-4 driver hash mismatches on two
+    ratio-emitting queries were not reproducible locally; this closes
+    the class.)"""
+    p = float(10**ndigits)
+    return F.round(col * F.lit(p)).cast("bigint").cast("double") / F.lit(p)
+
+
+def oracle_fquant(expr: str, ndigits: int = 9) -> str:
+    """DuckDB SQL mirror of :func:`fquant`."""
+    p = f"1e{ndigits}"
+    return f"(CAST(ROUND(({expr}) * {p}) AS BIGINT) / {p})"
+
+
 def oracle_dsum(expr: str, scale: int = 4) -> str:
     """DuckDB SQL mirror of :func:`dsum` for oracle queries."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE)"

@@ -93,11 +93,17 @@ def score_documents(
     raw = _raw_score(terms)
     n = F.size(terms)
     score = raw.cast("double") / (F.lit(1000.0) * n.cast("double"))
+    # The projected score is fquant'd (integer round-trip) so the
+    # driver-visible float is derived from identical integers on both
+    # engines; keep/drop compares the unquantized value, mirroring
+    # the oracle's CASE.
+    from trafik_etl_modular_spark.functions.scalars import fquant
+
     return docs.select(
         F.col(id_col),
         n.alias("n_features"),
         raw.alias("raw_score"),
-        score.alias("score"),
+        fquant(score).alias("score"),
         F.when(score >= F.lit(threshold), F.lit("keep"))
         .otherwise(F.lit("drop"))
         .alias("label"),

@@ -571,9 +571,19 @@ def crossdoc_chunk_stats(
             F.count("*").alias("n_chunks"),
             F.sum((F.col("chunk_df") >= 2).cast("bigint")).alias("n_dup_chunks"),
         )
+        # The fraction is QUANTIZED to 1e-9 via an integer round-trip:
+        # both engines round the same double to the same bigint and
+        # divide it by the same power of ten, so the driver-visible
+        # float is derived from identical integers on both sides —
+        # immune to any engine/harness float-repr or last-ULP
+        # divergence (round-4 driver hash mismatch on this query was
+        # not reproducible locally; this closes the whole class).
         .withColumn(
             "dup_chunk_fraction",
-            F.col("n_dup_chunks").cast("double") / F.col("n_chunks"),
+            F.round(F.col("n_dup_chunks").cast("double") / F.col("n_chunks") * 1e9)
+            .cast("bigint")
+            .cast("double")
+            / F.lit(1e9),
         )
     )
 

