@@ -905,6 +905,57 @@ def test_crossdoc_chunk_partial_overlap(spark):
     assert out[6] == (3, 1)
 
 
+def test_remove_repeated_chunks_planted(spark):
+    """Chunk-removal rewrite: a chunk repeated across docs (and a doc
+    made entirely of another doc's chunks) survives only at its
+    globally-first (doc_id, start) occurrence; rewritten text is
+    verified via md5 against a Python reconstruction."""
+    import hashlib
+
+    from trafik_etl_modular_spark.llmdata.dedup import remove_repeated_chunks
+
+    c1 = "a b c d"      # chunk=4: one full chunk
+    c2 = "e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, c1 + " " + c2),          # owns both chunks
+            (2, c2 + " " + c1),          # chunks [e f g h], [a b c d] — both owned by doc 1
+            (3, "x y " + c1),            # chunks [x y a b], [c d] — tail chunk 'c d' unique
+            (4, c1),                     # exact chunk dup of doc 1's first chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_chunks(docs, chunk=4).collect()
+    }
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1 keeps everything
+    assert (out[1]["n_chunks"], out[1]["n_kept_chunks"]) == (2, 2)
+    assert out[1]["rewritten_md5"] == md5(c1 + " " + c2)
+    # doc 2's two chunks are doc 1's chunks → all removed
+    assert (out[2]["n_kept_chunks"], out[2]["n_tokens_after"]) == (0, 0)
+    assert out[2]["rewritten_md5"] == md5("")
+    # doc 3: "x y a b" is novel (different 4-token window), "c d" novel
+    assert (out[3]["n_chunks"], out[3]["n_kept_chunks"]) == (2, 2)
+    assert out[3]["n_tokens_after"] == 6
+    # doc 4 is exactly doc 1's first chunk → removed
+    assert (out[4]["n_kept_chunks"], out[4]["rewritten_md5"]) == (0, md5(""))
+    # total surviving tokens = distinct chunk contents' tokens
+    assert sum(r["n_tokens_after"] for r in out.values()) == 8 + 6
+
+    # stable under repartitioning (ownership is a global min, not
+    # partition-order dependent)
+    re8 = {
+        r["doc_id"]: r["rewritten_md5"]
+        for r in remove_repeated_chunks(docs.repartition(8), chunk=4).collect()
+    }
+    assert re8 == {k: v["rewritten_md5"] for k, v in out.items()}
+
+
 def test_semantic_dedup_planted_groups(spark):
     """SemDeDup recovers planted near-dup groups: 6 well-separated
     base directions, each with 3 tiny-noise copies (pairwise cosine

@@ -588,6 +588,117 @@ def crossdoc_chunk_stats(
     )
 
 
+def remove_repeated_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 10,
+) -> DataFrame:
+    """Repeated-chunk REMOVAL — the transform counterpart of
+    :func:`crossdoc_chunk_stats` (Lee et al. 2021 ExactSubstr dedup,
+    chunk-granular): tile every document into NON-OVERLAPPING
+    ``chunk``-token windows, give each distinct chunk content one
+    global owner — its first occurrence in (doc_id, start) order —
+    and REWRITE each document as the ordered concatenation of only
+    the chunk occurrences it owns.  Repeated boilerplate (across docs
+    or within one doc) survives exactly once in the whole corpus,
+    which is the training-data property the paper targets; stats-only
+    scoring (crossdoc_chunk_stats) can't deliver that.
+
+    Shape and scale: tokenize → per-start postings keyed by the
+    chunk's xxhash64 (8-byte shuffle key; the chunk STRING never
+    shuffles) → one groupBy picks the min-(doc_id, start) owner per
+    chunk → postings join owners on the same hash key (AQE-planned,
+    both sides already hash-partitioned) → surviving (doc_id, start)
+    pairs join back to the tokenized base on doc_id and the rewrite
+    is re-sliced locally from the token array.  Three shuffles, all
+    on 8-24-byte keys, never corpus²; the heavy strings move only in
+    the initial scan and the final per-doc rewrite.
+
+    Output (one row per input doc): (doc_id, n_chunks,
+    n_kept_chunks, n_tokens_before, n_tokens_after, rewritten_md5)
+    where rewritten_md5 is md5 of the space-joined surviving chunks
+    ('' when the doc loses everything) — exact-string comparable in
+    any engine, no float anywhere.  Chunk identity is hash-based
+    (xxhash64 of the chunk string; collisions ~|chunks|²/2⁶⁴,
+    negligible and data-fixed)."""
+    from trafik_etl_modular_spark.operators.partitions import fan_out
+
+    # Tokens AND token-hashes materialized once, checkpointed to pin
+    # the evaluate-once boundary (the shingles() lambda gotcha, cf.
+    # crossdoc_chunk_stats above): chunk identity is the xxhash64 of
+    # the sliced token-HASH array — no per-window string is ever
+    # allocated or shuffled; strings reappear only in the final
+    # per-doc rewrite, re-sliced from the local token array.
+    base = (
+        fan_out(docs)
+        .select(
+            F.col(id_col),
+            F.split(F.col(text_col), " ").alias("__t"),
+            F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)).alias(
+                "__th"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    th = F.col("__th")
+    # non-overlapping tiling, tail partial window included, so every
+    # token belongs to exactly one chunk occurrence
+    starts = F.sequence(F.lit(1), F.greatest(F.size(th), F.lit(1)), F.lit(chunk))
+    occ = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.xxhash64(F.slice(th, s, chunk)).alias("chunk_hash"),
+            F.size(F.slice(th, s, chunk)).alias("chunk_len"),
+        ),
+    )
+    postings = base.select(F.col(id_col), F.explode(occ).alias("c")).select(
+        F.col(id_col),
+        F.col("c.start").alias("start"),
+        F.col("c.chunk_hash").alias("chunk_hash"),
+        F.col("c.chunk_len").alias("chunk_len"),
+    )
+    owners = postings.groupBy("chunk_hash").agg(
+        F.min(F.struct(F.col(id_col).alias("oid"), F.col("start").alias("ostart"))).alias(
+            "owner"
+        )
+    )
+    kept = (
+        postings.join(owners, "chunk_hash")
+        .filter(
+            (F.col("owner.oid") == F.col(id_col))
+            & (F.col("owner.ostart") == F.col("start"))
+        )
+        .select(F.col(id_col), "start", "chunk_len")
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept_chunks"),
+        F.sum("chunk_len").alias("n_tokens_after"),
+        F.sort_array(F.collect_list("start")).alias("__starts"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.ceil(F.greatest(F.size("__t"), F.lit(1)) / F.lit(chunk))
+        .cast("bigint")
+        .alias("n_chunks"),
+        F.coalesce("n_kept_chunks", F.lit(0)).cast("bigint").alias("n_kept_chunks"),
+        F.size("__t").cast("bigint").alias("n_tokens_before"),
+        F.coalesce("n_tokens_after", F.lit(0)).cast("bigint").alias("n_tokens_after"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.coalesce("__starts", F.array().cast("array<int>")),
+                        lambda s: F.slice(F.col("__t"), s, chunk),
+                    )
+                ),
+            )
+        ).alias("rewritten_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-cluster resolution
 # ---------------------------------------------------------------------------

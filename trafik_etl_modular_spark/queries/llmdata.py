@@ -17,6 +17,7 @@ from trafik_etl_modular_spark.llmdata.dedup import (
     connected_components,
     crossdoc_chunk_stats,
     minhash_near_dups,
+    remove_repeated_chunks,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_prefix,
     simhash_candidate_pairs,
@@ -425,6 +426,53 @@ SELECT p.doc_id,
 FROM postings p JOIN cdf c USING (chunk)
 GROUP BY p.doc_id
 """
+
+
+_CHUNK_REMOVE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+posts AS (
+  SELECT doc_id, i AS start,
+         array_to_string(t[i:i+9], ' ') AS chunk,
+         len(t[i:i+9]) AS chunk_len
+  FROM (SELECT doc_id, t, UNNEST(range(1, greatest(len(t), 1) + 1, 10)) AS i
+        FROM toks)
+),
+ranked AS (
+  SELECT doc_id, start, chunk, chunk_len,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, start) AS rn
+  FROM posts
+),
+kept AS (SELECT doc_id, start, chunk, chunk_len FROM ranked WHERE rn = 1),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_kept,
+         SUM(chunk_len) AS n_tok_after,
+         md5(string_agg(chunk, ' ' ORDER BY start)) AS rmd5
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(CEIL(greatest(len(t.t), 1) / 10.0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept_chunks,
+       CAST(len(t.t) AS BIGINT) AS n_tokens_before,
+       CAST(COALESCE(a.n_tok_after, 0) AS BIGINT) AS n_tokens_after,
+       COALESCE(a.rmd5, md5('')) AS rewritten_md5
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("dedup_chunk_remove", sql=_CHUNK_REMOVE_SQL, tags=("llmdata", "dedup"))
+def dedup_chunk_remove(spark, sf_dir):
+    """Repeated-chunk REMOVAL rewrite (Lee et al. 2021 ExactSubstr
+    dedup, chunk-granular): tile each doc into non-overlapping
+    10-token chunks, keep only each distinct chunk's globally first
+    occurrence (min (doc_id, start)), and emit per-doc rewrite stats
+    plus md5 of the surviving text
+    (llmdata/dedup.py::remove_repeated_chunks).  The comparison
+    surface is all-integer + md5 strings — exact in any engine."""
+    docs = t(spark, sf_dir, "documents")
+    return remove_repeated_chunks(docs, chunk=10)
 
 
 @query("dedup_chunk_crossdoc", sql=_CROSSDOC_CHUNK_SQL, tags=("llmdata", "dedup"))
