@@ -1163,3 +1163,41 @@ def test_exact_quota_split_proportions_and_stability(spark):
         for r in exact_quota_split(df.repartition(16), "lang", "doc_id", 8, 10).collect()
     }
     assert re_out == {r["doc_id"]: r["split"] for r in out}
+
+
+def test_streaming_incremental_dedup_equals_direct_batch_calls(spark, sf_dir):
+    """The streamed verdicts (index carried as foreachBatch state)
+    must equal calling incremental_near_dups directly per batch with
+    corpus = all strictly-earlier batches — micro-batching is an
+    execution detail, not a semantic one."""
+    from pyspark.sql import functions as F
+
+    from trafik_etl_modular_spark.llmdata.dedup import incremental_near_dups
+    from trafik_etl_modular_spark.queries.common import t
+    from trafik_etl_modular_spark.streaming.incremental_dedup import (
+        incremental_dedup_stream_run,
+    )
+
+    streamed = {
+        r["doc_id"]: (r["batch_id"], r["verdict"], r["matched_id"], r["n_near_matches"])
+        for r in incremental_dedup_stream_run(spark, sf_dir, n_batches=4).collect()
+    }
+
+    docs = t(spark, sf_dir, "documents")
+    expected = {}
+    for b in range(4):
+        batch = docs.filter(F.col("doc_id") % 4 == b)
+        if b == 0:
+            for r in batch.select("doc_id").collect():
+                expected[r["doc_id"]] = (0, "novel", None, 0)
+            continue
+        corpus = docs.filter(F.col("doc_id") % 4 < b)
+        for r in incremental_near_dups(corpus, batch, k=3, threshold=0.6).collect():
+            expected[r["doc_id"]] = (
+                b,
+                r["verdict"],
+                r["matched_id"],
+                r["n_near_matches"],
+            )
+
+    assert streamed == expected

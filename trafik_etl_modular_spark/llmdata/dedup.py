@@ -414,6 +414,94 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def shingle_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Inverted hashed-shingle postings for a document set:
+    (id, sz, shingle) with one row per DISTINCT k-shingle hash per
+    doc.  This is the unit of STATE for incremental dedup — a
+    continuous-crawl pipeline appends each admitted batch's postings
+    to the persisted index instead of re-shingling the corpus."""
+    from trafik_etl_modular_spark.operators.partitions import fan_out
+
+    sh = fan_out(df).select(
+        F.col(id_col), hashed_shingles(F.col(text_col), k).alias("s")
+    )
+    return sh.select(
+        F.col(id_col), F.size("s").alias("sz"), F.explode("s").alias("shingle")
+    )
+
+
+def content_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, __h md5-content-hash) — the exact-dup side of the
+    incremental index."""
+    return df.select(F.col(id_col), F.md5(text_col).alias("__h"))
+
+
+def incremental_verdicts(
+    batch: DataFrame,
+    binv: DataFrame,
+    cinv: DataFrame,
+    corpus_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Classify each batch doc against a PRE-BUILT corpus index
+    (``cinv`` postings from :func:`shingle_postings`,
+    ``corpus_hashes`` from :func:`content_hashes`) — the inner step
+    of :func:`incremental_near_dups`, exposed so streaming ingest can
+    carry the index as state and touch only batch-proportional work
+    per micro-batch.  Verdict precedence and output exactly as
+    :func:`incremental_near_dups`."""
+    shared = (
+        binv.alias("b")
+        .join(cinv.alias("c"), "shingle")
+        .groupBy(
+            F.col(f"b.{id_col}").alias("batch_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .agg(
+            F.any_value(F.col("b.sz")).alias("sz_b"),
+            F.any_value(F.col("c.sz")).alias("sz_c"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sz_b") + F.col("sz_c") - F.col("n_shared")
+    )
+    near = (
+        shared.filter(jac >= threshold)
+        .groupBy("batch_id")
+        .agg(
+            F.min("corpus_id").alias("near_match_id"),
+            F.count("*").alias("n_near_matches"),
+        )
+    )
+    chash = corpus_hashes.groupBy("__h").agg(
+        F.min(id_col).alias("exact_match_id")
+    )
+    return (
+        batch.select(F.col(id_col), F.md5(text_col).alias("__h"))
+        .join(chash, "__h", "left")
+        .join(near, F.col(id_col) == F.col("batch_id"), "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("exact_match_id").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce("exact_match_id", "near_match_id").alias("matched_id"),
+            F.coalesce("n_near_matches", F.lit(0)).alias("n_near_matches"),
+        )
+    )
+
+
 def incremental_near_dups(
     corpus: DataFrame,
     batch: DataFrame,
@@ -443,59 +531,21 @@ def incremental_near_dups(
     not corpus²; the exact check is a broadcast-size hash lookup when
     the batch is small (the usual case) and a plain equi-join
     otherwise.  Output: (doc_id, verdict, matched_id,
-    n_near_matches), one row per batch doc."""
-    from trafik_etl_modular_spark.operators.partitions import fan_out
+    n_near_matches), one row per batch doc.
 
-    def _inv(df: DataFrame) -> DataFrame:
-        sh = fan_out(df).select(
-            F.col(id_col), hashed_shingles(F.col(text_col), k).alias("s")
-        )
-        return sh.select(
-            F.col(id_col), F.size("s").alias("sz"), F.explode("s").alias("shingle")
-        )
-
-    binv = _inv(batch).localCheckpoint(eager=False)
-    cinv = _inv(corpus).localCheckpoint(eager=False)
-    shared = (
-        binv.alias("b")
-        .join(cinv.alias("c"), "shingle")
-        .groupBy(
-            F.col(f"b.{id_col}").alias("batch_id"),
-            F.col(f"c.{id_col}").alias("corpus_id"),
-        )
-        .agg(
-            F.any_value(F.col("b.sz")).alias("sz_b"),
-            F.any_value(F.col("c.sz")).alias("sz_c"),
-            F.count("*").alias("n_shared"),
-        )
-    )
-    jac = F.col("n_shared").cast("double") / (
-        F.col("sz_b") + F.col("sz_c") - F.col("n_shared")
-    )
-    near = (
-        shared.filter(jac >= threshold)
-        .groupBy("batch_id")
-        .agg(
-            F.min("corpus_id").alias("near_match_id"),
-            F.count("*").alias("n_near_matches"),
-        )
-    )
-    chash = corpus.groupBy(F.md5(text_col).alias("__h")).agg(
-        F.min(id_col).alias("exact_match_id")
-    )
-    return (
-        batch.select(F.col(id_col), F.md5(text_col).alias("__h"))
-        .join(chash, "__h", "left")
-        .join(near, F.col(id_col) == F.col("batch_id"), "left")
-        .select(
-            F.col(id_col),
-            F.when(F.col("exact_match_id").isNotNull(), F.lit("exact_dup"))
-            .when(F.col("near_match_id").isNotNull(), F.lit("near_dup"))
-            .otherwise(F.lit("novel"))
-            .alias("verdict"),
-            F.coalesce("exact_match_id", "near_match_id").alias("matched_id"),
-            F.coalesce("n_near_matches", F.lit(0)).alias("n_near_matches"),
-        )
+    Thin wrapper over :func:`shingle_postings` +
+    :func:`incremental_verdicts`; streaming ingest calls those
+    directly, carrying the postings/hashes as accumulated state."""
+    binv = shingle_postings(batch, text_col, id_col, k).localCheckpoint(eager=False)
+    cinv = shingle_postings(corpus, text_col, id_col, k).localCheckpoint(eager=False)
+    return incremental_verdicts(
+        batch,
+        binv,
+        cinv,
+        content_hashes(corpus, text_col, id_col),
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
     )
 
 

@@ -314,3 +314,68 @@ def streaming_interval_join_outer(spark, sf_dir):
     makes absence definitive.  Completed-stream output equals the
     batch LEFT JOIN, which is the oracle."""
     return interval_joined_clicks_outer(spark, sf_dir)
+
+
+_INCR_DEDUP_STREAM_SQL = """
+WITH d AS (SELECT doc_id, doc_id % 4 AS batch_id, text FROM documents),
+sh AS (
+  SELECT doc_id, batch_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS s
+  FROM d
+),
+inv AS (SELECT doc_id, batch_id, len(s) AS sz, UNNEST(s) AS shingle FROM sh),
+shared AS (
+  SELECT b.doc_id AS bid, c.doc_id AS cid,
+         ANY_VALUE(b.sz) AS sz_b, ANY_VALUE(c.sz) AS sz_c,
+         COUNT(*) AS n_shared
+  FROM inv b JOIN inv c ON b.shingle = c.shingle AND c.batch_id < b.batch_id
+  GROUP BY b.doc_id, c.doc_id
+),
+near AS (
+  SELECT bid, MIN(cid) AS near_match_id, COUNT(*) AS n_near
+  FROM shared
+  WHERE CAST(n_shared AS DOUBLE) / (sz_b + sz_c - n_shared) >= 0.6
+  GROUP BY bid
+),
+ex AS (
+  SELECT b.doc_id AS bid, MIN(c.doc_id) AS exact_match_id
+  FROM d b JOIN d c ON md5(b.text) = md5(c.text) AND c.batch_id < b.batch_id
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, d.batch_id,
+       CASE WHEN ex.exact_match_id IS NOT NULL THEN 'exact_dup'
+            WHEN near.near_match_id IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS verdict,
+       COALESCE(ex.exact_match_id, near.near_match_id) AS matched_id,
+       CAST(COALESCE(near.n_near, 0) AS BIGINT) AS n_near_matches
+FROM d
+LEFT JOIN ex ON d.doc_id = ex.bid
+LEFT JOIN near ON d.doc_id = near.bid
+"""
+
+
+@query(
+    "streaming_incremental_dedup",
+    sql=_INCR_DEDUP_STREAM_SQL,
+    tags=("streaming", "dedup", "llmdata"),
+)
+def streaming_incremental_dedup(spark, sf_dir):
+    """Continuous-crawl incremental dedup: documents arrive in 4
+    micro-batches (batch_id = doc_id mod 4); each batch is classified
+    exact/near/novel against the accumulated inverted-shingle +
+    content-hash index of the STRICTLY EARLIER batches, then its
+    postings are appended to the index
+    (streaming/incremental_dedup.py).  Per-batch work is
+    batch-proportional — the index is state, the corpus is never
+    re-paired.  Completed-stream verdicts equal the one-pass batch
+    SQL with a c.batch_id < b.batch_id predicate, which is the
+    oracle."""
+    from trafik_etl_modular_spark.streaming.incremental_dedup import (
+        incremental_dedup_stream_run,
+    )
+
+    return incremental_dedup_stream_run(spark, sf_dir, n_batches=4)
