@@ -1118,14 +1118,21 @@ def test_quality_classifier_planted_and_stable(spark):
     )
 
     def py_score(text):
-        toks = text.split(" ")
-        terms = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
-        raw = sum(
-            (int(hashlib.md5(t.encode()).hexdigest()[:4], 16) * 2654435761) % 1001
-            - 500
-            for t in terms
+        # bigram buckets are DERIVED from unigram buckets
+        # ((b_a*31 + b_b) mod 2^16) — one md5 per token, see
+        # classifier.unigram_buckets
+        ub = [
+            int(hashlib.md5(t.encode()).hexdigest()[:4], 16)
+            for t in text.split(" ")
+        ]
+
+        def w(b):
+            return (b * 2654435761) % 1001 - 500
+
+        raw = sum(w(b) for b in ub) + sum(
+            w((a * 31 + b) % 65536) for a, b in zip(ub, ub[1:])
         )
-        return len(terms), raw
+        return 2 * len(ub) - 1, raw
 
     got = {r["doc_id"]: r for r in score_documents(docs).collect()}
     for i, t_ in enumerate(texts):

@@ -176,23 +176,25 @@ def derive_classifier_keep_ids(sf_dir: str, threshold: float = 0.0) -> set:
     import hashlib
 
     ids, texts = _load_documents(sf_dir)
-    wcache: dict[str, int] = {}
+    bcache: dict[str, int] = {}
 
-    def w(term: str) -> int:
-        v = wcache.get(term)
+    def bucket(term: str) -> int:
+        v = bcache.get(term)
         if v is None:
-            v = (
-                int(hashlib.md5(term.encode()).hexdigest()[:4], 16) * 2654435761
-            ) % 1001 - 500
-            wcache[term] = v
+            v = int(hashlib.md5(term.encode()).hexdigest()[:4], 16)
+            bcache[term] = v
         return v
+
+    def w(b: int) -> int:
+        return (b * 2654435761) % 1001 - 500
 
     keep = set()
     for did, text in zip(ids, texts):
-        toks = text.split(" ")
-        terms = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
-        raw = sum(w(t) for t in terms)
-        if raw / (1000.0 * len(terms)) >= threshold:
+        ub = [bucket(t) for t in text.split(" ")]
+        raw = sum(w(b) for b in ub) + sum(
+            w((a * 31 + b) % 65536) for a, b in zip(ub, ub[1:])
+        )
+        if raw / (1000.0 * (2 * len(ub) - 1)) >= threshold:
             keep.add(did)
     return keep
 

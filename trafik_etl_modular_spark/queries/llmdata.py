@@ -1536,20 +1536,21 @@ def multimodal_frame_sample(spark, sf_dir):
 _CLASSIFIER_SQL = """
 WITH f AS (
   SELECT doc_id,
-         list_concat(
-           string_split(text, ' '),
-           CASE WHEN len(string_split(text, ' ')) >= 2 THEN
-             list_transform(range(1, len(string_split(text, ' '))),
-               i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1])
-           ELSE CAST([] AS VARCHAR[]) END) AS terms
+         list_transform(string_split(text, ' '),
+           t -> ('0x' || substring(md5(t), 1, 4))::BIGINT) AS ub
   FROM documents
 ),
 s AS (
-  SELECT doc_id, len(terms) AS n_features,
+  SELECT doc_id, 2 * len(ub) - 1 AS n_features,
          list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform(terms, t ->
-             (('0x' || substring(md5(t), 1, 4))::BIGINT * 2654435761) % 1001 - 500)),
-           (a, b) -> a + b) AS raw_score
+           list_transform(ub, b -> (b * 2654435761) % 1001 - 500)),
+           (a, b) -> a + b)
+         + CASE WHEN len(ub) >= 2 THEN
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(ub)),
+                 i -> (((ub[i] * 31 + ub[i+1]) % 65536) * 2654435761) % 1001 - 500)),
+               (a, b) -> a + b)
+           ELSE 0 END AS raw_score
   FROM f
 )
 SELECT doc_id, CAST(n_features AS INTEGER) AS n_features, raw_score,
@@ -1564,16 +1565,21 @@ FROM s
 @query("text_quality_classifier", sql=_CLASSIFIER_SQL, tags=("llmdata", "text"))
 def text_quality_classifier(spark, sf_dir):
     """fastText-shaped hashed linear quality classifier
-    (llmdata/classifier.py::score_documents): word unigram+bigram
-    features md5-hashed into 2^16 buckets, integer bucket weights,
-    integer-fold score with ONE final normalization division —
-    map-only codegen'd scoring, the CCNet-style keep/drop gate.  The
+    (llmdata/classifier.py::score_documents): one md5 per token into
+    2^16 buckets, bigram buckets DERIVED arithmetically from adjacent
+    unigram buckets (the fastText hashing trick), integer bucket
+    weights, integer-fold score with ONE final normalization division
+    — map-only codegen'd scoring, the CCNet-style keep/drop gate.  The
     oracle recomputes the identical model in DuckDB (md5 and integer
-    arithmetic agree across engines — no freezing needed)."""
+    arithmetic agree across engines — no freezing needed).  fan_out:
+    the fixture is one parquet file, and the md5 fold is CPU-bound —
+    spread it across the cluster parallelism (no-op when the scan is
+    already wide)."""
     from trafik_etl_modular_spark.llmdata.classifier import score_documents
+    from trafik_etl_modular_spark.operators.partitions import fan_out
 
     docs = t(spark, sf_dir, "documents")
-    return score_documents(docs, threshold=0.0)
+    return score_documents(fan_out(docs), threshold=0.0)
 
 
 def _curation_v3_oracle_sql(sf_dir: str) -> str:
@@ -1603,17 +1609,19 @@ WITH RECURSIVE keep AS (
   SELECT doc_id FROM (
     SELECT doc_id,
            list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform(
-               list_concat(
-                 string_split(text, ' '),
-                 CASE WHEN len(string_split(text, ' ')) >= 2 THEN
-                   list_transform(range(1, len(string_split(text, ' '))),
-                     i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1])
-                 ELSE CAST([] AS VARCHAR[]) END),
-               t -> (('0x' || substring(md5(t), 1, 4))::BIGINT * 2654435761) % 1001 - 500)),
-             (a, b) -> a + b) AS raw_score,
-           len(string_split(text, ' ')) * 2 - 1 AS n_features
-    FROM documents
+             list_transform(ub, b -> (b * 2654435761) % 1001 - 500)),
+             (a, b) -> a + b)
+           + CASE WHEN len(ub) >= 2 THEN
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, len(ub)),
+                   i -> (((ub[i] * 31 + ub[i+1]) % 65536) * 2654435761) % 1001 - 500)),
+                 (a, b) -> a + b)
+             ELSE 0 END AS raw_score,
+           2 * len(ub) - 1 AS n_features
+    FROM (SELECT doc_id,
+                 list_transform(string_split(text, ' '),
+                   t -> ('0x' || substring(md5(t), 1, 4))::BIGINT) AS ub
+          FROM documents)
   )
   WHERE CAST(raw_score AS DOUBLE) / (1000.0 * n_features) >= 0.0
 ),
@@ -1690,14 +1698,16 @@ def curation_pipeline_v3(spark, sf_dir):
         minhash_near_dups,
     )
     from trafik_etl_modular_spark.llmdata.sampling import token_budget_mix
+    from trafik_etl_modular_spark.operators.partitions import fan_out
 
     docs = t(spark, sf_dir, "documents")
-    # The classifier fold is ~60 integer ops × features per row;
-    # materialize the gated corpus ONCE instead of re-running the
-    # fold on every plan leg that reads `kept` (the sketch side and
-    # the dedup side both do).  At lake scale this is the persisted
-    # post-gate corpus between pipeline stages.
-    kept = docs.filter(quality_keep("text")).localCheckpoint(eager=False)
+    # The classifier fold is CPU-bound per row; fan_out spreads the
+    # one-file fixture scan across cores, then materialize the gated
+    # corpus ONCE instead of re-running the fold on every plan leg
+    # that reads `kept` (the sketch side and the dedup side both do).
+    # At lake scale this is the persisted post-gate corpus between
+    # pipeline stages.
+    kept = fan_out(docs).filter(quality_keep("text")).localCheckpoint(eager=False)
     pairs = minhash_near_dups(kept, threshold=0.6, max_bucket_size=1000)
     cc = connected_components(pairs, "id_a", "id_b", n_partitions=8)
     dupes = cc.filter(F.col("id") != F.col("label")).select(

@@ -135,13 +135,11 @@ def incremental_dedup_stream_run(
             .coalesce(8)
             .localCheckpoint(eager=True)
         )
+        # verdicts accumulate LAZILY: they hang off the eagerly
+        # checkpointed batch/index frames, so the union materializes
+        # once at the final read instead of costing a job per batch
         prev = state.get("result")
-        verdicts = verdicts.localCheckpoint(eager=True)
-        state["result"] = (
-            verdicts
-            if prev is None
-            else prev.unionByName(verdicts).coalesce(8).localCheckpoint(eager=True)
-        )
+        state["result"] = verdicts if prev is None else prev.unionByName(verdicts)
 
     # per-micro-batch joins/aggs are batch-sized — 8 shuffle
     # partitions, not the session's batch-scale default (same
