@@ -1208,3 +1208,47 @@ def test_streaming_incremental_dedup_equals_direct_batch_calls(spark, sf_dir):
             )
 
     assert streamed == expected
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """alpha=1/2 mixing: the small source gets a HIGHER admission
+    rate than the big one (that is the point of temperature
+    smoothing); thresholds are exact integers, admission is a pure
+    integer compare, and the whole report is repartition-stable."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from trafik_etl_modular_spark.llmdata.sampling import (
+        temperature_mix_admit,
+        temperature_mix_rates,
+    )
+
+    rows = [(i, "big", 100) for i in range(900)] + [
+        (1000 + i, "small", 100) for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    rates = {r["source"]: r for r in temperature_mix_rates(docs).collect()}
+
+    # fixed-point weight matches the formula exactly
+    assert rates["big"]["s_fix"] == math.floor(math.sqrt(90000) * (1 << 20))
+    r_big = rates["big"]["thr"] / 2**32
+    r_small = rates["small"]["thr"] / 2**32
+    assert r_small > r_big
+    # p_small = sqrt(10000)/(sqrt(90000)+sqrt(10000)) = 1/4, so the
+    # small source's uncapped rate is T·p/n = 50000·0.25/10000 = 1.25
+    # → capped at 1.0; big: 50000·0.75/90000 = 0.41666…
+    assert r_small == 1.0
+    assert abs(r_big - 50000 * 0.75 / 90000) < 1e-6
+
+    # expected admitted tokens ≈ 50% target (md5-uniform admission)
+    kept = temperature_mix_admit(docs, temperature_mix_rates(docs))
+    tok = kept.agg(F.sum("n_tok")).first()[0]
+    assert 0.35 * 100_000 <= tok <= 0.65 * 100_000
+
+    re32 = temperature_mix_admit(
+        docs.repartition(32), temperature_mix_rates(docs.repartition(32))
+    )
+    assert {r["doc_id"] for r in re32.collect()} == {
+        r["doc_id"] for r in kept.collect()
+    }

@@ -254,3 +254,93 @@ def token_budget_mix(
         .filter(F.col("tokens_before") < F.lit(budget))
         .drop("tokens_before")
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    group_col: str = "source",
+    token_col: str = "n_tok",
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    target_frac_ppm: int = 500_000,
+) -> DataFrame:
+    """Per-source TEMPERATURE-MIXED sampling rates — the standard
+    multi-domain training-mix formula (GPT-3 / The Pile / mC4's
+    alpha-smoothed mixing, cf. Raffel et al. 2020 §3.4.3): sampling
+    weight p_s ∝ (tokens_s)^alpha with alpha < 1 UPWEIGHTS small
+    domains relative to their natural share; each source's admission
+    rate is min(1, T·p_s / tokens_s) for a global token target T.
+
+    Exactness across engines (nothing here is approximate):
+      * only alpha = 1/2 is currently wired (``sqrt`` is IEEE
+        correctly-rounded in every engine; a general pow() is not) —
+        alpha_num/alpha_den are validated, not interpolated;
+      * the weight is FIXED-POINT: s_s = floor(sqrt(tokens_s)·2^20)
+        as BIGINT, so the normalizer Z = Σ s_s is an integer sum —
+        associative, partition-order-free;
+      * the admission rate is quantized to a 32-bit integer
+        threshold thr_s = floor(min(1, T·s_s/(Z·tokens_s))·2^32)
+        computed with one fixed double-expression order, and the
+        reported rate is thr_s/2^32 — a float derived from an
+        integer, immune to repr/ULP divergence (cf. scalars.fquant).
+
+    Returns one row per source: (source, n_docs, n_tokens, s_fix,
+    thr) — join :func:`temperature_mix_admit` against it, or read
+    thr/2^32 as the rate."""
+    if (alpha_num, alpha_den) != (1, 2):
+        raise NotImplementedError(
+            "only alpha=1/2 (sqrt) has a cross-engine-exact formulation"
+        )
+    per = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(token_col)).alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "s_fix",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(float(1 << 20))).cast(
+            "long"
+        ),
+    )
+    totals = per.agg(
+        F.sum("s_fix").alias("z_fix"), F.sum("n_tokens").alias("tot_tokens")
+    )
+    # integer global token target: floor(total · target_ppm / 1e6) —
+    # explicit floor, because a bare cast-to-bigint TRUNCATES in
+    # Spark but ROUNDS in DuckDB on the same x.5 double
+    rate = F.least(
+        F.lit(1.0),
+        (
+            F.floor(
+                F.col("tot_tokens").cast("double")
+                * F.lit(float(target_frac_ppm))
+                / F.lit(1e6)
+            ).cast("double")
+            * F.col("s_fix").cast("double")
+        )
+        / (F.col("z_fix").cast("double") * F.col("n_tokens").cast("double")),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .withColumn("thr", F.floor(rate * F.lit(float(1 << 32))).cast("long"))
+        .select(group_col, "n_docs", "n_tokens", "s_fix", "thr")
+    )
+
+
+def temperature_mix_admit(
+    df: DataFrame,
+    rates: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Admit rows at their source's temperature-mix rate: the row's
+    32-bit md5-derived uniform must fall below the source's integer
+    threshold — a pure integer compare, reproducible on any engine
+    and any partitioning (the rates side is a tiny broadcast)."""
+    u32 = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        df.join(F.broadcast(rates.select(group_col, "thr")), group_col)
+        .filter(u32 < F.col("thr"))
+        .drop("thr")
+    )

@@ -2138,6 +2138,86 @@ def sample_token_budget_mix(spark, sf_dir):
     return token_budget_mix(docs, "source", "n_tok", 3000)
 
 
+_TEMPERATURE_MIX_SQL = """
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+per AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+  FROM d GROUP BY source
+),
+perf AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576.0) AS BIGINT) AS s_fix
+  FROM per
+),
+tot AS (SELECT SUM(s_fix) AS z_fix, SUM(n_tokens) AS tot_tokens FROM perf),
+r AS (
+  SELECT p.source, p.n_docs, p.n_tokens,
+         CAST(floor(least(CAST(1.0 AS DOUBLE),
+           (CAST(floor(CAST(t.tot_tokens AS DOUBLE) * 500000.0 / 1e6) AS DOUBLE)
+              * CAST(p.s_fix AS DOUBLE))
+           / (CAST(t.z_fix AS DOUBLE) * CAST(p.n_tokens AS DOUBLE)))
+           * 4294967296.0) AS BIGINT) AS thr
+  FROM perf p CROSS JOIN tot t
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_docs_kept, SUM(d.n_tok) AS n_tokens_kept
+  FROM d JOIN r USING (source)
+  WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < r.thr
+  GROUP BY d.source
+)
+SELECT r.source,
+       CAST(r.n_docs AS BIGINT) AS n_docs,
+       CAST(r.n_tokens AS BIGINT) AS n_tokens,
+       (CAST(r.thr AS DOUBLE) / 4294967296.0) AS mix_rate,
+       CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(k.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept
+FROM r LEFT JOIN kept k USING (source)
+ORDER BY r.source
+"""
+
+
+@query("sample_temperature_mix", sql=_TEMPERATURE_MIX_SQL, tags=("llmdata", "sampling"))
+def sample_temperature_mix(spark, sf_dir):
+    """Alpha-smoothed (temperature) source mixing at alpha = 1/2 —
+    the multi-domain training-mix formula (mC4/Pile style: weight
+    p_s proportional to sqrt(tokens_s) upweights small domains), with a
+    50% global token target.  Everything is cross-engine exact: the
+    weight is fixed-point floor(sqrt·2^20), the normalizer an integer
+    sum, the per-source rate a 32-bit integer threshold, and
+    admission an md5-uniform INTEGER compare
+    (llmdata/sampling.py::temperature_mix_rates/_admit).  Emits the
+    per-source mix report; the admitted rows themselves are the
+    temperature_mix_admit join."""
+    from trafik_etl_modular_spark.llmdata.sampling import (
+        temperature_mix_admit,
+        temperature_mix_rates,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tok")
+    )
+    rates = temperature_mix_rates(docs, "source", "n_tok")
+    kept = temperature_mix_admit(docs, rates, "source", "doc_id")
+    kept_per = kept.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_tok").alias("n_tokens_kept"),
+    )
+    return (
+        rates.join(kept_per, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("thr").cast("double") / F.lit(4294967296.0)).alias("mix_rate"),
+            F.coalesce("n_docs_kept", F.lit(0)).cast("bigint").alias("n_docs_kept"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias("n_tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus vocabulary, per-source quotas, and length bucketing — the
 # remaining "assemble a training mix" primitives.
