@@ -351,6 +351,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "tpch_q11_important_stock",  # global-fraction scalar
         "tpch_q22_dormant_customers",  # global avg scalar
         "dq_profile_columns",  # 1-row stats × 1-row distinct-counts join
+        "sample_temperature_mix",  # 1-row (Z, total-tokens) normalizer
     }
     bad = []
     for name in sorted(REGISTRY):

@@ -79,19 +79,21 @@ _QUERY_MODULES = [
 # window (a pytest asserts registry[0:50] == DRIVER_WINDOW).  Every
 # name here is oracle-bearing.
 #
-# Round-5 rotation: slots 1–13 are the 13 oracle-bearing queries with
-# no driver-green row through round 4 — the two round-4 hash-mismatch
+# Round-5 rotation: slots 1–16 are the oracle-bearing queries with no
+# driver-green row through round 4 — the two round-4 hash-mismatch
 # queries re-tested after their fquant quantization fix (see
-# functions.scalars.fquant), plus the 11 round-4 additions (SCD2 pair,
+# functions.scalars.fquant), the 11 round-4 additions (SCD2 pair,
 # newly-oracled MinHash/SimHash sketches, exact-quota split, IVF build,
 # semantic dedup, multimodal features, quality classifier, curation v3,
-# full-outer interval join).  Slots 14–50 re-confirm the families whose
-# newest driver stamp is round 2: the full TPC-H suite + semi/anti +
-# bucketed co-located joins, the reference incident pipeline
-# (reference src/trv/transform.py), dashboard filter, and the
-# rollup/cube/pivot/median aggregate family.  After this rotation every
-# oracle-bearing query holds a driver-green row in CORRECTNESS_r0{1..5}
-# and none is older than two rounds except the set rotating next.
+# full-outer interval join), and the 3 round-5 additions (repeated-
+# chunk removal rewrite, streaming incremental dedup, temperature
+# mixing).  Slots 17–50 re-confirm the families whose newest driver
+# stamp is round 2: TPC-H (19 of 22 — q4/q13/q14 yield their slots to
+# the round-5 additions and rotate next) + semi/anti + bucketed
+# co-located joins, the reference incident pipeline (reference
+# src/trv/transform.py), dashboard filter, and the rollup/cube/pivot/
+# median aggregate family.  After this rotation every oracle-bearing
+# query holds a driver-green row in CORRECTNESS_r0{1..5}.
 DRIVER_WINDOW: list[str] = [
     # --- never driver-stamped through round 4 --------------------------
     "dedup_chunk_crossdoc",
@@ -107,12 +109,15 @@ DRIVER_WINDOW: list[str] = [
     "text_quality_classifier",
     "curation_pipeline_v3",
     "streaming_interval_join_full_outer",
+    # --- new in round 5 ------------------------------------------------
+    "dedup_chunk_remove",
+    "streaming_incremental_dedup",
+    "sample_temperature_mix",
     # --- oldest-stamp re-confirmations (last green: round 2) -----------
     # full TPC-H + join variants
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
-    "tpch_q4_priority_count",
     "tpch_q5_region_revenue",
     "tpch_q6_revenue_forecast",
     "tpch_q7_volume_shipping",
@@ -121,8 +126,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
     "tpch_q12_priority_lines",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_count",
     "tpch_q17_small_qty_revenue",
