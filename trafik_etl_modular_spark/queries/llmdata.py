@@ -1322,6 +1322,43 @@ def sim_neardup(spark, sf_dir):
     return near_dup_pairs_by_bucket(emb, threshold=0.4)
 
 
+_CENTROIDS_SQL = """
+SELECT label,
+       CAST(i AS INTEGER) - 1 AS dim,
+       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+         / COUNT(embedding[i]) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM embeddings e CROSS JOIN range(1, 65) t(i)
+WHERE i <= len(embedding)
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
+@query("sim_centroids_by_label", sql=_CENTROIDS_SQL, tags=("llmdata", "similarity"))
+def sim_centroids_by_label(spark, sf_dir):
+    """Per-label embedding CENTROIDS in long form (label, dim,
+    centroid, n_vecs) — the domain-drift / cluster-health monitor a
+    production embedding pipeline tracks per snapshot.  posexplode →
+    one (label, dim) hash aggregation with map-side partials (the
+    shuffle carries one partial per task per (label, dim), never the
+    vectors); the mean is davg — exact decimal sum, one IEEE
+    division — so partition order cannot perturb the oracle
+    comparison."""
+    from trafik_etl_modular_spark.functions.scalars import davg
+
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "__v"))
+        .groupBy("label", "dim")
+        .agg(
+            davg(F.col("__v").cast("double"), 9).alias("centroid"),
+            F.count("*").alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
 def _semantic_dedup_oracle_sql(sf_dir: str) -> str:
     """DERIVED oracle for SemDeDup: only the k-means CELL ASSIGNMENT
     is engine-specific — re-derived outside the engine

@@ -85,11 +85,12 @@ _QUERY_MODULES = [
 # functions.scalars.fquant), the 11 round-4 additions (SCD2 pair,
 # newly-oracled MinHash/SimHash sketches, exact-quota split, IVF build,
 # semantic dedup, multimodal features, quality classifier, curation v3,
-# full-outer interval join), and the 3 round-5 additions (repeated-
+# full-outer interval join), and the 4 round-5 additions (repeated-
 # chunk removal rewrite, streaming incremental dedup, temperature
-# mixing).  Slots 17–50 re-confirm the families whose newest driver
-# stamp is round 2: TPC-H (19 of 22 — q4/q13/q14 yield their slots to
-# the round-5 additions and rotate next) + semi/anti + bucketed
+# mixing, per-label embedding centroids).  Slots 18–50 re-confirm the
+# families whose newest driver stamp is round 2: TPC-H (18 of 22 —
+# q4/q13/q14/q15 yield their slots to the round-5 additions and
+# rotate next) + semi/anti + bucketed
 # co-located joins, the reference incident pipeline (reference
 # src/trv/transform.py), dashboard filter, and the rollup/cube/pivot/
 # median aggregate family.  After this rotation every oracle-bearing
@@ -113,6 +114,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_chunk_remove",
     "streaming_incremental_dedup",
     "sample_temperature_mix",
+    "sim_centroids_by_label",
     # --- oldest-stamp re-confirmations (last green: round 2) -----------
     # full TPC-H + join variants
     "tpch_q1_pricing_summary",
@@ -126,7 +128,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
     "tpch_q12_priority_lines",
-    "tpch_q15_top_supplier",
     "tpch_q16_supplier_count",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_big_orders",
