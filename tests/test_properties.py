@@ -304,3 +304,116 @@ def test_scd2_current_snapshot_equals_latest_wins(spark, sf_dir):
         for (vf1, vt1, _), (vf2, _, _) in zip(chain, chain[1:]):
             assert vt1 == vf2, ent
         assert chain[-1][1] is None
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(_word, min_size=1, max_size=24).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(min_value=2, max_value=6),
+)
+def test_remove_repeated_chunks_matches_reference(spark, texts, chunk):
+    """remove_repeated_chunks equals a brute-force Python reference
+    for arbitrary tiny-vocab corpora (heavy chunk collisions): global
+    first-occurrence ownership over the non-overlapping tiling, and
+    the rewritten text is the ordered concat of owned occurrences."""
+    import hashlib
+    import math
+
+    from trafik_etl_modular_spark.llmdata.dedup import remove_repeated_chunks
+
+    # python reference: iterate docs in id order, starts in order
+    owner: dict[tuple[str, ...], tuple[int, int]] = {}
+    tiles: dict[int, list[tuple[int, tuple[str, ...]]]] = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        tiles[i] = []
+        for s in range(0, len(toks), chunk):
+            c = tuple(toks[s : s + chunk])
+            tiles[i].append((s, c))
+            owner.setdefault(c, (i, s))
+    expect = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        keptc = [c for (s, c) in tiles[i] if owner[c] == (i, s)]
+        rewritten = " ".join(w for c in keptc for w in c)
+        expect[i] = (
+            max(math.ceil(max(len(toks), 1) / chunk), 1),
+            len(keptc),
+            len(toks),
+            sum(len(c) for c in keptc),
+            hashlib.md5(rewritten.encode()).hexdigest(),
+        )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chunks"],
+            r["n_kept_chunks"],
+            r["n_tokens_before"],
+            r["n_tokens_after"],
+            r["rewritten_md5"],
+        )
+        for r in remove_repeated_chunks(docs, chunk=chunk).collect()
+    }
+    assert got == expect, (got, expect, texts, chunk)
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.integers(min_value=1, max_value=400),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_temperature_mix_matches_reference(spark, docs):
+    """temperature_mix rates + admission equal the fixed-point Python
+    reference for arbitrary source skews: thresholds are exact
+    integers, admission is md5-uniform integer compare."""
+    import hashlib
+    import math
+
+    from trafik_etl_modular_spark.llmdata.sampling import (
+        temperature_mix_admit,
+        temperature_mix_rates,
+    )
+
+    rows = [(i, s, n) for i, (s, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+
+    per: dict[str, list[tuple[int, int]]] = {}
+    for i, s, n in rows:
+        per.setdefault(s, []).append((i, n))
+    s_fix = {s: math.floor(math.sqrt(sum(n for _, n in v)) * (1 << 20)) for s, v in per.items()}
+    z = sum(s_fix.values())
+    tot = sum(n for _, v in per.items() for _, n in v)
+    target = math.floor(float(tot) * 500000.0 / 1e6)
+    thr = {
+        s: math.floor(
+            min(1.0, (float(target) * float(s_fix[s])) / (float(z) * float(sum(n for _, n in v))))
+            * float(1 << 32)
+        )
+        for s, v in per.items()
+    }
+
+    rates = {r["source"]: r for r in temperature_mix_rates(df).collect()}
+    assert {s: r["s_fix"] for s, r in rates.items()} == s_fix
+    assert {s: r["thr"] for s, r in rates.items()} == thr
+
+    def u32(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+    expect_kept = {i for i, s, n in rows if u32(i) < thr[s]}
+    got_kept = {
+        r["doc_id"] for r in temperature_mix_admit(df, temperature_mix_rates(df)).collect()
+    }
+    assert got_kept == expect_kept
