@@ -149,6 +149,80 @@ def scd2_incremental_merge(spark, sf_dir):
     return untouched_rows.unionByName(rebuilt)
 
 
+_SCD2_ASOF_SQL = """
+WITH hist AS (
+  SELECT (event_id % 700) AS entity_id,
+         event_id AS version_id,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY (event_id % 700)
+                        ORDER BY ts, event_id) AS valid_to,
+         value
+  FROM events
+),
+facts AS (
+  SELECT event_id, ts, (user_id % 700) AS entity_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT f.event_id, f.entity_id, f.ts,
+       h.version_id, h.value AS value_at_ts
+FROM facts f
+LEFT JOIN hist h
+  ON f.entity_id = h.entity_id
+ AND h.valid_from <= f.ts
+ AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+"""
+
+
+@query("join_scd2_asof_lookup", sql=_SCD2_ASOF_SQL, tags=("temporal", "join", "window"))
+def join_scd2_asof_lookup(spark, sf_dir):
+    """POINT-IN-TIME lookup against the SCD2 history — the standard
+    warehouse pattern the history table exists for: each fact row
+    (clicks, probing entity = user_id mod 700) picks the dimension
+    version whose [valid_from, valid_to) interval contains the fact's
+    timestamp.  Because versions tile each entity's timeline
+    disjointly, the range predicates select EXACTLY ONE version per
+    matched fact (facts before an entity's first version null-pad via
+    the left join) — so this is an equi-join on the entity key with
+    the interval bounds as join filters: one hash shuffle each side,
+    per-entity version chains stay small, no window over facts.  At
+    lake scale this beats the as-of sort-merge formulation whenever
+    the dimension is versioned (the interval is precomputed once in
+    the history build, cf. operators/temporal.py::asof_join for the
+    unversioned event-stream form)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("entity_id").orderBy("ts", "event_id")
+    hist = (
+        ev.withColumn("entity_id", F.col("event_id") % 700)
+        .select(
+            "entity_id",
+            F.col("event_id").alias("version_id"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            "value",
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", (F.col("user_id") % 700).alias("entity_id")
+    )
+    return (
+        facts.alias("f")
+        .join(
+            hist.alias("h"),
+            (F.col("f.entity_id") == F.col("h.entity_id"))
+            & (F.col("h.valid_from") <= F.col("f.ts"))
+            & (F.col("h.valid_to").isNull() | (F.col("f.ts") < F.col("h.valid_to"))),
+            "left",
+        )
+        .select(
+            F.col("f.event_id").alias("event_id"),
+            F.col("f.entity_id").alias("entity_id"),
+            F.col("f.ts").alias("ts"),
+            F.col("h.version_id").alias("version_id"),
+            F.col("h.value").alias("value_at_ts"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # W1 — composite-natural-key dedup.
 # ---------------------------------------------------------------------------
