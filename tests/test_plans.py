@@ -352,6 +352,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "tpch_q22_dormant_customers",  # global avg scalar
         "dq_profile_columns",  # 1-row stats × 1-row distinct-counts join
         "sample_temperature_mix",  # 1-row (Z, total-tokens) normalizer
+        "dq_histogram_value",  # 1-row global (min, max) scalar
     }
     bad = []
     for name in sorted(REGISTRY):

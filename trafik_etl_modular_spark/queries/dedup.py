@@ -326,3 +326,60 @@ def merge_upsert_query(spark, sf_dir):
         ["event_id"],
     )
     return merged.select("event_id", "user_id", "value", "src")
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old_snap AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0
+),
+new_snap AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.h AS old_md5,
+       n.h AS new_md5
+FROM old_snap o FULL JOIN new_snap n ON o.doc_id = n.doc_id
+"""
+
+
+@query("dedup_snapshot_diff", sql=_SNAPSHOT_DIFF_SQL, tags=("dedup", "join"))
+def dedup_snapshot_diff(spark, sf_dir):
+    """Corpus SNAPSHOT DIFF — the reconciliation report between two
+    crawl/corpus versions (added / removed / changed / unchanged by
+    content hash): one full-outer equi-join on the doc key comparing
+    md5 digests, so the shuffle carries (id, 32-byte hash) rows, never
+    document text.  The two snapshots are derived deterministically
+    from the fixture (drop doc_id%11 from old, doc_id%13 from new,
+    revise text of doc_id%5 in new).  This is the audit primitive
+    behind incremental-crawl bookkeeping: 'changed' rows feed
+    re-embedding/re-dedup, 'added' feeds the incremental dedup batch,
+    'removed' feeds retention vacuum."""
+    docs = t(spark, sf_dir, "documents")
+    old_snap = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    new_snap = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    o, n = old_snap.alias("o"), new_snap.alias("n")
+    return o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full").select(
+        F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.h") != F.col("n.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.col("o.h").alias("old_md5"),
+        F.col("n.h").alias("new_md5"),
+    )

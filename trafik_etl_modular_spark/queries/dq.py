@@ -213,3 +213,60 @@ def dq_profile_columns(spark, sf_dir):
         .select("kv.column_name", "kv.n_nulls", "kv.n_distinct", "kv.min_value", "kv.max_value")
         .orderBy("column_name")
     )
+
+
+_HISTOGRAM_SQL = """
+WITH vals AS (SELECT value FROM events WHERE value IS NOT NULL),
+mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM vals),
+binned AS (
+  SELECT LEAST(CAST(floor((v.value - mm.lo) / (mm.hi - mm.lo) * 20) AS BIGINT),
+               CAST(19 AS BIGINT)) AS bin,
+         v.value
+  FROM vals v CROSS JOIN mm
+)
+SELECT b.bin,
+       (mm.lo + CAST(b.bin AS DOUBLE) * ((mm.hi - mm.lo) / 20)) AS bin_lo,
+       (mm.lo + (CAST(b.bin AS DOUBLE) + 1) * ((mm.hi - mm.lo) / 20)) AS bin_hi,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(b.value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+FROM binned b CROSS JOIN mm
+GROUP BY b.bin, mm.lo, mm.hi
+ORDER BY b.bin
+"""
+
+
+@query("dq_histogram_value", sql=_HISTOGRAM_SQL, tags=("quality", "agg"))
+def dq_histogram_value(spark, sf_dir):
+    """Equal-width 20-bin histogram of events.value — the profiling
+    primitive behind data-drift monitors and ANALYZE histograms.
+    Two passes: a global min/max aggregate (1-row broadcast scalar,
+    BNLJ allowlist) then one hash aggregation on the bin id; the bin
+    edges are derived from (lo, hi, bin) with one fixed expression
+    order so both engines emit identical doubles, and the per-bin sum
+    is an exact decimal dsum."""
+    from trafik_etl_modular_spark.functions.scalars import dsum
+
+    vals = t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select("value")
+    mm = vals.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(20)
+    binned = vals.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * F.lit(20)).cast("bigint"),
+            F.lit(19).cast("bigint"),
+        ).alias("bin"),
+        "value",
+        "lo",
+        "hi",
+    )
+    return (
+        binned.groupBy("bin", "lo", "hi")
+        .agg(F.count("*").alias("n"), dsum("value", 4).alias("total_value"))
+        .select(
+            "bin",
+            (F.col("lo") + F.col("bin").cast("double") * width).alias("bin_lo"),
+            (F.col("lo") + (F.col("bin").cast("double") + F.lit(1)) * width).alias("bin_hi"),
+            "n",
+            "total_value",
+        )
+        .orderBy("bin")
+    )
