@@ -374,11 +374,14 @@ def test_remove_repeated_chunks_matches_reference(spark, texts, chunk):
         min_size=1,
         max_size=20,
     ),
+    alpha=st.sampled_from([(1, 2), (3, 4), (11, 16), (1, 1)]),
 )
-def test_temperature_mix_matches_reference(spark, docs):
+def test_temperature_mix_matches_reference(spark, docs, alpha):
     """temperature_mix rates + admission equal the fixed-point Python
-    reference for arbitrary source skews: thresholds are exact
-    integers, admission is md5-uniform integer compare."""
+    reference for arbitrary source skews and dyadic alphas: the
+    sqrt-chain + integer-power composition is the same IEEE op
+    sequence in Python, so thresholds are exact integers and
+    admission is an md5-uniform integer compare."""
     import hashlib
     import math
 
@@ -387,13 +390,26 @@ def test_temperature_mix_matches_reference(spark, docs):
         temperature_mix_rates,
     )
 
+    a_num, a_den = alpha
     rows = [(i, s, n) for i, (s, n) in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+
+    def dyadic_pow(x: float) -> float:
+        r = float(x)
+        for _ in range(a_den.bit_length() - 1):
+            r = math.sqrt(r)
+        p = 1.0
+        for _ in range(a_num):
+            p = p * r
+        return p
 
     per: dict[str, list[tuple[int, int]]] = {}
     for i, s, n in rows:
         per.setdefault(s, []).append((i, n))
-    s_fix = {s: math.floor(math.sqrt(sum(n for _, n in v)) * (1 << 20)) for s, v in per.items()}
+    s_fix = {
+        s: math.floor(dyadic_pow(sum(n for _, n in v)) * (1 << 20))
+        for s, v in per.items()
+    }
     z = sum(s_fix.values())
     tot = sum(n for _, v in per.items() for _, n in v)
     target = math.floor(float(tot) * 500000.0 / 1e6)
@@ -405,7 +421,10 @@ def test_temperature_mix_matches_reference(spark, docs):
         for s, v in per.items()
     }
 
-    rates = {r["source"]: r for r in temperature_mix_rates(df).collect()}
+    rates = {
+        r["source"]: r
+        for r in temperature_mix_rates(df, alpha_num=a_num, alpha_den=a_den).collect()
+    }
     assert {s: r["s_fix"] for s, r in rates.items()} == s_fix
     assert {s: r["thr"] for s, r in rates.items()} == thr
 
@@ -414,6 +433,9 @@ def test_temperature_mix_matches_reference(spark, docs):
 
     expect_kept = {i for i, s, n in rows if u32(i) < thr[s]}
     got_kept = {
-        r["doc_id"] for r in temperature_mix_admit(df, temperature_mix_rates(df)).collect()
+        r["doc_id"]
+        for r in temperature_mix_admit(
+            df, temperature_mix_rates(df, alpha_num=a_num, alpha_den=a_den)
+        ).collect()
     }
     assert got_kept == expect_kept

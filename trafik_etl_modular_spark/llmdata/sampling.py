@@ -272,9 +272,13 @@ def temperature_mix_rates(
     rate is min(1, T·p_s / tokens_s) for a global token target T.
 
     Exactness across engines (nothing here is approximate):
-      * only alpha = 1/2 is currently wired (``sqrt`` is IEEE
-        correctly-rounded in every engine; a general pow() is not) —
-        alpha_num/alpha_den are validated, not interpolated;
+      * alpha must be DYADIC (alpha_den a power of two): x^(n/2^k)
+        is computed as k nested ``sqrt`` calls followed by an integer
+        power (repeated multiply).  sqrt and multiply are IEEE
+        correctly-rounded in every engine, so the fixed composition
+        yields bit-identical doubles everywhere — which a library
+        ``pow()`` does not guarantee.  alpha = 1/2 is one sqrt;
+        alpha ≈ 0.7 is 11/16 (four sqrts, then ^11);
       * the weight is FIXED-POINT: s_s = floor(sqrt(tokens_s)·2^20)
         as BIGINT, so the normalizer Z = Σ s_s is an integer sum —
         associative, partition-order-free;
@@ -287,19 +291,27 @@ def temperature_mix_rates(
     Returns one row per source: (source, n_docs, n_tokens, s_fix,
     thr) — join :func:`temperature_mix_admit` against it, or read
     thr/2^32 as the rate."""
-    if (alpha_num, alpha_den) != (1, 2):
+    if alpha_den <= 0 or alpha_den & (alpha_den - 1) != 0:
         raise NotImplementedError(
-            "only alpha=1/2 (sqrt) has a cross-engine-exact formulation"
+            "alpha_den must be a power of two — x^(n/2^k) is computed as "
+            "nested sqrt + integer power, the cross-engine-exact formulation"
         )
+    if not 0 < alpha_num <= alpha_den:
+        raise ValueError("alpha must be in (0, 1]")
     per = df.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col(token_col)).alias("n_tokens"),
     )
+    # x^(1/2^k): k nested sqrts; then ^alpha_num by repeated multiply
+    root = F.col("n_tokens").cast("double")
+    k = alpha_den.bit_length() - 1
+    for _ in range(k):
+        root = F.sqrt(root)
+    powed = F.lit(1.0)
+    for _ in range(alpha_num):
+        powed = powed * root
     per = per.withColumn(
-        "s_fix",
-        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(float(1 << 20))).cast(
-            "long"
-        ),
+        "s_fix", F.floor(powed * F.lit(float(1 << 20))).cast("long")
     )
     totals = per.agg(
         F.sum("s_fix").alias("z_fix"), F.sum("n_tokens").alias("tot_tokens")
