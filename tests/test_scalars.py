@@ -75,3 +75,29 @@ def test_truncate_ellipsis(spark):
     df = spark.createDataFrame([("x" * 30,), ("short",)], "s string")
     out = [r[0] for r in df.select(truncate_ellipsis("s", 24).alias("t")).collect()]
     assert out[0] == "x" * 24 + "…" and out[1] == "short"
+
+
+def test_fquant_integer_round_trip(spark):
+    """fquant: the emitted double is derived from an exact integer
+    (round(x·10^n)::bigint/10^n) — endpoints exact, negatives and -0
+    normalized, and the DuckDB SQL mirror produces the identical
+    value for the same inputs."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from trafik_etl_modular_spark.functions.scalars import fquant, oracle_fquant
+
+    vals = [0.0, 1.0, -0.25, 11.0 / 13.0, -4.0e-10, 2.0 / 3.0, 0.8461538461538461]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r[0] for r in df.select(fquant(F.col("x")).alias("q")).collect()]
+
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {oracle_fquant('CAST(? AS DOUBLE)')}", [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+    # endpoints and sub-quantum values
+    assert got[0] == 0.0 and got[1] == 1.0
+    assert got[4] == 0.0 and repr(got[4]) == "0.0"  # -4e-10 → clean zero, not -0.0
