@@ -353,6 +353,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "dq_profile_columns",  # 1-row stats × 1-row distinct-counts join
         "sample_temperature_mix",  # 1-row (Z, total-tokens) normalizer
         "dq_histogram_value",  # 1-row global (min, max) scalar
+        "vocab_coverage_curve",  # 1-row corpus token-count total
     }
     bad = []
     for name in sorted(REGISTRY):

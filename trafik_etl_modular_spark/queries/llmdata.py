@@ -2288,6 +2288,80 @@ def vocab_top_terms(spark, sf_dir):
     )
 
 
+_VOCAB_COVERAGE_SQL = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+cnt AS (SELECT term, COUNT(*) AS n_occurrences FROM toks GROUP BY term),
+tot AS (SELECT COUNT(*) AS total FROM toks),
+top AS (
+  SELECT term, n_occurrences,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term) AS rank,
+         SUM(n_occurrences) OVER (
+           ORDER BY n_occurrences DESC, term
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM cnt
+)
+SELECT CAST(rank AS INTEGER) AS rank, term,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(cum AS BIGINT) AS cum_occurrences,
+       (CAST(ROUND(CAST(cum AS DOUBLE) * 1e9 / CAST(tot.total AS DOUBLE))
+             AS BIGINT) / 1e9) AS cum_share
+FROM top CROSS JOIN tot
+WHERE rank <= 200
+ORDER BY rank
+"""
+
+
+@query("vocab_coverage_curve", sql=_VOCAB_COVERAGE_SQL, tags=("llmdata", "text", "window"))
+def vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary COVERAGE curve — the tokenizer-design question
+    ('how much of the corpus do the top-k terms cover?'): rank terms
+    by frequency, running share of total token occurrences, top 200.
+    The global top-k is TakeOrderedAndProject (k rows per partition
+    cross the wire); the cumulative window then runs over 200 rows in
+    one task — the full vocabulary is never globally sorted.
+    cum_share is integer-derived (round(cum·1e9/total)/1e9, exact
+    products < 2^53) so the float column is bit-identical across
+    engines."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("term"))
+    cnt = toks.groupBy("term").agg(F.count("*").alias("n_occurrences"))
+    total = toks.agg(F.count("*").alias("total"))
+    top = (
+        cnt.orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(200)
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+        ))
+        .withColumn("cum", F.sum("n_occurrences").over(w))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.col("cum").cast("bigint").alias("cum_occurrences"),
+            (
+                F.round(
+                    F.col("cum").cast("double") * F.lit(1e9)
+                    / F.col("total").cast("double")
+                )
+                .cast("bigint")
+                .cast("double")
+                / F.lit(1e9)
+            ).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
 _SOURCE_CAP_SQL = """
 SELECT doc_id, source, rn
 FROM (
@@ -2449,4 +2523,181 @@ def pack_materialize_sequences(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("bin_tokens"),
         F.md5(seq).alias("sequence_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation v4 — the DAILY CRAWL REFRESH job, composing the round-5
+# operators: snapshot diff picks out what actually changed, only that
+# batch is incrementally deduped against the unchanged corpus, and
+# the refreshed corpus is rolled up per source.
+# ---------------------------------------------------------------------------
+
+_CURATION_V4_SQL = """
+WITH newd AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+),
+oldd AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0
+),
+status AS (
+  SELECT n.doc_id, n.source, n.text,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN md5(n.text) <> o.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM newd n LEFT JOIN oldd o ON n.doc_id = o.doc_id
+),
+corpus AS (SELECT doc_id, source, text FROM status WHERE status = 'unchanged'),
+batch  AS (SELECT doc_id, source, text FROM status WHERE status <> 'unchanged'),
+bsh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS s
+  FROM batch
+),
+csh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS s
+  FROM corpus
+),
+binv AS (SELECT doc_id, len(s) AS sz, UNNEST(s) AS shingle FROM bsh),
+cinv AS (SELECT doc_id, len(s) AS sz, UNNEST(s) AS shingle FROM csh),
+shared AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         ANY_VALUE(b.sz) AS sz_b, ANY_VALUE(c.sz) AS sz_c,
+         COUNT(*) AS n_shared
+  FROM binv b JOIN cinv c USING (shingle)
+  GROUP BY b.doc_id, c.doc_id
+),
+near AS (
+  SELECT batch_id, MIN(corpus_id) AS near_match_id
+  FROM shared
+  WHERE CAST(n_shared AS DOUBLE) / (sz_b + sz_c - n_shared) >= 0.6
+  GROUP BY batch_id
+),
+chash AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS exact_match_id FROM corpus GROUP BY 1
+),
+verd AS (
+  SELECT b.doc_id, b.source, b.text,
+         CASE WHEN ch.exact_match_id IS NOT NULL THEN 'exact_dup'
+              WHEN nr.near_match_id IS NOT NULL THEN 'near_dup'
+              ELSE 'novel' END AS verdict
+  FROM batch b
+  LEFT JOIN chash ch ON md5(b.text) = ch.h
+  LEFT JOIN near nr ON b.doc_id = nr.batch_id
+),
+refreshed AS (
+  SELECT doc_id, source, text FROM corpus
+  UNION ALL
+  SELECT doc_id, source, text FROM verd WHERE verdict = 'novel'
+),
+ragg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM refreshed GROUP BY source
+),
+vagg AS (
+  SELECT source,
+         SUM(CASE WHEN verdict = 'novel' THEN 1 ELSE 0 END) AS n_ingested,
+         SUM(CASE WHEN verdict = 'exact_dup' THEN 1 ELSE 0 END) AS n_dropped_exact,
+         SUM(CASE WHEN verdict = 'near_dup' THEN 1 ELSE 0 END) AS n_dropped_near
+  FROM verd GROUP BY source
+)
+SELECT s.source,
+       CAST(COALESCE(r.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(v.n_ingested, 0) AS BIGINT) AS n_ingested,
+       CAST(COALESCE(v.n_dropped_exact, 0) AS BIGINT) AS n_dropped_exact,
+       CAST(COALESCE(v.n_dropped_near, 0) AS BIGINT) AS n_dropped_near
+FROM (SELECT DISTINCT source FROM newd) s
+LEFT JOIN ragg r ON s.source = r.source
+LEFT JOIN vagg v ON s.source = v.source
+ORDER BY s.source
+"""
+
+
+@query("curation_pipeline_v4", sql=_CURATION_V4_SQL, tags=("llmdata", "pipeline"))
+def curation_pipeline_v4(spark, sf_dir):
+    """Round-5 capstone — the DAILY CRAWL REFRESH job, composing this
+    round's operators end-to-end: SNAPSHOT DIFF between the previous
+    corpus version (drop doc_id%11) and today's crawl (drop
+    doc_id%13, doc_id%5 revised) isolates added+changed docs; ONLY
+    that batch runs INCREMENTAL DEDUP (exact content hash + inverted
+    hashed-shingle Jaccard ≥ 0.6) against the unchanged corpus; novel
+    docs join the corpus and the refreshed corpus rolls up per
+    source with ingest/drop accounting.  Work is proportional to the
+    day's churn, never the lake: the diff shuffles (id, digest) rows,
+    the dedup pair volume is batch-sided, the rollup is one hash agg.
+    The oracle re-runs the whole composition in DuckDB."""
+    from trafik_etl_modular_spark.llmdata.dedup import incremental_near_dups
+
+    docs = t(spark, sf_dir, "documents")
+    newd = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    oldd = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5("text").alias("__oldh")
+    )
+    status = newd.join(oldd, "doc_id", "left").withColumn(
+        "status",
+        F.when(F.col("__oldh").isNull(), F.lit("added"))
+        .when(F.md5("text") != F.col("__oldh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged")),
+    )
+    corpus = status.filter(F.col("status") == "unchanged").select(
+        "doc_id", "source", "text"
+    )
+    batch = status.filter(F.col("status") != "unchanged").select(
+        "doc_id", "source", "text"
+    )
+    verdicts = incremental_near_dups(corpus, batch, k=3, threshold=0.6)
+    verd = batch.join(verdicts.select("doc_id", "verdict"), "doc_id")
+    refreshed = corpus.unionByName(
+        verd.filter(F.col("verdict") == "novel").select("doc_id", "source", "text")
+    )
+    ragg = refreshed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    vagg = verd.groupBy("source").agg(
+        F.sum((F.col("verdict") == "novel").cast("bigint")).alias("n_ingested"),
+        F.sum((F.col("verdict") == "exact_dup").cast("bigint")).alias(
+            "n_dropped_exact"
+        ),
+        F.sum((F.col("verdict") == "near_dup").cast("bigint")).alias(
+            "n_dropped_near"
+        ),
+    )
+    return (
+        newd.select("source")
+        .distinct()
+        .join(ragg, "source", "left")
+        .join(vagg, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_ingested", F.lit(0)).cast("bigint").alias("n_ingested"),
+            F.coalesce("n_dropped_exact", F.lit(0))
+            .cast("bigint")
+            .alias("n_dropped_exact"),
+            F.coalesce("n_dropped_near", F.lit(0)).cast("bigint").alias("n_dropped_near"),
+        )
+        .orderBy("source")
     )
