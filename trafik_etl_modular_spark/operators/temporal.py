@@ -115,3 +115,60 @@ def range_join_buckets(
     return joined.filter(
         (F.col(start_ts) <= F.col(event_ts)) & (F.col(event_ts) < F.col(end_ts))
     ).drop("__bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket: str = "1 hour",
+    bucket_trunc: str = "hour",
+) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join WITHOUT an equi-key — the
+    range-join shape Spark has no native operator for (point-in-range
+    is :func:`range_join_buckets`; this is range-vs-range).
+
+    Naive formulation is a cartesian product with a range filter (a
+    BroadcastNestedLoopJoin that dies at scale).  The scalable shape:
+    explode BOTH sides to the coarse time buckets their interval
+    touches, equi-join on the bucket, apply the exact half-open
+    overlap predicate (l_start < r_end AND r_start < l_end), and
+    dedup the pairs that met in more than one bucket.  Candidate
+    volume per bucket ≈ (intervals alive in it)², so pick the bucket
+    ≳ the typical interval span; replication per interval is
+    span/bucket + 1 rows of (id, bounds) — never payload.
+
+    Columns of both inputs are preserved (prefix-disambiguate before
+    calling if names collide); callers compute overlap length from
+    the bounds."""
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket_trunc, F.col(l_start)),
+                F.date_trunc(bucket_trunc, F.col(l_end)),
+                F.expr(f"INTERVAL {bucket}"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket_trunc, F.col(r_start)),
+                F.date_trunc(bucket_trunc, F.col(r_end)),
+                F.expr(f"INTERVAL {bucket}"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "__bucket")
+        .filter(
+            (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+        )
+        .drop("__bucket")
+        .distinct()
+    )

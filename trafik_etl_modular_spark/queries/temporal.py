@@ -109,3 +109,59 @@ def join_range(spark, sf_dir):
             F.coalesce("n_active_incidents", F.lit(0)).alias("n_active_incidents"),
         )
     )
+
+
+_OVERLAP_SQL = """
+WITH a AS (
+  SELECT event_id AS a_id, ts AS a_start, ts + INTERVAL 5 MINUTE AS a_end
+  FROM events WHERE event_type = 'error'
+),
+b AS (
+  SELECT event_id AS b_id, ts AS b_start, ts + INTERVAL 5 MINUTE AS b_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.a_id, b.b_id,
+       (epoch_us(LEAST(a.a_end, b.b_end)) -
+        epoch_us(GREATEST(a.a_start, b.b_start))) AS overlap_micros
+FROM a JOIN b
+  ON a.a_start < b.b_end AND b.b_start < a.a_end
+"""
+
+
+@query("join_interval_overlap", sql=_OVERLAP_SQL, tags=("join", "temporal"))
+def join_interval_overlap(spark, sf_dir):
+    """Keyless INTERVAL × INTERVAL overlap join — error windows
+    (ts, ts+5min) against purchase windows (ts, ts+5min), emitting
+    every overlapping pair with its exact overlap length in micros
+    (an integer difference, engine-exact).  The engine runs the
+    bucketed shape (operators/temporal.py::interval_overlap_join):
+    both sides explode to the hour buckets they touch, equi-join on
+    the bucket, exact half-open predicate, pair dedup — candidate
+    volume is per-bucket occupancy², never |A|×|B|.  The oracle runs
+    the naive range join DuckDB can afford at fixture scale; the
+    plan-hygiene test proves the engine side contains no cartesian
+    or BNLJ node."""
+    from trafik_etl_modular_spark.operators.temporal import interval_overlap_join
+
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("b_end"),
+    )
+    pairs = interval_overlap_join(a, b, "a_start", "a_end", "b_start", "b_end")
+    return pairs.select(
+        "a_id",
+        "b_id",
+        (
+            # fixture ts is TIMESTAMP_NTZ; cast through TIMESTAMP for
+            # unix_micros (session tz is pinned UTC, so exact)
+            F.unix_micros(F.least("a_end", "b_end").cast("timestamp"))
+            - F.unix_micros(F.greatest("a_start", "b_start").cast("timestamp"))
+        ).alias("overlap_micros"),
+    )
