@@ -85,12 +85,14 @@ _QUERY_MODULES = [
 # functions.scalars.fquant), the 11 round-4 additions (SCD2 pair,
 # newly-oracled MinHash/SimHash sketches, exact-quota split, IVF build,
 # semantic dedup, multimodal features, quality classifier, curation v3,
-# full-outer interval join), and the 4 round-5 additions (repeated-
+# full-outer interval join), and the 10 round-5 additions (repeated-
 # chunk removal rewrite, streaming incremental dedup, temperature
-# mixing, per-label embedding centroids).  Slots 18–50 re-confirm the
-# families whose newest driver stamp is round 2: TPC-H (18 of 22 —
-# q4/q13/q14/q15 yield their slots to the round-5 additions and
-# rotate next) + semi/anti + bucketed
+# mixing, per-label embedding centroids, SCD2 as-of lookup, value
+# histogram, snapshot diff, curation v4, vocabulary coverage curve,
+# keyless interval-overlap join).  The remaining slots re-confirm the
+# families whose newest driver stamp is round 2: TPC-H (12 of 22 —
+# q4/q12/q13/q14/q15/q16/q17/q19/q20/q22 yield their slots to the
+# round-5 additions and rotate next) + semi/anti + bucketed
 # co-located joins, the reference incident pipeline (reference
 # src/trv/transform.py), dashboard filter, and the rollup/cube/pivot/
 # median aggregate family.  After this rotation every oracle-bearing
@@ -115,6 +117,12 @@ DRIVER_WINDOW: list[str] = [
     "streaming_incremental_dedup",
     "sample_temperature_mix",
     "sim_centroids_by_label",
+    "join_scd2_asof_lookup",
+    "dq_histogram_value",
+    "dedup_snapshot_diff",
+    "curation_pipeline_v4",
+    "vocab_coverage_curve",
+    "join_interval_overlap",
     # --- oldest-stamp re-confirmations (last green: round 2) -----------
     # full TPC-H + join variants
     "tpch_q1_pricing_summary",
@@ -127,14 +135,8 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
-    "tpch_q12_priority_lines",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_revenue",
     "tpch_q18_big_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_inventory",
     "tpch_q21_waiting_supplier",
-    "tpch_q22_dormant_customers",
     "join_semi_customers_with_big_orders",
     "join_anti_customers_no_urgent_orders",
     "join_bucketed_colocated",
