@@ -379,3 +379,25 @@ def streaming_incremental_dedup(spark, sf_dir):
     )
 
     return incremental_dedup_stream_run(spark, sf_dir, n_batches=4)
+
+
+# same comparison surface as the batch point-in-time lookup — the
+# completed stream must converge to exactly the batch answer
+from trafik_etl_modular_spark.queries.dedup import _SCD2_ASOF_SQL  # noqa: E402
+
+
+@query(
+    "streaming_scd2_enrich",
+    sql=_SCD2_ASOF_SQL,
+    tags=("streaming", "join", "temporal"),
+)
+def streaming_scd2_enrich(spark, sf_dir):
+    """Stream-static POINT-IN-TIME enrichment: click micro-batches
+    look up the SCD2 dimension version valid at each fact's own
+    timestamp (streaming/pipeline.py::scd2_enriched_stream) — late
+    events pick historical versions, which a plain dimension join
+    gets wrong.  Stateless per batch; completed stream equals the
+    batch as-of lookup SQL."""
+    from trafik_etl_modular_spark.streaming.pipeline import scd2_enriched_stream
+
+    return scd2_enriched_stream(spark, sf_dir)

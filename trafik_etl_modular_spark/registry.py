@@ -89,9 +89,10 @@ _QUERY_MODULES = [
 # chunk removal rewrite, streaming incremental dedup, temperature
 # mixing, per-label embedding centroids, SCD2 as-of lookup, value
 # histogram, snapshot diff, curation v4, vocabulary coverage curve,
-# keyless interval-overlap join).  The remaining slots re-confirm the
+# keyless interval-overlap join, streaming SCD2 enrichment).  The
+# remaining slots re-confirm the
 # families whose newest driver stamp is round 2: TPC-H (12 of 22 —
-# q4/q12/q13/q14/q15/q16/q17/q19/q20/q22 yield their slots to the
+# q4/q10/q12-q17/q19/q20/q22 yield their slots to the
 # round-5 additions and rotate next) + semi/anti + bucketed
 # co-located joins, the reference incident pipeline (reference
 # src/trv/transform.py), dashboard filter, and the rollup/cube/pivot/
@@ -123,6 +124,7 @@ DRIVER_WINDOW: list[str] = [
     "curation_pipeline_v4",
     "vocab_coverage_curve",
     "join_interval_overlap",
+    "streaming_scd2_enrich",
     # --- oldest-stamp re-confirmations (last green: round 2) -----------
     # full TPC-H + join variants
     "tpch_q1_pricing_summary",
@@ -133,7 +135,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
     "tpch_q11_important_stock",
     "tpch_q18_big_orders",
     "tpch_q21_waiting_supplier",

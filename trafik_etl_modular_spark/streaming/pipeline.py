@@ -551,3 +551,55 @@ def upsert_sink_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return state["table"].orderBy("entity_id")
+
+
+def scd2_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static TEMPORAL (point-in-time) enrichment: each
+    micro-batch of click facts looks up the SCD2 dimension version
+    valid at the fact's own timestamp — the streaming form of
+    queries.dedup.join_scd2_asof_lookup, and the production shape for
+    'enrich events with the reference data AS OF the event time'
+    (late events automatically pick historical versions; a plain
+    dimension join would enrich them with today's row).
+
+    The history is built once from the static side and pinned with an
+    eager local checkpoint (on a lakehouse: the materialized SCD2
+    table) so Spark doesn't recompute the window per micro-batch; the
+    join is stream-static LEFT with the interval bounds as join
+    filters — stateless per batch, no watermark needed.  Completed
+    stream ≡ the batch as-of lookup, which is the oracle."""
+    from pyspark.sql import Window
+
+    from trafik_etl_modular_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "entity_id", F.col("event_id") % 700
+    )
+    w = Window.partitionBy("entity_id").orderBy("ts", "event_id")
+    hist = ev.select(
+        F.col("entity_id").alias("h_entity"),
+        F.col("event_id").alias("version_id"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.col("value").alias("h_value"),
+    ).localCheckpoint(eager=True)
+
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "ts", (F.col("user_id") % 700).alias("entity_id"))
+    )
+    joined = clicks.join(
+        hist,
+        (F.col("entity_id") == F.col("h_entity"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    ).select(
+        "event_id",
+        "entity_id",
+        "ts",
+        "version_id",
+        F.col("h_value").alias("value_at_ts"),
+    )
+    return _run_to_memory(joined, "append")
