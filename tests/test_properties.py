@@ -439,3 +439,51 @@ def test_temperature_mix_matches_reference(spark, docs, alpha):
         ).collect()
     }
     assert got_kept == expect_kept
+
+
+@_SETTINGS
+@given(
+    a=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(1, 90)),
+        min_size=1,
+        max_size=12,
+    ),
+    b=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(1, 90)),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_interval_overlap_matches_reference(spark, a, b):
+    """Bucketed interval-overlap join equals the naive all-pairs
+    Python reference for arbitrary minute-scale intervals spanning
+    multiple hour buckets (start offsets up to 5h, spans up to 90
+    min) — the bucket-edge cases a fixture hits only by accident."""
+    from datetime import datetime, timedelta
+
+    from trafik_etl_modular_spark.operators.temporal import interval_overlap_join
+
+    base = datetime(2024, 1, 1)
+
+    def mk(rows, prefix):
+        return [
+            (f"{prefix}{i}", base + timedelta(minutes=s), base + timedelta(minutes=s + d))
+            for i, (s, d) in enumerate(rows)
+        ]
+
+    ra, rb = mk(a, "A"), mk(b, "B")
+    expect = {
+        (ia, ib)
+        for ia, sa, ea in ra
+        for ib, sb, eb in rb
+        if sa < eb and sb < ea
+    }
+    da = spark.createDataFrame(ra, "a_id string, a_start timestamp, a_end timestamp")
+    db = spark.createDataFrame(rb, "b_id string, b_start timestamp, b_end timestamp")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            da, db, "a_start", "a_end", "b_start", "b_end"
+        ).collect()
+    }
+    assert got == expect, (sorted(got ^ expect), ra, rb)
