@@ -134,3 +134,69 @@ def source_xml_feed_stream(spark, sf_dir):
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def ensure_evolved_dir(sf_dir: str) -> str:
+    """Stage a SCHEMA-EVOLVED parquet directory once per fixture: an
+    old-generation file (o_orderkey, o_totalprice) for even keys and
+    a new-generation file that ADDED a column (…, o_year) for odd
+    keys — the additive-column evolution every long-lived lake table
+    goes through.  Content-keyed like the stream staging dirs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    key = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    d = f"/tmp/trafik_evolved_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    tbl = pq.read_table(src, columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    keys = tbl["o_orderkey"].to_numpy()
+    even = tbl.filter(pa.array(keys % 2 == 0)).select(["o_orderkey", "o_totalprice"])
+    odd = tbl.filter(pa.array(keys % 2 == 1))
+    odd = odd.select(["o_orderkey", "o_totalprice"]).append_column(
+        "o_year", pc.cast(pc.year(odd["o_orderdate"]), pa.int32())
+    )
+    pq.write_table(even, os.path.join(d, "gen1.parquet"))
+    pq.write_table(odd, os.path.join(d, "gen2.parquet"))
+    open(done, "w").close()
+    return d
+
+
+def _evolution_sql(sf_dir: str) -> str:
+    d = ensure_evolved_dir(sf_dir)
+    return f"""
+SELECT COALESCE(o_year, -1) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+FROM read_parquet(['{d}/gen1.parquet', '{d}/gen2.parquet'], union_by_name=true)
+GROUP BY 1
+ORDER BY order_year
+"""
+
+
+@query("source_schema_evolution_scan", sql=_evolution_sql, tags=("source", "agg"))
+def source_schema_evolution_scan(spark, sf_dir):
+    """ADDITIVE SCHEMA EVOLUTION scan (S-family): one directory, two
+    file generations — the newer one added a column.  Spark reads
+    both with ``mergeSchema=true`` (footer-union schema; old files
+    null-fill the added column), exactly how a lake table evolves
+    without rewrite.  Rollup by the evolved column (old generation →
+    the -1 bucket) with exact decimal sums; the oracle is DuckDB's
+    ``union_by_name`` read of the same staged files."""
+    from trafik_etl_modular_spark.functions.scalars import dsum
+
+    d = ensure_evolved_dir(sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    return (
+        df.groupBy(F.coalesce(F.col("o_year"), F.lit(-1)).alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("order_year")
+    )
