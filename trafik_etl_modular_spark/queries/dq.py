@@ -270,3 +270,85 @@ def dq_histogram_value(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+_OUTLIER_SQL = """
+WITH vals AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+  FROM vals GROUP BY event_type
+),
+derived AS (
+  SELECT event_type, n, s1 / n AS mean,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
+  FROM stats
+)
+SELECT d.event_type,
+       CAST(d.n AS BIGINT) AS n,
+       (CAST(ROUND(d.mean * 1e9) AS BIGINT) / 1e9) AS mean_value,
+       (CAST(ROUND(d.std * 1e9) AS BIGINT) / 1e9) AS std_value,
+       CAST(COUNT(CASE WHEN abs(v.value - d.mean) > 3 * d.std THEN 1 END)
+            AS BIGINT) AS n_outliers
+FROM vals v JOIN derived d USING (event_type)
+GROUP BY d.event_type, d.n, d.mean, d.std
+ORDER BY d.event_type
+"""
+
+
+@query("dq_outlier_report", sql=_OUTLIER_SQL, tags=("quality", "agg"))
+def dq_outlier_report(spark, sf_dir):
+    """Per-group OUTLIER report (3-sigma rule) — the drift/anomaly
+    monitor primitive: mean and std per event_type from EXACT decimal
+    first/second moments (partition-order-free; the final mean/std
+    are one fixed double-expression each, sqrt is IEEE-exact), then a
+    second pass counts values beyond 3 standard deviations using a
+    multiplication-form test (no division).  Two hash aggregations +
+    one broadcast of the per-group stats; the emitted floats are
+    fquant'd."""
+    from trafik_etl_modular_spark.functions.scalars import dsum, fquant
+
+    vals = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    stats = vals.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum("value", 6).alias("s1"),
+        dsum(F.col("value") * F.col("value"), 6).alias("s2"),
+    )
+    derived = stats.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return (
+        vals.join(F.broadcast(derived), "event_type")
+        .groupBy("event_type", "n", "mean", "std")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            fquant(F.col("mean")).alias("mean_value"),
+            fquant(F.col("std")).alias("std_value"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
