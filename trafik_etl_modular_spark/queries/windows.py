@@ -247,3 +247,46 @@ def window_lead_lag(spark, sf_dir):
         .alias("days_since_prev"),
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
     )
+
+
+_TIME_ROLLING_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@query("window_time_rolling_1h", sql=_TIME_ROLLING_SQL, tags=("window",))
+def window_time_rolling_1h(spark, sf_dir):
+    """TIME-RANGE rolling frame (RANGE, not ROWS): per user, each
+    event sees the count and sum of events in ITS OWN trailing hour —
+    the rolling-metric shape dashboards and rate limiters use, where
+    a row-count frame is simply wrong under irregular event spacing.
+    Spark's rangeBetween needs a numeric order column, so the frame
+    runs over unix micros with inclusive [-1h, 0] bounds — identical
+    peer semantics to SQL's RANGE (ties included).  The windowed sum
+    is an EXACT DECIMAL sum: sliding-frame float aggregation uses
+    different incremental structures per engine (add/remove vs
+    segment trees), so a double sum would be ULP-unstable across
+    engines; decimal is associative and exact under any structure.
+    One hash shuffle on user_id serves both window functions."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(38,4)")).over(w).cast("double").alias("sum_1h"),
+    )
