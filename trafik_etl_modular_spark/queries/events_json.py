@@ -151,3 +151,138 @@ def events_sliding_window(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product analytics: funnel + cohort retention — the two canonical
+# event-log questions every analytics engine must answer.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CASE WHEN p.t_purchase IS NOT NULL THEN 3
+            WHEN c.t_click IS NOT NULL THEN 2
+            WHEN v.t_view IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage,
+       v.t_view, c.t_click, p.t_purchase
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+@query("events_funnel_stages", sql=_FUNNEL_SQL, tags=("agg", "join", "analytics"))
+def events_funnel_stages(spark, sf_dir):
+    """ORDERED FUNNEL analysis (view → click → purchase): per user,
+    the first view, the first click strictly AFTER that view, and the
+    first purchase strictly after that click — the sequencing that a
+    bare per-type min() gets wrong (a purchase before the first view
+    must not count).  Three cascaded min-aggregations, each a hash
+    agg on user_id joined back on the same key (the shuffles reuse
+    one partitioning); no window over the raw event log and no
+    per-user event collection, so a power user with 10^6 events
+    costs the same as anyone else."""
+    ev = t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        ev.select("user_id")
+        .distinct()
+        .join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+            .when(F.col("t_click").isNotNull(), F.lit(2))
+            .when(F.col("t_view").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("funnel_stage"),
+            "t_view",
+            "t_click",
+            "t_purchase",
+        )
+    )
+
+
+_COHORT_SQL = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(datediff('week', f.cohort_week, a.active_week) AS INTEGER)
+         AS week_offset,
+       CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_active_users
+FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+WHERE datediff('week', f.cohort_week, a.active_week) <= 4
+GROUP BY f.cohort_week, week_offset
+ORDER BY f.cohort_week, week_offset
+"""
+
+
+@query("events_cohort_retention", sql=_COHORT_SQL, tags=("agg", "join", "analytics"))
+def events_cohort_retention(spark, sf_dir):
+    """COHORT RETENTION triangle: users grouped by first-seen week,
+    distinct actives per (cohort, week-offset) out to 4 weeks — the
+    canonical retention report.  One min-agg for cohorts, one
+    distinct-projection for activity (both hash shuffles on user_id,
+    partitioning reused by the join), then a count-distinct rollup on
+    the tiny (cohort, offset) key space.  Week arithmetic is integer
+    (truncated week timestamps diffed in whole weeks) — no float
+    anywhere."""
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    offset = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    return (
+        first_seen.join(activity, "user_id")
+        .withColumn("week_offset", offset)
+        .filter(F.col("week_offset") <= 4)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
