@@ -64,6 +64,10 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 
 @query("agg_cube_flag_status", sql=_CUBE_SQL, tags=("agg",))
 def agg_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping-set
+    combinations in ONE Expand+hash-agg pass — counts and exact
+    decimal quantity sums, subtotal rows null-keyed as in ANSI
+    GROUPING SETS."""
     li = t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), dsum("l_quantity", 2).alias("sum_qty")

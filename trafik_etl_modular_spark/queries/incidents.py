@@ -163,6 +163,9 @@ GROUP BY message_type
 
 @query("inc_type_distribution", sql=_TYPEDIST_SQL, tags=("agg",))
 def inc_type_distribution(spark, sf_dir):
+    """A4 — incident count per message type (reference dashboard's
+    type-distribution chart): the normalize pipeline feeding one
+    two-phase hash aggregation on a low-cardinality key."""
     inc = build_incidents(spark, sf_dir)
     return inc.groupBy("message_type").agg(F.count("*").alias("n"))
 

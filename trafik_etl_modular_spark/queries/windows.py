@@ -68,6 +68,10 @@ FROM lineitem
 
 @query("window_running_revenue_per_supplier", sql=_RUNNING_SQL, tags=("window",))
 def window_running(spark, sf_dir):
+    """Running (cumulative) revenue per supplier over ship order — a
+    ROWS unbounded-preceding frame with a full deterministic order
+    tiebreak; exact decimal summation so the cumulative values are
+    engine-identical at every row, one hash shuffle on l_suppkey."""
     li = t(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
