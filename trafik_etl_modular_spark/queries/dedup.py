@@ -383,3 +383,44 @@ def dedup_snapshot_diff(spark, sf_dir):
         F.col("o.h").alias("old_md5"),
         F.col("n.h").alias("new_md5"),
     )
+
+
+_FUZZY_SQL = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_distance
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@query("dedup_fuzzy_name_pairs", sql=_FUZZY_SQL, tags=("dedup", "join"))
+def dedup_fuzzy_name_pairs(spark, sf_dir):
+    """BLOCKED FUZZY-MATCH join (entity resolution): part-name pairs
+    within edit distance 3, candidate generation BLOCKED on p_brand —
+    the classic ER recipe (compare only within a blocking key, never
+    all-pairs; Levenshtein runs on candidate pairs only).  One hash
+    shuffle on the block key; per-block cost is occupancy², bounded
+    by the blocking choice exactly like the LSH band-bucket caps.
+    Edit distance is an integer both engines compute identically, so
+    the oracle is the same blocked join in DuckDB."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("int")
+            .alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 3)
+    )

@@ -352,3 +352,49 @@ def dq_outlier_report(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_FINGERPRINT_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       bit_xor(('0x' || substring(md5(
+         concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+                   event_type, strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+                   CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR))
+       ), 1, 15))::BIGINT) AS fingerprint
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("dq_table_fingerprint", sql=_FINGERPRINT_SQL, tags=("quality", "agg"))
+def dq_table_fingerprint(spark, sf_dir):
+    """ORDER-INSENSITIVE table fingerprint per partition key — the
+    anti-entropy / replication-verification primitive: every row maps
+    to a 60-bit md5-derived hash of its canonical string form, and
+    the group fingerprint is their XOR — associative and commutative,
+    so ANY partitioning, any engine, any scan order produces the same
+    value (and two replicas can be compared by exchanging 5 rows, not
+    terabytes).  One map-side-combinable hash aggregation; row
+    canonicalization uses only cross-engine-stable formats (integer
+    casts, second-truncated ISO timestamp, fixed-scale decimal)."""
+    ev = t(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"),
+        F.col("value").cast("decimal(18,4)").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        ev.select("event_type", h.alias("__h"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(__h)").alias("fingerprint"),
+        )
+        .orderBy("event_type")
+    )
