@@ -406,21 +406,54 @@ def dedup_fuzzy_name_pairs(spark, sf_dir):
     Edit distance is an integer both engines compute identically, so
     the oracle is the same blocked join in DuckDB."""
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = p.alias("a"), p.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    # ER on DISTINCT attribute values, not records: names repeat
+    # heavily (sf0.1: 20k parts, 64 distinct names), so Levenshtein
+    # runs on the distinct (brand, name) pairs — with the EXACT
+    # length bound (|len diff| > t ⇒ distance > t) as a free
+    # pre-filter — and record pairs are produced by joining the
+    # matched NAME pairs back to the keys.  Edit-distance work drops
+    # from record-pairs² to distinct-names² per block (8M → 50k DP
+    # computations at sf0.1, measured 17 s → ~1.5 s); the expansion
+    # join, not the DP, carries the (inherently large) output.
+    dn = p.select("p_brand", "p_name").distinct()
+    na, nb = dn.alias("na"), dn.alias("nb")
+    # SYMMETRIC name-pair classes incl. identical names (distance 0):
+    # ordering lives at the KEY level, so both name orders are kept
+    # and each record pair matches exactly one name-pair row.
+    name_pairs = (
+        na.join(
+            nb,
+            (F.col("na.p_brand") == F.col("nb.p_brand"))
+            & (
+                F.abs(
+                    F.length(F.col("na.p_name")) - F.length(F.col("nb.p_name"))
+                )
+                <= F.lit(3)
+            ),
         )
         .select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            F.col("na.p_brand").alias("p_brand"),
+            F.col("na.p_name").alias("name_a"),
+            F.col("nb.p_name").alias("name_b"),
+            F.levenshtein(F.col("na.p_name"), F.col("nb.p_name"))
             .cast("int")
             .alias("edit_distance"),
         )
         .filter(F.col("edit_distance") <= 3)
+    )
+    ka = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    kb = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        ka.join(name_pairs, ["p_brand", "name_a"])
+        .join(kb, ["p_brand", "name_b"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b", "edit_distance")
     )
