@@ -2701,3 +2701,56 @@ def curation_pipeline_v4(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+_MM_DEDUP_SQL = """
+WITH classes AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN '__img_png_320x240'
+              WHEN doc_id % 10 = 1 THEN '__img_png_64x64'
+              WHEN doc_id % 10 = 2 THEN '__img_gif_128x96'
+              ELSE text END AS payload_class
+  FROM documents
+),
+groups AS (
+  SELECT payload_class, MIN(doc_id) AS keeper_id,
+         CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM classes GROUP BY payload_class
+)
+SELECT c.doc_id, g.keeper_id, g.n_copies,
+       (c.doc_id <> g.keeper_id) AS is_duplicate
+FROM classes c JOIN groups g USING (payload_class)
+ORDER BY c.doc_id
+"""
+
+
+@query("multimodal_dedup_exact", sql=_MM_DEDUP_SQL, tags=("llmdata", "multimodal", "dedup"))
+def multimodal_dedup_exact(spark, sf_dir):
+    """EXACT BINARY dedup over the mixed multimodal corpus (docs
+    0/1/2 mod 10 carry genuine PNG/GIF bytes, the rest utf-8 text):
+    md5 over the payload BYTES groups identical media regardless of
+    modality — min-id keeper, copy counts, per-doc duplicate flag.
+    One hash aggregation on the 16-byte digest + a join back; the
+    payload bytes never shuffle (only digests and ids do), which is
+    the point at image scale.  The oracle reproduces the same
+    equality classes relationally (the three image literals are
+    plan constants keyed on doc_id, so sentinel class labels model
+    them exactly)."""
+    from trafik_etl_modular_spark.llmdata.multimodal import with_binary_payload
+
+    p = with_binary_payload(t(spark, sf_dir, "documents"), with_images=True)
+    h = p.select("doc_id", F.md5("payload").alias("__h"))
+    groups = h.groupBy("__h").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count("*").cast("bigint").alias("n_copies"),
+    )
+    return (
+        h.join(groups, "__h")
+        .select(
+            "doc_id",
+            "keeper_id",
+            "n_copies",
+            (F.col("doc_id") != F.col("keeper_id")).alias("is_duplicate"),
+        )
+        .orderBy("doc_id")
+    )
