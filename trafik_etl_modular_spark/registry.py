@@ -85,19 +85,21 @@ _QUERY_MODULES = [
 # functions.scalars.fquant), the 11 round-4 additions (SCD2 pair,
 # newly-oracled MinHash/SimHash sketches, exact-quota split, IVF build,
 # semantic dedup, multimodal features, quality classifier, curation v3,
-# full-outer interval join), and the 10 round-5 additions (repeated-
-# chunk removal rewrite, streaming incremental dedup, temperature
-# mixing, per-label embedding centroids, SCD2 as-of lookup, value
-# histogram, snapshot diff, curation v4, vocabulary coverage curve,
-# keyless interval-overlap join, streaming SCD2 enrichment).  The
-# remaining slots re-confirm the
-# families whose newest driver stamp is round 2: TPC-H (12 of 22 —
-# q4/q10/q12-q17/q19/q20/q22 yield their slots to the
-# round-5 additions and rotate next) + semi/anti + bucketed
-# co-located joins, the reference incident pipeline (reference
-# src/trv/transform.py), dashboard filter, and the rollup/cube/pivot/
-# median aggregate family.  After this rotation every oracle-bearing
-# query holds a driver-green row in CORRECTNESS_r0{1..5}.
+# full-outer interval join), and the round-5 additions in two batches
+# (repeated-chunk removal rewrite, streaming incremental dedup,
+# temperature mixing, per-label embedding centroids, SCD2 as-of lookup,
+# value histogram, snapshot diff, curation v4, vocabulary coverage
+# curve, keyless interval-overlap join, streaming SCD2 enrichment;
+# then fuzzy-name join, table fingerprint, exact binary multimodal
+# dedup, 3-sigma outlier report, time-range rolling window, funnel,
+# cohort retention, schema-evolution scan).  The remaining slots
+# re-confirm the families whose newest driver stamp is round 2: TPC-H
+# (4 of 22 — the rest hold r1/r2 stamps and rotate through future
+# rounds) + semi/anti + bucketed co-located joins, the reference
+# incident pipeline (reference src/trv/transform.py), dashboard
+# filter, and the rollup/cube/pivot/median aggregate family.  After
+# this rotation every oracle-bearing query holds a driver-green row in
+# CORRECTNESS_r0{1..5}.
 DRIVER_WINDOW: list[str] = [
     # --- never driver-stamped through round 4 --------------------------
     "dedup_chunk_crossdoc",
@@ -125,19 +127,21 @@ DRIVER_WINDOW: list[str] = [
     "vocab_coverage_curve",
     "join_interval_overlap",
     "streaming_scd2_enrich",
+    # --- late round-5 additions (registered after the first rotation) --
+    "dedup_fuzzy_name_pairs",
+    "dq_table_fingerprint",
+    "multimodal_dedup_exact",
+    "dq_outlier_report",
+    "window_time_rolling_1h",
+    "events_funnel_stages",
+    "events_cohort_retention",
+    "source_schema_evolution_scan",
     # --- oldest-stamp re-confirmations (last green: round 2) -----------
-    # full TPC-H + join variants
+    # TPC-H + join variants (q2/q6/q8/q9/q11/q18/q21/q22 rotate next)
     "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue",
-    "tpch_q6_revenue_forecast",
     "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q18_big_orders",
-    "tpch_q21_waiting_supplier",
     "join_semi_customers_with_big_orders",
     "join_anti_customers_no_urgent_orders",
     "join_bucketed_colocated",
@@ -152,7 +156,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_cube_flag_status",
     "agg_pivot_linestatus",
     "agg_exact_median_iqr",
-    "agg_value_stats",
     "agg_incremental_rollup",
     "agg_grouping_sets_flag_status",
 ]
