@@ -1845,10 +1845,17 @@ def sim_ann_hyperplane(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # TF-IDF top terms per document.
 # Classic corpus-statistics shape: explode → per-(doc,term) counts →
-# per-term document frequency → score → top-3 per doc. Plan: two
-# shuffles (doc_id+term, then term) + a broadcast of the 1-row corpus
-# count; the per-doc top-k window partitions on doc_id, so no global
-# sort. The score avoids ln() on purpose — log's last-bit rounding
+# per-term document frequency → score → top-3 per doc. The doc-freq
+# table is one row per DISTINCT term (vocabulary), orders of magnitude
+# smaller than the (doc,term) table, so it is broadcast: the big side
+# keeps its (doc_id,term) partitioning and is never reshuffled by
+# term. Shuffles: (doc_id,term) for tf, the partial-agg'd vocab for
+# df, doc_id for the top-k window — the df JOIN costs zero. At lake
+# scale a natural-language vocabulary stays in the tens of millions
+# (~100s of MB serialized) — above the default 10 MB auto-broadcast
+# threshold but well within an explicit broadcast; if vocab ever
+# exceeded executor memory, drop the hint and AQE picks a shuffle
+# join. The score avoids ln() on purpose — log's last-bit rounding
 # differs across engines, while (tf * (N / df)) is three IEEE double
 # ops applied in the same order in both, keeping the oracle
 # bit-exact. Rank ordering is identical either way (log is monotone).
@@ -1895,7 +1902,7 @@ def text_tfidf_top_terms(spark, sf_dir):
     dfreq = tfc.groupBy("term").agg(F.count("*").alias("doc_freq"))
     total = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tfc.join(dfreq, "term")
+        tfc.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "tfidf",
