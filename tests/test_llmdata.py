@@ -1252,3 +1252,57 @@ def test_temperature_mix_upweights_small_sources(spark):
     assert {r["doc_id"] for r in re32.collect()} == {
         r["doc_id"] for r in kept.collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates + Gopher rule vector (round-5 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merge_candidates_match_python_recount(spark, sf_dir):
+    """The distributed pair count equals a driver-side brute recount
+    at fixture scale, and the top-1 really is the corpus argmax —
+    i.e. one merge iteration would pick the same pair."""
+    from collections import Counter
+
+    from trafik_etl_modular_spark.queries.llmdata import vocab_bpe_merge_candidates
+
+    got = {r["pair"]: r["pair_count"] for r in vocab_bpe_merge_candidates(spark, sf_dir).collect()}
+    texts = [r["text"] for r in load_table(spark, sf_dir, "documents").select("text").collect()]
+    exact = Counter()
+    for tx in texts:
+        toks = tx.split(" ")
+        exact.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    assert got == dict(top)
+
+
+def test_bpe_pair_hof_guards_short_docs(spark):
+    """Empty and 1-token docs contribute zero pairs (the sequence(1,0)
+    descending-range trap is guarded in bigrams())."""
+    from trafik_etl_modular_spark.llmdata.text import bigrams
+
+    df = spark.createDataFrame([("",), ("solo",), ("a b",)], ["text"])
+    rows = df.select(F.explode_outer(bigrams("text")).alias("p")).collect()
+    assert [r["p"] for r in rows] == [None, None, "a b"]
+
+
+def test_gopher_rules_conjunction_and_bounds(spark, sf_dir):
+    """`passes` is exactly the AND of the four rule columns; the
+    word-count rule is inclusive on both boundaries; the fixture
+    exercises both verdicts of every rule."""
+    from trafik_etl_modular_spark.queries.llmdata import text_gopher_rules
+
+    rows = text_gopher_rules(spark, sf_dir).collect()
+    for r in rows:
+        assert r["passes"] == (
+            r["rule_word_count"]
+            and r["rule_mean_word_len"]
+            and r["rule_symbol_ratio"]
+            and r["rule_stopword_frac"]
+        )
+        assert r["rule_word_count"] == (25 <= r["n_words"] <= 90)
+        assert r["rule_stopword_frac"] == (r["stopword_frac"] >= 0.03)
+    for col in ("rule_word_count", "rule_mean_word_len", "rule_stopword_frac", "passes"):
+        vals = {r[col] for r in rows}
+        assert vals == {True, False}, f"{col} never flips on the fixture: {vals}"

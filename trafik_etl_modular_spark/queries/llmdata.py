@@ -2761,3 +2761,139 @@ def multimodal_dedup_exact(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training: one BPE merge iteration's counting core.
+# BPE training (Sennrich et al. 2016) loops: count adjacent-pair
+# frequencies over the corpus, merge the argmax pair, repeat.  The
+# count step is the distributed-scale part — the merge itself touches
+# one vocabulary entry.  Plan: per-row adjacent pairs via an array
+# HOF (zero shuffle, inside codegen), explode, then a two-phase hash
+# aggregate — the shuffle carries one row per distinct pair per task
+# (map-side partial_count), never one per token occurrence — and the
+# global top-k is TakeOrderedAndProject, k rows per partition across
+# the wire.  At 100 TB this is exactly a vocab_top_terms-shaped scan;
+# the pair keyspace is vocabulary², but partial aggregation bounds
+# the shuffle by DISTINCT pairs actually present, which natural text
+# keeps near-linear in corpus vocabulary.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGE_SQL = """
+WITH pairs AS (
+  SELECT unnest(list_transform(
+           list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+           p -> p[1] || ' ' || p[2])) AS pair
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+)
+SELECT pair, COUNT(*) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 20
+"""
+
+
+@query("vocab_bpe_merge_candidates", sql=_BPE_MERGE_SQL, tags=("llmdata", "text", "agg"))
+def vocab_bpe_merge_candidates(spark, sf_dir):
+    """Top-20 BPE merge candidates: corpus-wide adjacent-token-pair
+    frequencies (the counting core of one Sennrich-2016 merge
+    iteration).  Pairs are built per row with the bigrams() HOF —
+    no shuffle until the pair aggregate, whose map-side combine
+    sends one row per distinct pair per task; (count DESC, pair ASC)
+    is the deterministic tiebreak under LIMIT."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(bigrams("text")).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter (Rae et al. 2021 §A1.1): each document is
+# judged against named structural rules — word-count bounds, mean
+# word length band, symbol-to-word ratio cap, minimum stopword
+# fraction — and carries every per-rule verdict plus the conjunction.
+# Unlike text_quality_score (a blended scalar), the rule vector is
+# what a curation pipeline audits: WHICH rule rejected a document.
+# All four signals are integer counts (token counts, char sums via
+# array HOFs) finished by a single int/int division, so the double
+# columns are bit-identical across engines; the whole thing is one
+# scan, zero shuffles, inside whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+_GOPHER_SQL = """
+WITH sig AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS sum_word_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_symbols,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       (CAST(sum_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)) AS mean_word_len,
+       (CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)) AS symbol_ratio,
+       (CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)) AS stopword_frac,
+       (n_words BETWEEN 25 AND 90) AS rule_word_count,
+       (CAST(sum_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+          BETWEEN CAST(4.0 AS DOUBLE) AND CAST(5.0 AS DOUBLE)) AS rule_mean_word_len,
+       (CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+          <= CAST(0.1 AS DOUBLE)) AS rule_symbol_ratio,
+       (CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)
+          >= CAST(0.03 AS DOUBLE)) AS rule_stopword_frac,
+       ((n_words BETWEEN 25 AND 90)
+        AND (CAST(sum_word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+               BETWEEN CAST(4.0 AS DOUBLE) AND CAST(5.0 AS DOUBLE))
+        AND (CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+               <= CAST(0.1 AS DOUBLE))
+        AND (CAST(n_stopwords AS DOUBLE) / CAST(n_words AS DOUBLE)
+               >= CAST(0.03 AS DOUBLE))) AS passes
+FROM sig
+"""
+
+
+@query("text_gopher_rules", sql=_GOPHER_SQL, tags=("llmdata", "text"))
+def text_gopher_rules(spark, sf_dir):
+    """Gopher rule-vector filter (Rae 2021 §A1.1 shape): per-document
+    named-rule verdicts — word-count band [25,90], mean word length
+    [4,5], symbol/word ratio ≤0.1, stopword fraction ≥0.03 — plus the
+    conjunction.  Integer signals + one division each keep the double
+    columns engine-exact; single scan, no shuffle."""
+    from trafik_etl_modular_spark.llmdata.text import punct_count
+
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_words = F.size(toks)
+    sum_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    sig = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_chars.alias("sum_word_chars"),
+        punct_count("text").alias("n_symbols"),
+        stopword_count("text").alias("n_stopwords"),
+    )
+    mwl = F.col("sum_word_chars").cast("double") / F.col("n_words").cast("double")
+    sym = F.col("n_symbols").cast("double") / F.col("n_words").cast("double")
+    swf = F.col("n_stopwords").cast("double") / F.col("n_words").cast("double")
+    r_wc = F.col("n_words").between(25, 90)
+    r_mwl = (mwl >= 4.0) & (mwl <= 5.0)
+    r_sym = sym <= 0.1
+    r_swf = swf >= 0.03
+    return sig.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        swf.alias("stopword_frac"),
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_swf.alias("rule_stopword_frac"),
+        (r_wc & r_mwl & r_sym & r_swf).alias("passes"),
+    )
