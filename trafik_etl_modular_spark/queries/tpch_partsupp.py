@@ -131,9 +131,12 @@ def tpch_q2(spark, sf_dir):
 # availqty, summed over a two-nation supplier group) exceeds a fixed
 # fraction of the group's total value.  The uncorrelated scalar total
 # is a 1-row aggregate broadcast-cross-joined back — never a global
-# window.  Both the per-part value and the total go through the same
-# exact-decimal sum of identical double products, so the fraction
-# threshold is bit-identical across engines.
+# window — and it SUMS THE PER-PART AGGREGATE, not the base relation:
+# decimal addition is exact and associative, so Σ(per-part sums) is
+# bit-identical to a second full pass over nps while costing one tiny
+# re-aggregation of ~|parts| rows instead of re-deriving the whole
+# lineitem→ps subtree (which Catalyst does NOT share across scalar-
+# subquery branches).  Same restructure on the oracle side.
 # ---------------------------------------------------------------------------
 
 _Q11_VALUE = oracle_dsum("ps_supplycost * ps_availqty", 4)
@@ -152,7 +155,7 @@ per_part AS (
   FROM nps GROUP BY ps_partkey
 ),
 tot AS (
-  SELECT {_Q11_VALUE} AS total_value FROM nps
+  SELECT {oracle_dsum('value', 4)} AS total_value FROM per_part
 )
 SELECT ps_partkey, value
 FROM per_part CROSS JOIN tot
@@ -176,7 +179,7 @@ def tpch_q11(spark, sf_dir):
     )
     value = dsum(F.col("ps_supplycost") * F.col("ps_availqty"), 4)
     per_part = nps.groupBy("ps_partkey").agg(value.alias("value"))
-    tot = nps.agg(value.alias("total_value"))
+    tot = per_part.agg(dsum("value", 4).alias("total_value"))
     return (
         per_part.join(F.broadcast(tot))
         .filter(F.col("value") > 0.002 * F.col("total_value"))
