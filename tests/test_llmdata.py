@@ -1306,3 +1306,68 @@ def test_gopher_rules_conjunction_and_bounds(spark, sf_dir):
     for col in ("rule_word_count", "rule_mean_word_len", "rule_stopword_frac", "passes"):
         vals = {r[col] for r in rows}
         assert vals == {True, False}, f"{col} never flips on the fixture: {vals}"
+
+
+def test_hard_negatives_are_cross_label_and_bucket_local(spark, sf_dir):
+    """Every mined negative has a different label from its anchor,
+    shares the anchor's LSH bucket, and rn orders by cosine desc."""
+    from trafik_etl_modular_spark.llmdata.similarity import hyperplane_bucket
+    from trafik_etl_modular_spark.queries.llmdata import sim_hard_negatives
+
+    rows = sim_hard_negatives(spark, sf_dir).collect()
+    assert rows, "fixture yields no hard negatives"
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", hyperplane_bucket("embedding", 64, 6).alias("b")
+        ).collect()
+    }
+    by_anchor = {}
+    for r in rows:
+        assert r["label"] != r["query_label"]
+        assert bucket[r["vec_id"]] == bucket[r["query_id"]]
+        by_anchor.setdefault(r["query_id"], []).append(r)
+    for group in by_anchor.values():
+        group.sort(key=lambda r: r["rn"])
+        cosines = [r["cosine"] for r in group]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_contrastive_triples_pick_the_per_side_argmax(spark, sf_dir):
+    """pos/neg are the bucket-local argmax per side: positive beats
+    every other same-label candidate, negative every other-label one
+    (ties broken by id), and both sides exclude the anchor itself."""
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        cosine,
+        hyperplane_bucket,
+        to_double_array,
+    )
+    from trafik_etl_modular_spark.queries.llmdata import sample_contrastive_triples
+
+    triples = sample_contrastive_triples(spark, sf_dir).collect()
+    assert triples, "fixture yields no triples"
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "label", hyperplane_bucket("embedding", 64, 6).alias("b"),
+        to_double_array("embedding").alias("v"),
+    )
+    rows = bucketed.collect()
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    by_id = {r["vec_id"]: r for r in rows}
+    for tr in triples:
+        a = by_id[tr["anchor_id"]]
+        cands = [r for r in rows if r["b"] == a["b"] and r["vec_id"] != a["vec_id"]]
+        pos = [r for r in cands if r["label"] == a["label"]]
+        neg = [r for r in cands if r["label"] != a["label"]]
+        best_pos = max(pos, key=lambda r: (cos(r["v"], a["v"]), -r["vec_id"]))
+        best_neg = max(neg, key=lambda r: (cos(r["v"], a["v"]), -r["vec_id"]))
+        assert tr["pos_id"] == best_pos["vec_id"]
+        assert tr["neg_id"] == best_neg["vec_id"]
+        assert tr["pos_cosine"] == pytest.approx(cos(best_pos["v"], a["v"]))
+        assert tr["neg_cosine"] == pytest.approx(cos(best_neg["v"], a["v"]))

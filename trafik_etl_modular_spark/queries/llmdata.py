@@ -1790,24 +1790,31 @@ def text_bpe_token_stats(spark, sf_dir):
     )
 
 
-def _hyperplane_lsh_oracle_sql() -> str:
-    """STATIC DuckDB oracle for the hyperplane-LSH probe: the planes
-    are seeded frozen literals (same numpy draw as the Spark side),
-    and both engines compute every projection as the same strict
-    ascending left fold over IEEE doubles — so DuckDB re-derives the
-    SAME sign-bit buckets and does the exact in-bucket cosine rerank
-    itself.  No engine output is frozen into the SQL; it is a full
-    independent re-derivation (round-3 verdict ask #5)."""
+def _bucket_sql_expr(vec: str = "e.embedding", n_planes: int = 6) -> str:
+    """DuckDB re-derivation of hyperplane_bucket's sign-bit id: the
+    planes are the SAME seeded frozen literals as the Spark plan, and
+    each projection is the same strict ascending left fold over IEEE
+    doubles, so both engines compute identical buckets from scratch —
+    no engine output is frozen into the SQL."""
     import numpy as np
 
     rng = np.random.RandomState(42)
-    planes = rng.standard_normal((6, 64)).round(6)  # == hyperplane_bucket's
+    planes = rng.standard_normal((n_planes, 64)).round(6)  # == hyperplane_bucket's
     terms = []
-    for p in range(6):
+    for p in range(n_planes):
         lit = "[" + ",".join(repr(float(v)) for v in planes[p]) + "]"
-        proj = _DOT.format(a="e.embedding", b=lit)
+        proj = _DOT.format(a=vec, b=lit)
         terms.append(f"CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END")
-    bucket_expr = "\n     + ".join(terms)
+    return "\n     + ".join(terms)
+
+
+def _hyperplane_lsh_oracle_sql() -> str:
+    """STATIC DuckDB oracle for the hyperplane-LSH probe: DuckDB
+    re-derives the sign-bit buckets from the shared frozen plane
+    literals (see _bucket_sql_expr) and does the exact in-bucket
+    cosine rerank itself — a full independent re-derivation
+    (round-3 verdict ask #5)."""
+    bucket_expr = _bucket_sql_expr()
     return f"""
 WITH b AS (
   SELECT e.vec_id, e.embedding,
@@ -2896,4 +2903,178 @@ def text_gopher_rules(spark, sf_dir):
         r_sym.alias("rule_symbol_ratio"),
         r_swf.alias("rule_stopword_frac"),
         (r_wc & r_mwl & r_sym & r_swf).alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining + contrastive triple assembly — the retrieval/
+# embedding-model training companions to the dedup family.  Both ride
+# the hyperplane-LSH bucket (frozen-literal planes, re-derived
+# independently by the oracle via _bucket_sql_expr): candidates come
+# from a broadcast equi-join on the bucket id, so scored volume is
+# Σ bucket-occupancy × probes — never |corpus| × |probes| — and at
+# lake scale the bucket id is a persisted cluster key, so each probe
+# reads one bucket's files.  Exact cosine only inside the bucket;
+# per-anchor winners via a row_number window whose reduce-side state
+# is k rows, never a collected candidate list.
+# ---------------------------------------------------------------------------
+
+
+def _hard_negatives_oracle_sql() -> str:
+    bucket_expr = _bucket_sql_expr()
+    cos = _cos_sql("b.embedding", "q.qvec")
+    return f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, ({bucket_expr}) AS bucket FROM embeddings e
+), q AS (
+  SELECT vec_id AS query_id, label AS query_label,
+         embedding AS qvec, bucket AS qbucket
+  FROM b WHERE vec_id % 100 = 0
+)
+SELECT query_id, query_label, vec_id, label, cosine, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT q.query_id, q.query_label, b.vec_id, b.label,
+         {cos} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id ORDER BY {cos} DESC, b.vec_id
+         ) AS rn
+  FROM b JOIN q ON b.bucket = q.qbucket AND b.label <> q.query_label
+) ranked
+WHERE rn <= 3
+"""
+
+
+@query(
+    "sim_hard_negatives",
+    sql=_hard_negatives_oracle_sql(),
+    tags=("llmdata", "similarity", "topk"),
+)
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for every 100th
+    vector, the top-3 most-similar DIFFERENT-label vectors in its LSH
+    bucket (the near-misses a contrastive loss learns most from).
+    Broadcast bucket equi-join bounds candidates; label exclusion is
+    a join predicate; per-anchor top-3 via window, state = 3 rows."""
+    from pyspark.sql import Window
+
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        cosine,
+        hyperplane_bucket,
+        to_double_array,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("__bucket", hyperplane_bucket("embedding", 64, 6))
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        to_double_array("embedding").alias("__qvec"),
+        hyperplane_bucket("embedding", 64, 6).alias("__qbucket"),
+    )
+    scored = bucketed.join(
+        F.broadcast(q),
+        (F.col("__bucket") == F.col("__qbucket"))
+        & (F.col("label") != F.col("query_label")),
+    ).select(
+        "query_id",
+        "query_label",
+        "vec_id",
+        "label",
+        cosine(to_double_array("embedding"), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "query_label", "vec_id", "label", "cosine", "rn")
+    )
+
+
+def _contrastive_triples_oracle_sql() -> str:
+    bucket_expr = _bucket_sql_expr()
+    cos = _cos_sql("b.embedding", "q.qvec")
+    return f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, ({bucket_expr}) AS bucket FROM embeddings e
+), q AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label,
+         embedding AS qvec, bucket AS qbucket
+  FROM b WHERE vec_id % 100 = 0
+), cand AS (
+  SELECT q.anchor_id, q.anchor_label, b.vec_id, (b.label = q.anchor_label) AS is_pos,
+         {cos} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.anchor_id, (b.label = q.anchor_label)
+           ORDER BY {cos} DESC, b.vec_id
+         ) AS rn
+  FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.anchor_id
+)
+SELECT anchor_id, anchor_label,
+       MAX(CASE WHEN is_pos THEN vec_id END) AS pos_id,
+       MAX(CASE WHEN is_pos THEN cosine END) AS pos_cosine,
+       MAX(CASE WHEN NOT is_pos THEN vec_id END) AS neg_id,
+       MAX(CASE WHEN NOT is_pos THEN cosine END) AS neg_cosine
+FROM cand
+WHERE rn = 1
+GROUP BY anchor_id, anchor_label
+HAVING pos_id IS NOT NULL AND neg_id IS NOT NULL
+"""
+
+
+@query(
+    "sample_contrastive_triples",
+    sql=_contrastive_triples_oracle_sql(),
+    tags=("llmdata", "similarity", "sampling"),
+)
+def sample_contrastive_triples(spark, sf_dir):
+    """Contrastive (anchor, positive, negative) triple assembly: per
+    anchor, the hardest positive (most-similar SAME label, self
+    excluded) and hardest negative (most-similar different label)
+    from ONE bucket-join pass — is_pos becomes a window partition
+    key, so both winners come from a single candidate scan, then a
+    two-row-per-anchor pivot aggregate.  Anchors missing either side
+    are dropped (inner semantics both engines share)."""
+    from pyspark.sql import Window
+
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        cosine,
+        hyperplane_bucket,
+        to_double_array,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("__bucket", hyperplane_bucket("embedding", 64, 6))
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        to_double_array("embedding").alias("__qvec"),
+        hyperplane_bucket("embedding", 64, 6).alias("__qbucket"),
+    )
+    cand = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("__bucket") == F.col("__qbucket"))
+            & (F.col("vec_id") != F.col("anchor_id")),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            (F.col("label") == F.col("anchor_label")).alias("is_pos"),
+            cosine(to_double_array("embedding"), F.col("__qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "is_pos").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    best = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("anchor_id", "anchor_label")
+        .agg(
+            F.max(F.when(F.col("is_pos"), F.col("vec_id"))).alias("pos_id"),
+            F.max(F.when(F.col("is_pos"), F.col("cosine"))).alias("pos_cosine"),
+            F.max(F.when(~F.col("is_pos"), F.col("vec_id"))).alias("neg_id"),
+            F.max(F.when(~F.col("is_pos"), F.col("cosine"))).alias("neg_cosine"),
+        )
+        .filter(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
     )
