@@ -1371,3 +1371,22 @@ def test_contrastive_triples_pick_the_per_side_argmax(spark, sf_dir):
         assert tr["neg_id"] == best_neg["vec_id"]
         assert tr["pos_cosine"] == pytest.approx(cos(best_pos["v"], a["v"]))
         assert tr["neg_cosine"] == pytest.approx(cos(best_neg["v"], a["v"]))
+
+
+def test_curriculum_phases_are_quartile_balanced(spark, sf_dir):
+    """Phases partition the corpus at the exact quartile thresholds:
+    monotone in quality (max quality of phase p ≤ min of phase p+1)
+    and roughly N/4 docs per phase (exact up to threshold ties)."""
+    from trafik_etl_modular_spark.queries.llmdata import sample_curriculum_phases
+
+    rows = sample_curriculum_phases(spark, sf_dir).collect()
+    n = len(rows)
+    by_phase = {}
+    for r in rows:
+        assert 1 <= r["phase"] <= 4 and 0 <= r["within_phase_shard"] <= 3
+        by_phase.setdefault(r["phase"], []).append(r["quality"])
+    assert set(by_phase) == {1, 2, 3, 4}
+    for p in (1, 2, 3):
+        assert max(by_phase[p]) <= min(by_phase[p + 1])
+    for p in (1, 2, 3, 4):
+        assert abs(len(by_phase[p]) - n / 4) <= n * 0.1

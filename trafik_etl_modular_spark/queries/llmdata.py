@@ -3078,3 +3078,83 @@ def sample_contrastive_triples(spark, sf_dir):
         )
         .filter(F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phase assignment — order-of-presentation for training:
+# documents are staged easy → hard by quality quartile, with a
+# deterministic within-phase shard for dataloader parallelism.  The
+# scale shape is thresholds-then-scan: ONE 1-row quartile aggregate
+# over the (already engine-exact) quality score is broadcast back,
+# and phase/shard are pure scan-side projections — no global sort or
+# single-partition window anywhere.  At 100 TB the exact percentile
+# swaps for approx_percentile (the thresholds are tuning knobs, not
+# contracts); here the exact form keeps the oracle bit-identical —
+# F.percentile ≡ percentile_cont interpolation is already pinned by
+# agg_exact_median_iqr.
+# ---------------------------------------------------------------------------
+
+_QUALITY_EXPR_SQL = """0.7 * (least(CAST(len(string_split(text, ' ')) AS DOUBLE), 200.0) / 200.0)
+         + 0.3 * least(
+             (CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5,
+             1.0)"""
+
+_CURRICULUM_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality FROM documents
+),
+thr AS (
+  SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY quality) AS q25,
+         percentile_cont(0.5)  WITHIN GROUP (ORDER BY quality) AS q50,
+         percentile_cont(0.75) WITHIN GROUP (ORDER BY quality) AS q75
+  FROM scored
+)
+SELECT doc_id, quality,
+       CAST(1 + (CASE WHEN quality > q25 THEN 1 ELSE 0 END)
+              + (CASE WHEN quality > q50 THEN 1 ELSE 0 END)
+              + (CASE WHEN quality > q75 THEN 1 ELSE 0 END) AS INTEGER) AS phase,
+       CAST((strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4
+            AS INTEGER) AS within_phase_shard
+FROM scored CROSS JOIN thr
+"""
+
+
+@query("sample_curriculum_phases", sql=_CURRICULUM_SQL, tags=("llmdata", "sampling"))
+def sample_curriculum_phases(spark, sf_dir):
+    """Curriculum staging: quality quartiles → phase 1..4 (easy →
+    hard) + a deterministic md5-nibble within-phase shard.  One 1-row
+    exact-percentile aggregate broadcast back onto the scan; phase is
+    a sum of threshold comparisons, shard the shuffle-shard nibble
+    idiom — all scan-side projections, zero data shuffles."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+    thr = docs.agg(
+        F.percentile("quality", 0.25).alias("q25"),
+        F.percentile("quality", 0.5).alias("q50"),
+        F.percentile("quality", 0.75).alias("q75"),
+    )
+    phase = (
+        F.lit(1)
+        + (F.col("quality") > F.col("q25")).cast("int")
+        + (F.col("quality") > F.col("q50")).cast("int")
+        + (F.col("quality") > F.col("q75")).cast("int")
+    )
+    shard = (
+        (
+            F.expr(
+                "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1))"
+            )
+            - F.lit(1)
+        )
+        % 4
+    ).cast("int")
+    return docs.join(F.broadcast(thr)).select(
+        "doc_id",
+        "quality",
+        phase.cast("int").alias("phase"),
+        shard.alias("within_phase_shard"),
+    )
