@@ -354,6 +354,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "sample_temperature_mix",  # 1-row (Z, total-tokens) normalizer
         "dq_histogram_value",  # 1-row global (min, max) scalar
         "vocab_coverage_curve",  # 1-row corpus token-count total
+        "sample_curriculum_phases",  # 1-row quality-quartile thresholds
     }
     bad = []
     for name in sorted(REGISTRY):
