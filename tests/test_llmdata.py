@@ -1390,3 +1390,34 @@ def test_curriculum_phases_are_quartile_balanced(spark, sf_dir):
         assert max(by_phase[p]) <= min(by_phase[p + 1])
     for p in (1, 2, 3, 4):
         assert abs(len(by_phase[p]) - n / 4) <= n * 0.1
+
+
+def test_bigram_lm_probabilities_sum_to_one_per_prefix(spark, sf_dir):
+    """The implied model is a proper conditional distribution: for
+    each prefix, Σ_cur c_bi/c_prev over distinct bigrams = 1, and a
+    doc repeating one bigram scores ~1.0 while the fixture corpus
+    scores strictly lower on average."""
+    from collections import Counter
+
+    from trafik_etl_modular_spark.queries.llmdata import text_bigram_lm_score
+
+    texts = [r["text"] for r in load_table(spark, sf_dir, "documents").select("text").collect()]
+    c_bi, c_prev = Counter(), Counter()
+    for tx in texts:
+        toks = tx.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            c_bi[(a, b)] += 1
+            c_prev[a] += 1
+    for prev in c_prev:
+        s = sum(n / c_prev[prev] for (a, _), n in c_bi.items() if a == prev)
+        assert abs(s - 1.0) < 1e-9
+    rows = text_bigram_lm_score(spark, sf_dir).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for d in docs[:25]:
+        toks = d["text"].split(" ")
+        ratios = [round(c_bi[(a, b)] / c_prev[a] * 1e12) for a, b in zip(toks, toks[1:])]
+        r = by_doc[d["doc_id"]]
+        assert r["n_pairs"] == len(ratios)
+        assert r["sum_q"] == sum(ratios)
+        assert r["mean_bigram_prob"] == sum(ratios) / 1e12 / len(ratios)

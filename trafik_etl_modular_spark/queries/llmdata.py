@@ -3158,3 +3158,89 @@ def sample_curriculum_phases(spark, sf_dir):
         phase.cast("int").alias("phase"),
         shard.alias("within_phase_shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring — the conditional-probability upgrade of the
+# unigram CCNet proxy: score = mean P(w_i | w_{i-1}) under the
+# self-trained corpus bigram model, P = c(w_{i-1} w_i) / c_prefix(
+# w_{i-1}), where the prefix count is occurrences AS A PAIR PREFIX
+# (so probabilities per prefix sum to exactly 1).  Self-scoring means
+# every scored bigram has count ≥ 1 — no smoothing term to diverge
+# over.  Exactness discipline: each per-pair ratio is ONE int/int
+# double division (identical in both engines), quantized to 1e-12 via
+# the fquant integer round-trip, then summed AS BIGINTS — so the
+# aggregation is order-free and the only floats are one ratio + two
+# final divisions in a fixed order.  Plan: explode pairs → two
+# count aggs → two equi-joins back → per-doc integer agg; bigram
+# count tables are vocabulary²-bounded, candidates never are.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_SQL = """
+WITH pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+           p -> p[1] || ' ' || p[2])) AS pair
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), pc AS (
+  SELECT pair, COUNT(*) AS c_bi FROM pairs GROUP BY pair
+), pfx AS (
+  SELECT string_split(pair, ' ')[1] AS prev, COUNT(*) AS c_prev
+  FROM pairs GROUP BY prev
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_pairs,
+       SUM(CAST(ROUND(CAST(pc.c_bi AS DOUBLE) / CAST(pfx.c_prev AS DOUBLE) * 1e12)
+                AS BIGINT)) AS sum_q,
+       CAST(SUM(CAST(ROUND(CAST(pc.c_bi AS DOUBLE) / CAST(pfx.c_prev AS DOUBLE) * 1e12)
+                AS BIGINT)) AS DOUBLE) / 1e12 / CAST(COUNT(*) AS DOUBLE)
+         AS mean_bigram_prob
+FROM pairs p
+JOIN pc  USING (pair)
+JOIN pfx ON string_split(p.pair, ' ')[1] = pfx.prev
+GROUP BY p.doc_id
+"""
+
+
+@query("text_bigram_lm_score", sql=_BIGRAM_LM_SQL, tags=("llmdata", "text"))
+def text_bigram_lm_score(spark, sf_dir):
+    """Self-trained bigram LM quality score: mean conditional
+    probability P(w_i | w_{i-1}) per document (low = surprising word
+    transitions = high-perplexity proxy; the conditional upgrade of
+    text_unigram_lm_score).  Per-pair ratios quantized through the
+    fquant integer round-trip and summed as bigints, so partition
+    order cannot perturb the score; docs with <2 tokens drop out in
+    both engines (no pairs)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", F.explode(bigrams("text")).alias("pair"))
+    pc = pairs.groupBy("pair").agg(F.count("*").alias("c_bi"))
+    pfx = (
+        pairs.select(F.split("pair", " ").getItem(0).alias("prev"))
+        .groupBy("prev")
+        .agg(F.count("*").alias("c_prev"))
+    )
+    q = (
+        F.round(
+            F.col("c_bi").cast("double") / F.col("c_prev").cast("double") * F.lit(1e12)
+        )
+        .cast("bigint")
+    )
+    return (
+        pairs.join(pc, "pair")
+        .join(pfx, F.split(F.col("pair"), " ").getItem(0) == F.col("prev"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(q).alias("sum_q"),
+        )
+        .select(
+            "doc_id",
+            "n_pairs",
+            "sum_q",
+            (
+                F.col("sum_q").cast("double") / F.lit(1e12)
+                / F.col("n_pairs").cast("double")
+            ).alias("mean_bigram_prob"),
+        )
+    )
