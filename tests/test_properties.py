@@ -487,3 +487,48 @@ def test_interval_overlap_matches_reference(spark, a, b):
         ).collect()
     }
     assert got == expect, (sorted(got ^ expect), ra, rb)
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "aa"]), min_size=0, max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bigram_lm_matches_reference(spark, texts):
+    """bigram_lm_scores equals an exact Python bigram model under
+    adversarial corpora: empty docs, 1-token docs (no pairs — must
+    drop out), all-identical docs, and degenerate single-bigram
+    repeats (which must score exactly 1.0 when the prefix is
+    deterministic)."""
+    from collections import Counter
+
+    from trafik_etl_modular_spark.llmdata.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+
+    c_bi, c_prev = Counter(), Counter()
+    toks_by_doc = {}
+    for i, tx in enumerate(texts):
+        toks = tx.split(" ")  # '' splits to [''] — same as Spark
+        toks_by_doc[i] = toks
+        for a, b in zip(toks, toks[1:]):
+            c_bi[(a, b)] += 1
+            c_prev[a] += 1
+    expected_ids = {i for i, tk in toks_by_doc.items() if len(tk) >= 2}
+    assert set(got) == expected_ids
+    for i in expected_ids:
+        toks = toks_by_doc[i]
+        ratios = [round(c_bi[(a, b)] / c_prev[a] * 1e12) for a, b in zip(toks, toks[1:])]
+        r = got[i]
+        assert r["n_pairs"] == len(ratios)
+        assert r["sum_q"] == sum(ratios)
+        assert r["mean_bigram_prob"] == sum(ratios) / 1e12 / len(ratios)
+        assert 0.0 < r["mean_bigram_prob"] <= 1.0

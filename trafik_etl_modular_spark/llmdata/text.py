@@ -215,3 +215,42 @@ def char_fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
         F.lit(0).cast("long"),
         lambda acc, i: (acc * 31 + F.ascii(c.substr(i, F.lit(1)))) % mod,
     )
+
+
+def bigram_lm_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Self-trained bigram-LM scores for a documents frame: per doc,
+    (n_pairs, sum_q, mean_bigram_prob) where each adjacent-pair ratio
+    c(prev cur)/c_prefix(prev) is quantized to 1e-12 through the
+    integer round-trip and summed as bigints (order-free aggregation;
+    see queries.llmdata.text_bigram_lm_score for the plan and oracle
+    discussion).  Docs with <2 tokens have no pairs and drop out."""
+    from pyspark.sql import DataFrame  # noqa: F401  (doc typing only)
+
+    pairs = docs.select(id_col, F.explode(bigrams(text_col)).alias("pair"))
+    pc = pairs.groupBy("pair").agg(F.count("*").alias("c_bi"))
+    pfx = (
+        pairs.select(F.split("pair", " ").getItem(0).alias("prev"))
+        .groupBy("prev")
+        .agg(F.count("*").alias("c_prev"))
+    )
+    q = (
+        F.round(
+            F.col("c_bi").cast("double") / F.col("c_prev").cast("double") * F.lit(1e12)
+        )
+        .cast("bigint")
+    )
+    return (
+        pairs.join(pc, "pair")
+        .join(pfx, F.split(F.col("pair"), " ").getItem(0) == F.col("prev"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_pairs"), F.sum(q).alias("sum_q"))
+        .select(
+            id_col,
+            "n_pairs",
+            "sum_q",
+            (
+                F.col("sum_q").cast("double") / F.lit(1e12)
+                / F.col("n_pairs").cast("double")
+            ).alias("mean_bigram_prob"),
+        )
+    )

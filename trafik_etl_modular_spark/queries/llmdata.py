@@ -3212,35 +3212,6 @@ def text_bigram_lm_score(spark, sf_dir):
     fquant integer round-trip and summed as bigints, so partition
     order cannot perturb the score; docs with <2 tokens drop out in
     both engines (no pairs)."""
-    docs = t(spark, sf_dir, "documents")
-    pairs = docs.select("doc_id", F.explode(bigrams("text")).alias("pair"))
-    pc = pairs.groupBy("pair").agg(F.count("*").alias("c_bi"))
-    pfx = (
-        pairs.select(F.split("pair", " ").getItem(0).alias("prev"))
-        .groupBy("prev")
-        .agg(F.count("*").alias("c_prev"))
-    )
-    q = (
-        F.round(
-            F.col("c_bi").cast("double") / F.col("c_prev").cast("double") * F.lit(1e12)
-        )
-        .cast("bigint")
-    )
-    return (
-        pairs.join(pc, "pair")
-        .join(pfx, F.split(F.col("pair"), " ").getItem(0) == F.col("prev"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.sum(q).alias("sum_q"),
-        )
-        .select(
-            "doc_id",
-            "n_pairs",
-            "sum_q",
-            (
-                F.col("sum_q").cast("double") / F.lit(1e12)
-                / F.col("n_pairs").cast("double")
-            ).alias("mean_bigram_prob"),
-        )
-    )
+    from trafik_etl_modular_spark.llmdata.text import bigram_lm_scores
+
+    return bigram_lm_scores(t(spark, sf_dir, "documents"))
