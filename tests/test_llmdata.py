@@ -1421,3 +1421,28 @@ def test_bigram_lm_probabilities_sum_to_one_per_prefix(spark, sf_dir):
         assert r["n_pairs"] == len(ratios)
         assert r["sum_q"] == sum(ratios)
         assert r["mean_bigram_prob"] == sum(ratios) / 1e12 / len(ratios)
+
+
+def test_curation_v5_manifest_accounts_for_every_survivor(spark, sf_dir):
+    """The per-phase manifest partitions exactly the gate∩floor
+    survivor set: phase doc counts sum to the survivor count, phases
+    are quartile-balanced, and avg_quality increases with phase."""
+    from trafik_etl_modular_spark.llmdata.text import bigram_lm_scores
+    from trafik_etl_modular_spark.queries.llmdata import (
+        curation_pipeline_v5,
+        text_gopher_rules,
+    )
+
+    rows = sorted(curation_pipeline_v5(spark, sf_dir).collect(), key=lambda r: r["phase"])
+    assert [r["phase"] for r in rows] == [1, 2, 3, 4]
+    docs = load_table(spark, sf_dir, "documents")
+    gate_ids = {r["doc_id"] for r in text_gopher_rules(spark, sf_dir).filter("passes").collect()}
+    lm_ids = {
+        r["doc_id"]
+        for r in bigram_lm_scores(docs).collect()
+        if r["mean_bigram_prob"] >= 0.0335
+    }
+    n_surv = len(gate_ids & lm_ids)
+    assert sum(r["n_docs"] for r in rows) == n_surv
+    quals = [r["avg_quality"] for r in rows]
+    assert quals == sorted(quals)

@@ -355,6 +355,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "dq_histogram_value",  # 1-row global (min, max) scalar
         "vocab_coverage_curve",  # 1-row corpus token-count total
         "sample_curriculum_phases",  # 1-row quality-quartile thresholds
+        "curation_pipeline_v5",  # composes the same 1-row threshold join
     }
     bad = []
     for name in sorted(REGISTRY):

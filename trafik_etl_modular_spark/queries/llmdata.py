@@ -3215,3 +3215,131 @@ def text_bigram_lm_score(spark, sf_dir):
     from trafik_etl_modular_spark.llmdata.text import bigram_lm_scores
 
     return bigram_lm_scores(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v5 — the QUALITY-STACK capstone: compose the
+# round-5 signals end to end in ONE Catalyst plan.  Gopher rule gate
+# (structural rejects) → bigram-LM floor (distributional rejects) →
+# curriculum quartile phases over the SURVIVORS → per-phase manifest
+# (docs, token budget, exact-decimal mean quality, LM-score range).
+# This is the report a training-data build publishes per snapshot:
+# how much survives each gate, and what each curriculum phase holds.
+# Scale shape: every stage is scan + hash-agg + broadcast-back —
+# the LM count tables are vocabulary-bounded, the threshold rows are
+# 1-row broadcasts, and the final rollup groups on a 4-value key.
+# ---------------------------------------------------------------------------
+
+_CURATION_V5_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS swc,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_symbols,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+  FROM documents
+),
+gate AS (
+  SELECT doc_id, n_words FROM sig
+  WHERE (n_words BETWEEN 25 AND 90)
+    AND (CAST(swc AS DOUBLE) / CAST(n_words AS DOUBLE)
+           BETWEEN CAST(4.0 AS DOUBLE) AND CAST(5.0 AS DOUBLE))
+    AND (CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) <= CAST(0.1 AS DOUBLE))
+    AND (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= CAST(0.03 AS DOUBLE))
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+           p -> p[1] || ' ' || p[2])) AS pair
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+pc AS (SELECT pair, COUNT(*) AS c_bi FROM pairs GROUP BY pair),
+pfx AS (
+  SELECT string_split(pair, ' ')[1] AS prev, COUNT(*) AS c_prev
+  FROM pairs GROUP BY prev
+),
+lm AS (
+  SELECT p.doc_id,
+         CAST(SUM(CAST(ROUND(CAST(pc.c_bi AS DOUBLE) / CAST(pfx.c_prev AS DOUBLE)
+                             * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+           / CAST(COUNT(*) AS DOUBLE) AS mean_bigram_prob
+  FROM pairs p JOIN pc USING (pair)
+  JOIN pfx ON string_split(p.pair, ' ')[1] = pfx.prev
+  GROUP BY p.doc_id
+),
+scored AS (
+  SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality FROM documents
+),
+surv AS (
+  SELECT g.doc_id, g.n_words, l.mean_bigram_prob, s.quality
+  FROM gate g JOIN lm l USING (doc_id) JOIN scored s USING (doc_id)
+  WHERE l.mean_bigram_prob >= CAST(0.0335 AS DOUBLE)
+),
+thr AS (
+  SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY quality) AS q25,
+         percentile_cont(0.5)  WITHIN GROUP (ORDER BY quality) AS q50,
+         percentile_cont(0.75) WITHIN GROUP (ORDER BY quality) AS q75
+  FROM surv
+)
+SELECT CAST(1 + (CASE WHEN quality > q25 THEN 1 ELSE 0 END)
+              + (CASE WHEN quality > q50 THEN 1 ELSE 0 END)
+              + (CASE WHEN quality > q75 THEN 1 ELSE 0 END) AS INTEGER) AS phase,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CAST(quality AS DECIMAL(38,9))) AS DOUBLE) / COUNT(quality)
+         AS avg_quality,
+       MIN(mean_bigram_prob) AS min_lm_score,
+       MAX(mean_bigram_prob) AS max_lm_score
+FROM surv CROSS JOIN thr
+GROUP BY phase
+ORDER BY phase
+"""
+
+
+@query("curation_pipeline_v5", sql=_CURATION_V5_SQL, tags=("llmdata", "pipeline"))
+def curation_pipeline_v5(spark, sf_dir):
+    """Quality-stack capstone: Gopher rule gate → bigram-LM floor
+    (≥ 0.0335) → curriculum quartile phases over the survivors →
+    per-phase manifest (n_docs, token budget, exact-decimal mean
+    quality, LM-score range) — one Catalyst plan end to end,
+    composing text_gopher_rules, bigram_lm_scores, and the
+    sample_curriculum_phases threshold shape."""
+    from trafik_etl_modular_spark.functions.scalars import davg
+    from trafik_etl_modular_spark.llmdata.text import bigram_lm_scores
+
+    docs = t(spark, sf_dir, "documents")
+    gate = text_gopher_rules(spark, sf_dir).filter(F.col("passes")).select(
+        "doc_id", "n_words"
+    )
+    lm = bigram_lm_scores(docs).select("doc_id", "mean_bigram_prob")
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    surv = (
+        gate.join(lm, "doc_id")
+        .filter(F.col("mean_bigram_prob") >= 0.0335)
+        .join(scored, "doc_id")
+    )
+    thr = surv.agg(
+        F.percentile("quality", 0.25).alias("q25"),
+        F.percentile("quality", 0.5).alias("q50"),
+        F.percentile("quality", 0.75).alias("q75"),
+    )
+    phase = (
+        F.lit(1)
+        + (F.col("quality") > F.col("q25")).cast("int")
+        + (F.col("quality") > F.col("q50")).cast("int")
+        + (F.col("quality") > F.col("q75")).cast("int")
+    ).cast("int")
+    return (
+        surv.join(F.broadcast(thr))
+        .groupBy(phase.alias("phase"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("sum_tokens"),
+            davg("quality", 9).alias("avg_quality"),
+            F.min("mean_bigram_prob").alias("min_lm_score"),
+            F.max("mean_bigram_prob").alias("max_lm_score"),
+        )
+        .orderBy("phase")
+    )
