@@ -136,12 +136,17 @@ DRIVER_WINDOW: list[str] = [
     "events_funnel_stages",
     "events_cohort_retention",
     "source_schema_evolution_scan",
+    # --- this session's additions (never stamped) ----------------------
+    "text_gopher_rules",
+    "vocab_bpe_merge_candidates",
+    "sim_hard_negatives",
+    "sample_contrastive_triples",
+    "sample_curriculum_phases",
+    "text_bigram_lm_score",
+    "curation_pipeline_v5",
     # --- oldest-stamp re-confirmations (last green: round 2) -----------
-    # TPC-H + join variants (q2/q6/q8/q9/q11/q18/q21/q22 rotate next)
+    # (TPC-H holds r1/r2 stamps throughout and rotates back next round)
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_region_revenue",
-    "tpch_q7_volume_shipping",
     "join_semi_customers_with_big_orders",
     "join_anti_customers_no_urgent_orders",
     "join_bucketed_colocated",
@@ -152,10 +157,6 @@ DRIVER_WINDOW: list[str] = [
     "inc_geo_imputation",
     "filter_dashboard_pipeline",
     # aggregate family
-    "agg_rollup_daily_type",
-    "agg_cube_flag_status",
-    "agg_pivot_linestatus",
-    "agg_exact_median_iqr",
     "agg_incremental_rollup",
     "agg_grouping_sets_flag_status",
 ]
