@@ -200,3 +200,86 @@ def source_schema_evolution_scan(spark, sf_dir):
         )
         .orderBy("order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# File-level provenance — the lake-ops audit "which physical file
+# contributed how many rows": Spark's `_metadata.file_path` hidden
+# column grouped per file, with each file's share of its table.  At
+# 100 TB this is the skew/compaction monitor (a file with 100× the
+# median rows is a compaction bug; a file with 3 rows is small-file
+# creep), computed scan-side with NO extra IO — `_metadata` is
+# populated from the reader state, not read from disk.  The per-file
+# agg carries one row per (task, file); the share join is a tiny
+# per-table total broadcast back.  Oracle: DuckDB's `filename=true`
+# exposes the same provenance; basenames align the path spellings.
+# ---------------------------------------------------------------------------
+
+_PROV_TABLES = ("orders", "lineitem", "events")
+
+
+def _provenance_sql(sf_dir: str) -> str:
+    parts = []
+    for tbl in _PROV_TABLES:
+        parts.append(f"""
+SELECT '{tbl}' AS table_name,
+       regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+       COUNT(*) AS n_rows
+FROM read_parquet('{sf_dir}/{tbl}.parquet', filename=true)
+GROUP BY file_name""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH per_file AS ({union}),
+tot AS (
+  SELECT table_name, SUM(n_rows) AS t_rows FROM per_file GROUP BY table_name
+)
+SELECT p.table_name, p.file_name, p.n_rows,
+       CAST(ROUND(CAST(p.n_rows AS DOUBLE) / CAST(t.t_rows AS DOUBLE) * 1e9)
+            AS BIGINT) / 1e9 AS rows_share
+FROM per_file p JOIN tot t USING (table_name)
+ORDER BY table_name, file_name
+"""
+
+
+@query("source_file_provenance", sql=_provenance_sql, tags=("source", "agg", "dq"))
+def source_file_provenance(spark, sf_dir):
+    """Per-file row provenance over three fixture tables: basename of
+    `_metadata.file_path`, row count, and integer-derived share of
+    the table — the compaction/skew audit, zero extra IO."""
+    from trafik_etl_modular_spark.catalog import _ensure_session_confs
+
+    _ensure_session_confs(spark)  # events.ts is TIMESTAMP(NANOS)
+    frames = []
+    for tbl in _PROV_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+        frames.append(
+            df.groupBy(
+                F.lit(tbl).alias("table_name"),
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                    "file_name"
+                ),
+            ).agg(F.count("*").alias("n_rows"))
+        )
+    per_file = frames[0]
+    for f_ in frames[1:]:
+        per_file = per_file.unionByName(f_)
+    tot = per_file.groupBy("table_name").agg(F.sum("n_rows").alias("t_rows"))
+    return (
+        per_file.join(F.broadcast(tot), "table_name")
+        .select(
+            "table_name",
+            "file_name",
+            "n_rows",
+            (
+                F.round(
+                    F.col("n_rows").cast("double")
+                    / F.col("t_rows").cast("double")
+                    * F.lit(1e9)
+                )
+                .cast("bigint")
+                .cast("double")
+                / F.lit(1e9)
+            ).alias("rows_share"),
+        )
+        .orderBy("table_name", "file_name")
+    )
