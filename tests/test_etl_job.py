@@ -31,6 +31,10 @@ def test_etl_end_to_end_and_idempotent(spark, feed_dir, tmp_path):
     assert report["rows"] == 8
     assert report["pagar"] == 8 and report["kommande"] == 0
     assert report["seconds"] > 0
+    # observe()-collected batch metrics — gathered DURING the merge's
+    # own action, never by re-scanning the update batch.
+    assert report["batch_rows"] == 8
+    assert report["batch_null_coords"] == 0
     # 8 < expect_min_rows=50 → the anomaly guard fires (reference
     # cli.py:94-99 semantics).
     assert any("outside expected" in w for w in report["warnings"])

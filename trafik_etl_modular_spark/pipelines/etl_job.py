@@ -96,7 +96,22 @@ def run_etl(
     # schema enforcement at the write boundary: source drift becomes
     # typed NULLs (caught by the anomaly band), never a corrupt table
     updates = conform_schema(inc, INCIDENTS_DDL)
+    # Batch metrics ride the MERGE's own action via observe() —
+    # CollectMetrics evaluates as rows stream past, so the update
+    # batch is NEVER re-scanned for its row count / null-coord tally
+    # (at 100 TB a second pass over the batch is real money).  The
+    # dashboard KPI below is different: it measures the PUBLISHED
+    # table, so it must read the sink.
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_batch")
+    updates = updates.observe(
+        obs,
+        F.count(F.lit(1)).alias("batch_rows"),
+        F.sum(F.col("latitude").isNull().cast("long")).alias("batch_null_coords"),
+    )
     merge_into_incidents(spark, sink_path, updates)
+    batch_metrics = obs.get if obs.get else {"batch_rows": 0, "batch_null_coords": 0}
 
     # A4 — one-pass KPI aggregation over the published table.
     kpi = (
@@ -122,6 +137,8 @@ def run_etl(
         "rows": kpi["rows"],
         "pagar": kpi["pagar"],
         "kommande": kpi["kommande"],
+        "batch_rows": int(batch_metrics["batch_rows"]),
+        "batch_null_coords": int(batch_metrics["batch_null_coords"]),
         "seconds": round(time.perf_counter() - t0, 2),
         "warnings": warnings,
     }
