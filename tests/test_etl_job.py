@@ -34,7 +34,9 @@ def test_etl_end_to_end_and_idempotent(spark, feed_dir, tmp_path):
     # observe()-collected batch metrics — gathered DURING the merge's
     # own action, never by re-scanning the update batch.
     assert report["batch_rows"] == 8
-    assert report["batch_null_coords"] == 0
+    # each page's Accident deviation has no Geometry → 4 of 8 rows
+    # land with null coordinates, tallied in-flight
+    assert report["batch_null_coords"] == 4
     # 8 < expect_min_rows=50 → the anomaly guard fires (reference
     # cli.py:94-99 semantics).
     assert any("outside expected" in w for w in report["warnings"])
