@@ -120,17 +120,26 @@ def distinct_token_fraction(text: Column | str) -> Column:
 
 
 def bigrams(text: Column | str) -> Column:
-    """Adjacent token pairs joined with a single space. Guarded for
-    <2-token docs: Spark's sequence(1, 0) is DESCENDING ([1, 0]),
-    not empty, so the index range must be gated explicitly."""
+    """Adjacent token pairs joined with a single space, as
+    zip_with(slice(toks, 1, n-1), slice(toks, 2, n-1), concat) —
+    each slice evaluates the token split ONCE PER ROW and zip_with
+    walks the two materialized arrays.  The index-transform
+    formulation (element_at(split(text), i) inside the lambda) looks
+    equivalent but re-splits the document once per pair index after
+    CollapseProject inlines it — O(n²) per row, measured 5× slower
+    on the corpus queries (same trap as top_bigram_count's nested-HOF
+    note below).  Guarded for <2-token docs: slice with a
+    non-positive length errors, so the branch must be explicit."""
     arr = tokens(text)
-    idx = F.when(F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.element_at(arr, i), F.element_at(arr, i + 1)),
-    )
+    n = F.size(arr)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(arr, 1, n - 1),
+            F.slice(arr, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def top_bigram_count(text: Column | str) -> Column:

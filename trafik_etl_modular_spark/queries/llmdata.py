@@ -3320,6 +3320,13 @@ def curation_pipeline_v5(spark, sf_dir):
         .filter(F.col("mean_bigram_prob") >= 0.0335)
         .join(scored, "doc_id")
     )
+    # Two consumers read the survivor set (the threshold aggregate and
+    # the rollup), and Catalyst does not share the subtree across a
+    # scalar-subquery boundary — materialize it once, the same
+    # multi-consumer localCheckpoint the MinHash path uses (a
+    # persisted survivors table on a cluster); the win grows with
+    # the cost of the gate/LM legs above it.
+    surv = surv.localCheckpoint(eager=True)
     thr = surv.agg(
         F.percentile("quality", 0.25).alias("q25"),
         F.percentile("quality", 0.5).alias("q50"),
