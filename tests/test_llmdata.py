@@ -1470,3 +1470,20 @@ def test_contrastive_triples_drop_single_sided_anchors(spark):
         emb.write.parquet(f"{d}/embeddings.parquet")
         out = Q.sample_contrastive_triples(spark, d).collect()
     assert out == []
+
+
+def test_gopher_word_count_rule_boundaries(spark, tmp_path):
+    """The word-count band is inclusive at 25 and 90 exactly; 24 and
+    91 fail — run through the registered query end to end."""
+    from trafik_etl_modular_spark.queries.llmdata import text_gopher_rules
+
+    def doc(i, n):
+        # 'the' every other word keeps stopword_frac comfortably >0.03
+        return (i, " ".join(("the" if j % 2 else "word") for j in range(n)))
+
+    rows = [doc(24, 24), doc(25, 25), doc(90, 90), doc(91, 91)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "gop")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r["rule_word_count"] for r in text_gopher_rules(spark, d).collect()}
+    assert got == {24: False, 25: True, 90: True, 91: False}
