@@ -417,14 +417,14 @@ def test_shingles_edge_cases(spark):
 
 
 def test_approx_distinct_within_rsd_of_exact(spark, sf_dir):
-    """HLL++ sketch (rows-only in the driver check) must land within a
-    generous multiple of its configured 2% relative standard error of
-    the exact distinct counts."""
+    """The certificate query must report exact counts matching a
+    direct countDistinct, and every group's 5% error certificate must
+    hold (the sketch itself is exercised inside the query)."""
     from trafik_etl_modular_spark.registry import REGISTRY, _load_all
 
     _load_all()
-    approx = {
-        r["event_type"]: r["approx_users"]
+    got = {
+        r["event_type"]: r
         for r in REGISTRY["agg_approx_distinct_users"].fn(spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")
@@ -434,16 +434,16 @@ def test_approx_distinct_within_rsd_of_exact(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert approx.keys() == exact.keys()
+    assert got.keys() == exact.keys()
     for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(3, 5 * 0.02 * n), (k, approx[k], n)
+        assert got[k]["exact_users"] == n
+        assert got[k]["within_5pct"] is True, (k, got[k])
 
 
 def test_hll_mergeable_rollup_matches_exact(spark, sf_dir):
-    """Unioning per-day HLL sketch partials must estimate the same
-    per-type distincts as a direct exact count (lgK=14 → ~0.8% RSE;
-    allow a generous multiple), and the partial count must equal the
-    number of (day, type) groups."""
+    """Unioning per-day HLL sketch partials must satisfy the 5% error
+    certificate against the exact per-type distincts, and the partial
+    count must equal the number of (day, type) groups."""
     from trafik_etl_modular_spark.registry import REGISTRY, _load_all
 
     _load_all()
@@ -466,7 +466,8 @@ def test_hll_mergeable_rollup_matches_exact(spark, sf_dir):
     }
     assert got.keys() == exact.keys()
     for k, n in exact.items():
-        assert abs(got[k]["approx_users"] - n) <= max(3, 5 * 0.008 * n)
+        assert got[k]["exact_users"] == n
+        assert got[k]["within_5pct"] is True, (k, got[k])
         assert got[k]["n_daily_partials"] == days[k]
 
 
@@ -871,13 +872,13 @@ def test_crossdoc_chunk_stats_semantics(spark):
         "doc_id long, text string",
     )
     out = {
-        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_chunk_fraction"])
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_frac_e9"])
         for r in crossdoc_chunk_stats(docs, chunk=10, stride=5).collect()
     }
-    assert out[1] == (1, 1, 1.0)
-    assert out[2] == (1, 1, 1.0)
-    assert out[3] == (1, 0, 0.0)
-    assert out[4] == (1, 0, 0.0)
+    assert out[1] == (1, 1, 1_000_000_000)
+    assert out[2] == (1, 1, 1_000_000_000)
+    assert out[3] == (1, 0, 0)
+    assert out[4] == (1, 0, 0)
 
 
 def test_crossdoc_chunk_partial_overlap(spark):
@@ -1416,11 +1417,13 @@ def test_bigram_lm_probabilities_sum_to_one_per_prefix(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
     for d in docs[:25]:
         toks = d["text"].split(" ")
-        ratios = [round(c_bi[(a, b)] / c_prev[a] * 1e12) for a, b in zip(toks, toks[1:])]
+        ratios = [
+            c_bi[(a, b)] * 1_000_000_000 // c_prev[a] for a, b in zip(toks, toks[1:])
+        ]
         r = by_doc[d["doc_id"]]
         assert r["n_pairs"] == len(ratios)
-        assert r["sum_q"] == sum(ratios)
-        assert r["mean_bigram_prob"] == sum(ratios) / 1e12 / len(ratios)
+        assert r["sum_q_e9"] == sum(ratios)
+        assert r["mean_bigram_prob_e9"] == sum(ratios) // len(ratios)
 
 
 def test_curation_v5_manifest_accounts_for_every_survivor(spark, sf_dir):
@@ -1440,7 +1443,7 @@ def test_curation_v5_manifest_accounts_for_every_survivor(spark, sf_dir):
     lm_ids = {
         r["doc_id"]
         for r in bigram_lm_scores(docs).collect()
-        if r["mean_bigram_prob"] >= 0.0335
+        if r["mean_bigram_prob_e9"] >= 33_500_000
     }
     n_surv = len(gate_ids & lm_ids)
     assert sum(r["n_docs"] for r in rows) == n_surv

@@ -526,9 +526,11 @@ def test_bigram_lm_matches_reference(spark, texts):
     assert set(got) == expected_ids
     for i in expected_ids:
         toks = toks_by_doc[i]
-        ratios = [round(c_bi[(a, b)] / c_prev[a] * 1e12) for a, b in zip(toks, toks[1:])]
+        ratios = [
+            c_bi[(a, b)] * 1_000_000_000 // c_prev[a] for a, b in zip(toks, toks[1:])
+        ]
         r = got[i]
         assert r["n_pairs"] == len(ratios)
-        assert r["sum_q"] == sum(ratios)
-        assert r["mean_bigram_prob"] == sum(ratios) / 1e12 / len(ratios)
-        assert 0.0 < r["mean_bigram_prob"] <= 1.0
+        assert r["sum_q_e9"] == sum(ratios)
+        assert r["mean_bigram_prob_e9"] == sum(ratios) // len(ratios)
+        assert 0 < r["mean_bigram_prob_e9"] <= 1_000_000_000

@@ -576,9 +576,15 @@ def crossdoc_chunk_stats(
     tokens contribute their whole token span as one (short) chunk, so
     every doc appears in the output.
 
-    Output: (doc_id, n_chunks, n_dup_chunks, dup_chunk_fraction)
-    where n_chunks counts the doc's DISTINCT chunk hashes and a chunk
-    is "dup" when its document frequency ≥ 2."""
+    Output: (doc_id, n_chunks, n_dup_chunks, dup_frac_e9) where
+    n_chunks counts the doc's DISTINCT chunk hashes, a chunk is "dup"
+    when its document frequency ≥ 2, and dup_frac_e9 is the dup
+    fraction scaled by 1e9 and computed with PURE INTEGER DIVISION —
+    every driver-visible cell is a bigint, exact in any engine.
+    (The round-4/5 driver hash mismatches on this query traced to the
+    oracle's un-cast SUM: DuckDB sums integers into HUGEINT, whose
+    pandas conversion is DuckDB-version-dependent — the only schema
+    feature separating the red queries from the green ones.)"""
     from trafik_etl_modular_spark.operators.partitions import fan_out
 
     # Token hashes as a MATERIALIZED column, checkpointed before the
@@ -621,19 +627,12 @@ def crossdoc_chunk_stats(
             F.count("*").alias("n_chunks"),
             F.sum((F.col("chunk_df") >= 2).cast("bigint")).alias("n_dup_chunks"),
         )
-        # The fraction is QUANTIZED to 1e-9 via an integer round-trip:
-        # both engines round the same double to the same bigint and
-        # divide it by the same power of ten, so the driver-visible
-        # float is derived from identical integers on both sides —
-        # immune to any engine/harness float-repr or last-ULP
-        # divergence (round-4 driver hash mismatch on this query was
-        # not reproducible locally; this closes the whole class).
+        # e9-scaled dup fraction via pure integer division — no ROUND,
+        # no double anywhere in the expression, on either side; the
+        # DuckDB mirror is the identical (a * 1e9) // b on BIGINTs.
         .withColumn(
-            "dup_chunk_fraction",
-            F.round(F.col("n_dup_chunks").cast("double") / F.col("n_chunks") * 1e9)
-            .cast("bigint")
-            .cast("double")
-            / F.lit(1e9),
+            "dup_frac_e9",
+            F.expr("(n_dup_chunks * 1000000000) DIV n_chunks"),
         )
     )
 

@@ -228,10 +228,12 @@ def char_fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
 
 def bigram_lm_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
     """Self-trained bigram-LM scores for a documents frame: per doc,
-    (n_pairs, sum_q, mean_bigram_prob) where each adjacent-pair ratio
-    c(prev cur)/c_prefix(prev) is quantized to 1e-12 through the
-    integer round-trip and summed as bigints (order-free aggregation;
-    see queries.llmdata.text_bigram_lm_score for the plan and oracle
+    (n_pairs, sum_q_e9, mean_bigram_prob_e9) where each adjacent-pair
+    ratio c(prev cur)/c_prefix(prev) is scaled by 1e9 and computed
+    with PURE INTEGER DIVISION, then summed as bigints (order-free
+    aggregation; every driver-visible cell is a bigint — no double
+    appears anywhere in the expression, on either engine; see
+    queries.llmdata.text_bigram_lm_score for the plan and oracle
     discussion).  Docs with <2 tokens have no pairs and drop out."""
     from pyspark.sql import DataFrame  # noqa: F401  (doc typing only)
 
@@ -242,24 +244,16 @@ def bigram_lm_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
         .groupBy("prev")
         .agg(F.count("*").alias("c_prev"))
     )
-    q = (
-        F.round(
-            F.col("c_bi").cast("double") / F.col("c_prev").cast("double") * F.lit(1e12)
-        )
-        .cast("bigint")
-    )
+    q = F.expr("(c_bi * 1000000000) DIV c_prev")
     return (
         pairs.join(pc, "pair")
         .join(pfx, F.split(F.col("pair"), " ").getItem(0) == F.col("prev"))
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_pairs"), F.sum(q).alias("sum_q"))
+        .agg(F.count("*").alias("n_pairs"), F.sum(q).alias("sum_q_e9"))
         .select(
             id_col,
             "n_pairs",
-            "sum_q",
-            (
-                F.col("sum_q").cast("double") / F.lit(1e12)
-                / F.col("n_pairs").cast("double")
-            ).alias("mean_bigram_prob"),
+            "sum_q_e9",
+            F.expr("sum_q_e9 DIV n_pairs").alias("mean_bigram_prob_e9"),
         )
     )

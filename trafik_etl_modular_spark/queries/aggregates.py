@@ -123,14 +123,42 @@ def agg_distinct(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct_users", sql=None, tags=("agg", "approx"))
+_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+@query("agg_approx_distinct_users", sql=_APPROX_DISTINCT_SQL, tags=("agg", "approx"))
 def agg_approx_distinct(spark, sf_dir):
-    """HyperLogLog++ distinct (rows-only check — sketch results are
-    engine-specific by design; the scale path for 100 TB distincts).
-    Sanity-tested against the exact count in tests/."""
+    """HyperLogLog++ distinct — the scale path for 100 TB distincts —
+    verified by an ERROR-BOUND CERTIFICATE: Spark pairs the sketch
+    with the exact count and emits `within_5pct` = |approx − exact|·20
+    ≤ exact (pure integer arithmetic); the oracle computes the exact
+    count with DuckDB's own COUNT(DISTINCT) and asserts the
+    certificate as literal TRUE.  The hash matches iff the sketch is
+    genuinely within bounds for every group — sketch INTERNALS are
+    engine-specific, so the estimate itself never crosses engines
+    (round-5 verdict ask #6; the production shape drops the exact
+    leg).  HLL register merge is max-commutative, so the estimate is
+    partition-order-free."""
     ev = t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users")) * 20
+                <= F.col("exact_users")
+            ).alias("within_5pct"),
+        )
     )
 
 
@@ -199,7 +227,20 @@ def agg_exact_median_iqr(spark, sf_dir):
     )
 
 
-@query("agg_hll_mergeable_rollup", sql=None, tags=("agg", "approx", "incremental"))
+_HLL_ROLLUP_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_daily_partials,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "agg_hll_mergeable_rollup",
+    sql=_HLL_ROLLUP_SQL,
+    tags=("agg", "approx", "incremental"),
+)
 def agg_hll_mergeable_rollup(spark, sf_dir):
     """MERGEABLE distinct-count maintenance — the property plain
     approx_count_distinct lacks: build one Datasketches HLL sketch per
@@ -208,18 +249,32 @@ def agg_hll_mergeable_rollup(spark, sf_dir):
     per-type totals WITHOUT re-reading raw events.  At 100 TB this
     turns "distinct users this quarter" from a full-history scan into
     a union over ~90 tiny per-day sketches; late backfills just
-    replace their day's sketch.  Rows-only check (sketch estimates are
-    engine-specific); cross-validated against exact countDistinct in
-    tests/test_llmdata.py within HLL error bounds."""
+    replace their day's sketch.  Verified by an error-bound
+    certificate (see agg_approx_distinct_users): the oracle computes
+    the exact distinct and the partial count itself and asserts
+    `within_5pct` as literal TRUE — the merged-sketch estimate stays
+    engine-local (the exact leg exists only to notarize the bound)."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.to_date("ts").alias("day"), F.col("event_type")
     ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx"),
+        F.count("*").alias("n_daily_partials"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
-            F.count("*").alias("n_daily_partials"),
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_daily_partials",
+            (
+                F.abs(F.col("approx") - F.col("exact_users")) * 20
+                <= F.col("exact_users")
+            ).alias("within_5pct"),
         )
         .orderBy("event_type")
     )
@@ -308,24 +363,55 @@ def agg_incremental_rollup(spark, sf_dir):
     )
 
 
-@query("agg_approx_percentile_value", sql=None, tags=("agg", "approx"))
+_APPROX_PCT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       TRUE AS p50_rank_ok,
+       TRUE AS p90_rank_ok,
+       TRUE AS p99_rank_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("agg_approx_percentile_value", sql=_APPROX_PCT_SQL, tags=("agg", "approx"))
 def agg_approx_percentile(spark, sf_dir):
     """Approximate percentiles (Greenwald-Khanna sketch) of event value
     per type — the mergeable-sketch path for quantiles at 100 TB, where
-    exact percentile would sort the world. accuracy=10000 → ~0.01%
-    rank error; engine-specific sketch → rows-only driver check,
-    cross-validated against exact percentiles in tests/."""
+    exact percentile would sort the world.  accuracy=10000 → ≤0.01%
+    rank error.  Verified by a RANK CERTIFICATE instead of value
+    equality (sketch values are engine- and merge-order-specific): for
+    each reported quantile v_p, Spark counts rank(v_p) = |{value ≤
+    v_p}| over the raw events and asserts |rank − p·n| ≤ 0.01·n + 1 —
+    the GK guarantee with cushion, and a property that holds under ANY
+    partition merge order.  The oracle recomputes n exactly and
+    asserts the certificates as literal TRUE."""
     ev = t(spark, sf_dir, "events")
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("ap")
+    )
+
+    def rank_ok(rank_col: str, p: float):
+        n = F.col("n").cast("double")
+        return (
+            F.abs(F.col(rank_col).cast("double") - F.lit(p) * n)
+            <= F.lit(0.01) * n + F.lit(1.0)
+        )
+
     return (
-        ev.groupBy("event_type")
+        ev.join(F.broadcast(ap), "event_type")
+        .groupBy("event_type")
         .agg(
-            F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts")
+            F.count("*").alias("n"),
+            F.sum((F.col("value") <= F.col("ap")[0]).cast("bigint")).alias("r50"),
+            F.sum((F.col("value") <= F.col("ap")[1]).cast("bigint")).alias("r90"),
+            F.sum((F.col("value") <= F.col("ap")[2]).cast("bigint")).alias("r99"),
         )
         .select(
             "event_type",
-            F.col("approx_pcts")[0].alias("p50"),
-            F.col("approx_pcts")[1].alias("p90"),
-            F.col("approx_pcts")[2].alias("p99"),
+            "n",
+            rank_ok("r50", 0.5).alias("p50_rank_ok"),
+            rank_ok("r90", 0.9).alias("p90_rank_ok"),
+            rank_ok("r99", 0.99).alias("p99_rank_ok"),
         )
         .orderBy("event_type")
     )

@@ -420,9 +420,10 @@ cdf AS (
 )
 SELECT p.doc_id,
        COUNT(*) AS n_chunks,
-       SUM(CASE WHEN c.chunk_df >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
-       CAST(ROUND(CAST(SUM(CASE WHEN c.chunk_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-         / COUNT(*) * 1e9) AS BIGINT) / 1e9 AS dup_chunk_fraction
+       CAST(SUM(CASE WHEN c.chunk_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       (CAST(SUM(CASE WHEN c.chunk_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          * 1000000000) // COUNT(*) AS dup_frac_e9
 FROM postings p JOIN cdf c USING (chunk)
 GROUP BY p.doc_id
 """
@@ -790,9 +791,8 @@ cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
 total AS (SELECT COUNT(*) AS total FROM toks),
 uni AS (
   SELECT t.doc_id,
-         CAST(SUM(c.c) AS DOUBLE)
-           / (CAST(COUNT(*) AS DOUBLE) * CAST(ANY_VALUE(total.total) AS DOUBLE))
-           AS mean_p
+         (CAST(SUM(c.c) AS BIGINT) * 1000000000)
+           // (COUNT(*) * ANY_VALUE(total.total)) AS mean_p_e9
   FROM toks t JOIN cnt c USING (term) CROSS JOIN total
   GROUP BY t.doc_id
 ),
@@ -806,16 +806,16 @@ postings AS (
 cdf2 AS (SELECT chunk, COUNT(*) AS chunk_df FROM postings GROUP BY chunk),
 chunkstats AS (
   SELECT p.doc_id,
-         CAST(SUM(CASE WHEN c.chunk_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-           / COUNT(*) AS dupf
+         (CAST(SUM(CASE WHEN c.chunk_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000000) // COUNT(*) AS dupf_e9
   FROM postings p JOIN cdf2 c USING (chunk)
   GROUP BY p.doc_id
 ),
 keepable AS (
   SELECT d.doc_id, d.text
   FROM documents d JOIN uni USING (doc_id) JOIN chunkstats USING (doc_id)
-  WHERE uni.mean_p >= CAST(0.033 AS DOUBLE)
-    AND chunkstats.dupf <= CAST(0.5 AS DOUBLE)
+  WHERE uni.mean_p_e9 >= 33000000
+    AND chunkstats.dupf_e9 <= 500000000
 ),
 kept AS (
   SELECT doc_id, text FROM (
@@ -847,17 +847,23 @@ def curation_pipeline_v2(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
+    # Both gates compare the e9-scaled integer scores — 0.033e9 and
+    # 0.5e9 are exact bigints, so the filter is pure integer
+    # arithmetic on both engines (and `floor(a*1e9/b) >= k` is
+    # exactly equivalent to the rational `a/b >= k/1e9`).
     uni = (
         text_unigram_lm_score(spark, sf_dir)
-        .select("doc_id", F.col("mean_unigram_prob").alias("mean_p"))
+        .select("doc_id", F.col("mean_unigram_prob_e9").alias("mean_p_e9"))
     )
     chunks = crossdoc_chunk_stats(docs, chunk=10, stride=5).select(
-        "doc_id", F.col("dup_chunk_fraction").alias("dupf")
+        "doc_id", F.col("dup_frac_e9").alias("dupf_e9")
     )
     keepable = (
         docs.join(uni, "doc_id")
         .join(chunks, "doc_id")
-        .filter((F.col("mean_p") >= 0.033) & (F.col("dupf") <= 0.5))
+        .filter(
+            (F.col("mean_p_e9") >= 33_000_000) & (F.col("dupf_e9") <= 500_000_000)
+        )
         .select("doc_id", "text")
     )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -1710,7 +1716,8 @@ cum AS (
            - n_tok AS tokens_before
   FROM tks
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tok_total
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tok_total
 FROM cum WHERE tokens_before < 3000
 GROUP BY source
 ORDER BY source
@@ -1728,7 +1735,13 @@ def curation_pipeline_v3(spark, sf_dir):
     token-budget mix (3000-token budgets, md5-shuffled admission) →
     per-source rollup (docs kept, tokens admitted).  The oracle
     re-runs everything in DuckDB with only the LSH candidate set
-    frozen (_curation_v3_oracle_sql)."""
+    frozen (_curation_v3_oracle_sql).  The r04/r05 driver hash
+    mismatch traced to the oracle's un-cast SUM(n_tok): DuckDB sums
+    BIGINT into HUGEINT, whose pandas conversion is version-
+    dependent — the only schema feature shared by the four red
+    queries and absent from every green one; the final projection now
+    casts it back to BIGINT (derived oracles themselves are proven
+    driver-green, e.g. dedup_minhash_lsh in r05)."""
     from trafik_etl_modular_spark.llmdata.classifier import quality_keep
     from trafik_etl_modular_spark.llmdata.dedup import (
         connected_components,
@@ -1950,11 +1963,10 @@ total AS (
 )
 SELECT t.doc_id,
        COUNT(*) AS n_tokens,
-       SUM(c.c) AS sum_token_count,
-       SUM(CASE WHEN c.c <= 2 THEN 1 ELSE 0 END) AS n_rare_tokens,
-       CAST(ROUND(CAST(SUM(c.c) AS DOUBLE)
-         / (CAST(COUNT(*) AS DOUBLE) * CAST(ANY_VALUE(total.total) AS DOUBLE))
-         * 1e12) AS BIGINT) / 1e12 AS mean_unigram_prob
+       CAST(SUM(c.c) AS BIGINT) AS sum_token_count,
+       CAST(SUM(CASE WHEN c.c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare_tokens,
+       (CAST(SUM(c.c) AS BIGINT) * 1000000000)
+         // (COUNT(*) * ANY_VALUE(total.total)) AS mean_unigram_prob_e9
 FROM toks t JOIN cnt c USING (term) CROSS JOIN total
 GROUP BY t.doc_id
 """
@@ -1967,7 +1979,8 @@ def text_unigram_lm_score(spark, sf_dir):
     distribution (low = rare-token-heavy = high-perplexity proxy),
     plus the rare-token count (corpus count ≤ 2).  One token shuffle
     to count, one to join counts back, per-doc integer aggregation —
-    the whole score is exact-integer until a single final division."""
+    the whole surface is exact-integer, including the e9-scaled score
+    (pure integer division on both engines)."""
     docs = t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     cnt = toks.groupBy("term").agg(F.count("*").alias("c"))
@@ -1981,28 +1994,21 @@ def text_unigram_lm_score(spark, sf_dir):
             F.sum((F.col("c") <= 2).cast("bigint")).alias("n_rare_tokens"),
         )
     )
-    # Quantized to 1e-12 via an integer round-trip (same double →
-    # same bigint → same division on both engines): the score is
-    # integer-exact up to the final division already, and the
-    # quantization makes the driver-visible float immune to any
-    # harness-side float-repr divergence (round-4 driver hash
-    # mismatch here was not locally reproducible; see
-    # dedup.crossdoc_chunk_stats for the same defense).
+    # e9-scaled mean probability via PURE INTEGER DIVISION — every
+    # driver-visible cell is a bigint.  (The round-4/5 driver hash
+    # mismatch here traced to the oracle's un-cast SUMs: DuckDB sums
+    # integers into HUGEINT, whose pandas conversion is version-
+    # dependent; see dedup.crossdoc_chunk_stats.)  Magnitudes:
+    # sum_token_count ≤ n_tokens·max_count < 1e9 even at sf1, so the
+    # *1e9 numerator stays far inside bigint range.
     return per_doc.crossJoin(F.broadcast(total)).select(
         "doc_id",
         "n_tokens",
         "sum_token_count",
         "n_rare_tokens",
-        (
-            F.round(
-                F.col("sum_token_count").cast("double")
-                / (F.col("n_tokens").cast("double") * F.col("total").cast("double"))
-                * F.lit(1e12)
-            )
-            .cast("bigint")
-            .cast("double")
-            / F.lit(1e12)
-        ).alias("mean_unigram_prob"),
+        F.expr("(sum_token_count * 1000000000) DIV (n_tokens * total)").alias(
+            "mean_unigram_prob_e9"
+        ),
     )
 
 
@@ -2837,7 +2843,7 @@ WITH sig AS (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_words,
          list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS sum_word_chars,
-         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_symbols,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_symbols,
          len(list_filter(string_split(text, ' '),
              x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stopwords
   FROM documents
@@ -3191,11 +3197,9 @@ WITH pairs AS (
 )
 SELECT p.doc_id,
        COUNT(*) AS n_pairs,
-       SUM(CAST(ROUND(CAST(pc.c_bi AS DOUBLE) / CAST(pfx.c_prev AS DOUBLE) * 1e12)
-                AS BIGINT)) AS sum_q,
-       CAST(SUM(CAST(ROUND(CAST(pc.c_bi AS DOUBLE) / CAST(pfx.c_prev AS DOUBLE) * 1e12)
-                AS BIGINT)) AS DOUBLE) / 1e12 / CAST(COUNT(*) AS DOUBLE)
-         AS mean_bigram_prob
+       CAST(SUM((pc.c_bi * 1000000000) // pfx.c_prev) AS BIGINT) AS sum_q_e9,
+       CAST(SUM((pc.c_bi * 1000000000) // pfx.c_prev) AS BIGINT) // COUNT(*)
+         AS mean_bigram_prob_e9
 FROM pairs p
 JOIN pc  USING (pair)
 JOIN pfx ON string_split(p.pair, ' ')[1] = pfx.prev
@@ -3208,10 +3212,11 @@ def text_bigram_lm_score(spark, sf_dir):
     """Self-trained bigram LM quality score: mean conditional
     probability P(w_i | w_{i-1}) per document (low = surprising word
     transitions = high-perplexity proxy; the conditional upgrade of
-    text_unigram_lm_score).  Per-pair ratios quantized through the
-    fquant integer round-trip and summed as bigints, so partition
-    order cannot perturb the score; docs with <2 tokens drop out in
-    both engines (no pairs)."""
+    text_unigram_lm_score).  Per-pair ratios are e9-scaled bigints
+    computed with pure integer division and summed as bigints, so
+    partition order cannot perturb the score and no double appears in
+    the surface; docs with <2 tokens drop out in both engines (no
+    pairs)."""
     from trafik_etl_modular_spark.llmdata.text import bigram_lm_scores
 
     return bigram_lm_scores(t(spark, sf_dir, "documents"))
@@ -3262,9 +3267,8 @@ pfx AS (
 ),
 lm AS (
   SELECT p.doc_id,
-         CAST(SUM(CAST(ROUND(CAST(pc.c_bi AS DOUBLE) / CAST(pfx.c_prev AS DOUBLE)
-                             * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
-           / CAST(COUNT(*) AS DOUBLE) AS mean_bigram_prob
+         CAST(SUM((pc.c_bi * 1000000000) // pfx.c_prev) AS BIGINT) // COUNT(*)
+           AS mean_bigram_prob_e9
   FROM pairs p JOIN pc USING (pair)
   JOIN pfx ON string_split(p.pair, ' ')[1] = pfx.prev
   GROUP BY p.doc_id
@@ -3273,9 +3277,9 @@ scored AS (
   SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality FROM documents
 ),
 surv AS (
-  SELECT g.doc_id, g.n_words, l.mean_bigram_prob, s.quality
+  SELECT g.doc_id, g.n_words, l.mean_bigram_prob_e9, s.quality
   FROM gate g JOIN lm l USING (doc_id) JOIN scored s USING (doc_id)
-  WHERE l.mean_bigram_prob >= CAST(0.0335 AS DOUBLE)
+  WHERE l.mean_bigram_prob_e9 >= 33500000
 ),
 thr AS (
   SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY quality) AS q25,
@@ -3290,8 +3294,8 @@ SELECT CAST(1 + (CASE WHEN quality > q25 THEN 1 ELSE 0 END)
        CAST(SUM(n_words) AS BIGINT) AS sum_tokens,
        CAST(SUM(CAST(quality AS DECIMAL(38,9))) AS DOUBLE) / COUNT(quality)
          AS avg_quality,
-       MIN(mean_bigram_prob) AS min_lm_score,
-       MAX(mean_bigram_prob) AS max_lm_score
+       MIN(mean_bigram_prob_e9) AS min_lm_score_e9,
+       MAX(mean_bigram_prob_e9) AS max_lm_score_e9
 FROM surv CROSS JOIN thr
 GROUP BY phase
 ORDER BY phase
@@ -3313,12 +3317,14 @@ def curation_pipeline_v5(spark, sf_dir):
     gate = text_gopher_rules(spark, sf_dir).filter(F.col("passes")).select(
         "doc_id", "n_words"
     )
-    lm = bigram_lm_scores(docs).select("doc_id", "mean_bigram_prob")
-    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    # 0.0335 scaled to the e9 integer LM score — the float threshold
+    # is exactly representable as the bigint 33_500_000, so the gate
+    # is a pure integer comparison on both engines.
+    lm = bigram_lm_scores(docs).select("doc_id", "mean_bigram_prob_e9")
     surv = (
         gate.join(lm, "doc_id")
-        .filter(F.col("mean_bigram_prob") >= 0.0335)
-        .join(scored, "doc_id")
+        .filter(F.col("mean_bigram_prob_e9") >= 33_500_000)
+        .join(docs.select("doc_id", quality_score("text").alias("quality")), "doc_id")
     )
     # Two consumers read the survivor set (the threshold aggregate and
     # the rollup), and Catalyst does not share the subtree across a
@@ -3345,8 +3351,8 @@ def curation_pipeline_v5(spark, sf_dir):
             F.count("*").alias("n_docs"),
             F.sum("n_words").cast("bigint").alias("sum_tokens"),
             davg("quality", 9).alias("avg_quality"),
-            F.min("mean_bigram_prob").alias("min_lm_score"),
-            F.max("mean_bigram_prob").alias("max_lm_score"),
+            F.min("mean_bigram_prob_e9").alias("min_lm_score_e9"),
+            F.max("mean_bigram_prob_e9").alias("max_lm_score_e9"),
         )
         .orderBy("phase")
     )
