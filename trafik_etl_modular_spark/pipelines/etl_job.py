@@ -105,10 +105,14 @@ def run_etl(
     from pyspark.sql import Observation
 
     obs = Observation("ingest_batch")
+    # coalesce inside the observe expression: SUM over an EMPTY batch
+    # is NULL (not 0), and int(None) would blow up the report below.
     updates = updates.observe(
         obs,
         F.count(F.lit(1)).alias("batch_rows"),
-        F.sum(F.col("latitude").isNull().cast("long")).alias("batch_null_coords"),
+        F.coalesce(
+            F.sum(F.col("latitude").isNull().cast("long")), F.lit(0)
+        ).alias("batch_null_coords"),
     )
     merge_into_incidents(spark, sink_path, updates)
     batch_metrics = obs.get if obs.get else {"batch_rows": 0, "batch_null_coords": 0}
@@ -137,8 +141,8 @@ def run_etl(
         "rows": kpi["rows"],
         "pagar": kpi["pagar"],
         "kommande": kpi["kommande"],
-        "batch_rows": int(batch_metrics["batch_rows"]),
-        "batch_null_coords": int(batch_metrics["batch_null_coords"]),
+        "batch_rows": int(batch_metrics.get("batch_rows") or 0),
+        "batch_null_coords": int(batch_metrics.get("batch_null_coords") or 0),
         "seconds": round(time.perf_counter() - t0, 2),
         "warnings": warnings,
     }

@@ -219,8 +219,9 @@ _HISTOGRAM_SQL = """
 WITH vals AS (SELECT value FROM events WHERE value IS NOT NULL),
 mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM vals),
 binned AS (
-  SELECT LEAST(CAST(floor((v.value - mm.lo) / (mm.hi - mm.lo) * 20) AS BIGINT),
-               CAST(19 AS BIGINT)) AS bin,
+  SELECT CASE WHEN mm.hi = mm.lo THEN CAST(0 AS BIGINT)
+              ELSE LEAST(CAST(floor((v.value - mm.lo) / (mm.hi - mm.lo) * 20) AS BIGINT),
+                         CAST(19 AS BIGINT)) END AS bin,
          v.value
   FROM vals v CROSS JOIN mm
 )
@@ -249,11 +250,23 @@ def dq_histogram_value(spark, sf_dir):
     vals = t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select("value")
     mm = vals.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / F.lit(20)
+    # Degenerate range (all values equal → hi == lo): everything goes
+    # to bin 0 instead of dividing by zero, where Spark/DuckDB double
+    # semantics (NULL vs inf/NaN) could diverge.  Mirrored as a CASE
+    # in the SQL oracle.
     binned = vals.crossJoin(F.broadcast(mm)).select(
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * F.lit(20)).cast("bigint"),
-            F.lit(19).cast("bigint"),
-        ).alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * F.lit(20)
+                ).cast("bigint"),
+                F.lit(19).cast("bigint"),
+            )
+        )
+        .alias("bin"),
         "value",
         "lo",
         "hi",
@@ -285,7 +298,7 @@ stats AS (
 ),
 derived AS (
   SELECT event_type, n, s1 / n AS mean,
-         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
+         CASE WHEN n > 1 THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS std
   FROM stats
 )
 SELECT d.event_type,
@@ -322,13 +335,19 @@ def dq_outlier_report(spark, sf_dir):
         dsum("value", 6).alias("s1"),
         dsum(F.col("value") * F.col("value"), 6).alias("s2"),
     )
+    # n == 1 would divide by zero inside the sqrt, where Spark/DuckDB
+    # double semantics (NULL vs NaN) diverge — a singleton group gets
+    # NULL std (and therefore 0 outliers) on both engines.
     derived = stats.select(
         "event_type",
         "n",
         (F.col("s1") / F.col("n")).alias("mean"),
-        F.sqrt(
-            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-            / (F.col("n") - 1)
+        F.when(
+            F.col("n") > 1,
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
         ).alias("std"),
     )
     return (
@@ -358,9 +377,12 @@ _FINGERPRINT_SQL = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        bit_xor(('0x' || substring(md5(
-         concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
-                   event_type, strftime(ts, '%Y-%m-%dT%H:%M:%S'),
-                   CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR))
+         concat_ws('|',
+                   COALESCE(CAST(event_id AS VARCHAR), '\\N'),
+                   COALESCE(CAST(user_id AS VARCHAR), '\\N'),
+                   COALESCE(event_type, '\\N'),
+                   COALESCE(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '\\N'),
+                   COALESCE(CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR), '\\N'))
        ), 1, 15))::BIGINT) AS fingerprint
 FROM events
 GROUP BY event_type
@@ -380,13 +402,18 @@ def dq_table_fingerprint(spark, sf_dir):
     canonicalization uses only cross-engine-stable formats (integer
     casts, second-truncated ISO timestamp, fixed-scale decimal)."""
     ev = t(spark, sf_dir, "events")
+    # concat_ws silently SKIPS nulls in both engines, so rows
+    # differing only in WHICH adjacent field is NULL would collide to
+    # the same canonical string — coalesce every field to an explicit
+    # sentinel first (identically in the oracle).
+    nn = lambda c: F.coalesce(c, F.lit("\\N"))  # noqa: E731
     canon = F.concat_ws(
         "|",
-        F.col("event_id").cast("string"),
-        F.col("user_id").cast("string"),
-        F.col("event_type"),
-        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"),
-        F.col("value").cast("decimal(18,4)").cast("string"),
+        nn(F.col("event_id").cast("string")),
+        nn(F.col("user_id").cast("string")),
+        nn(F.col("event_type")),
+        nn(F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss")),
+        nn(F.col("value").cast("decimal(18,4)").cast("string")),
     )
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
     return (
