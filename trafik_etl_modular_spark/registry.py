@@ -79,86 +79,81 @@ _QUERY_MODULES = [
 # window (a pytest asserts registry[0:50] == DRIVER_WINDOW).  Every
 # name here is oracle-bearing.
 #
-# Round-5 rotation: slots 1–16 are the oracle-bearing queries with no
-# driver-green row through round 4 — the two round-4 hash-mismatch
-# queries re-tested after their fquant quantization fix (see
-# functions.scalars.fquant), the 11 round-4 additions (SCD2 pair,
-# newly-oracled MinHash/SimHash sketches, exact-quota split, IVF build,
-# semantic dedup, multimodal features, quality classifier, curation v3,
-# full-outer interval join), and the round-5 additions in two batches
-# (repeated-chunk removal rewrite, streaming incremental dedup,
-# temperature mixing, per-label embedding centroids, SCD2 as-of lookup,
-# value histogram, snapshot diff, curation v4, vocabulary coverage
-# curve, keyless interval-overlap join, streaming SCD2 enrichment;
-# then fuzzy-name join, table fingerprint, exact binary multimodal
-# dedup, 3-sigma outlier report, time-range rolling window, funnel,
-# cohort retention, schema-evolution scan).  The remaining slots
-# re-confirm the families whose newest driver stamp is round 2: TPC-H
-# (4 of 22 — the rest hold r1/r2 stamps and rotate through future
-# rounds) + semi/anti + bucketed co-located joins, the reference
-# incident pipeline (reference src/trv/transform.py), dashboard
-# filter, and the rollup/cube/pivot/median aggregate family.  After
-# this rotation every oracle-bearing query holds a driver-green row in
-# CORRECTNESS_r0{1..5}.
+# Round-6 rotation.  Slots 1–4: the four queries red in r04/r05 —
+# root cause found and fixed this round (their oracles' final
+# projections contained DuckDB HUGEINT columns, whose pandas
+# conversion is DuckDB-version-dependent; every green oracle had
+# none — see forensics/README.md and tests/test_oracle_types.py).
+# Slot 5: source_file_provenance, the only oracle-bearing query with
+# no driver row in any round (registered after the round-5 window was
+# pinned).  Slots 6–7: the two capstones whose surfaces changed with
+# the e9-integer LM rewrite and therefore need fresh stamps.  Slots
+# 8–10: the three sketch aggregates, oracle-bearing for the first
+# time via error-bound certificates (round-5 verdict ask #6).  Slots
+# 11–45: the 35 queries whose newest driver-green stamp is round 2
+# (18 TPC-H, the cube/pivot/rollup/unpivot/median/value-stats/
+# distinct aggregate family, 3 filters, 4 incident queries).  Slots
+# 46–50: the five alphabetically-first round-3-stamped queries, so
+# the stale tail keeps draining.
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-stamped through round 4 --------------------------
+    # --- red in r04/r05, HUGEINT oracle fix this round ------------------
     "dedup_chunk_crossdoc",
     "text_unigram_lm_score",
-    "scd2_history",
-    "scd2_incremental_merge",
-    "dedup_minhash_lsh",
-    "dedup_simhash_candidates",
-    "sample_exact_quota_split",
-    "sim_ann_ivf_build",
-    "dedup_semantic_embeddings",
-    "multimodal_extract_features",
-    "text_quality_classifier",
-    "curation_pipeline_v3",
-    "streaming_interval_join_full_outer",
-    # --- new in round 5 ------------------------------------------------
-    "dedup_chunk_remove",
-    "streaming_incremental_dedup",
-    "sample_temperature_mix",
-    "sim_centroids_by_label",
-    "join_scd2_asof_lookup",
-    "dq_histogram_value",
-    "dedup_snapshot_diff",
-    "curation_pipeline_v4",
-    "vocab_coverage_curve",
-    "join_interval_overlap",
-    "streaming_scd2_enrich",
-    # --- late round-5 additions (registered after the first rotation) --
-    "dedup_fuzzy_name_pairs",
-    "dq_table_fingerprint",
-    "multimodal_dedup_exact",
-    "dq_outlier_report",
-    "window_time_rolling_1h",
-    "events_funnel_stages",
-    "events_cohort_retention",
-    "source_schema_evolution_scan",
-    # --- this session's additions (never stamped) ----------------------
-    "text_gopher_rules",
-    "vocab_bpe_merge_candidates",
-    "sim_hard_negatives",
-    "sample_contrastive_triples",
-    "sample_curriculum_phases",
     "text_bigram_lm_score",
+    "curation_pipeline_v3",
+    # --- never driver-sampled ------------------------------------------
+    "source_file_provenance",
+    # --- surfaces changed by the e9-integer LM rewrite ------------------
+    "curation_pipeline_v2",
     "curation_pipeline_v5",
-    # --- oldest-stamp re-confirmations (last green: round 2) -----------
-    # (TPC-H holds r1/r2 stamps throughout and rotates back next round)
-    "tpch_q1_pricing_summary",
-    "join_semi_customers_with_big_orders",
-    "join_anti_customers_no_urgent_orders",
-    "join_bucketed_colocated",
-    # reference incident pipeline + dashboard filter
-    "inc_normalize",
-    "inc_kpi_counts",
-    "inc_daily_trend_gapfill",
-    "inc_geo_imputation",
-    "filter_dashboard_pipeline",
-    # aggregate family
-    "agg_incremental_rollup",
-    "agg_grouping_sets_flag_status",
+    # --- newly oracle-bearing sketch aggregates (error-bound certs) -----
+    "agg_approx_distinct_users",
+    "agg_hll_mergeable_rollup",
+    "agg_approx_percentile_value",
+    # --- newest stamp r02: TPC-H ----------------------------------------
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_priority_count",
+    "tpch_q5_region_revenue",
+    "tpch_q6_revenue_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_lines",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_big_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_inventory",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_customers",
+    # --- newest stamp r02: aggregate family ------------------------------
+    "agg_cube_flag_status",
+    "agg_distinct_users_per_type",
+    "agg_exact_median_iqr",
+    "agg_pivot_linestatus",
+    "agg_rollup_daily_type",
+    "agg_stats_unpivot",
+    "agg_value_stats",
+    # --- newest stamp r02: filters + incident queries --------------------
+    "filter_or_contains_text",
+    "filter_range_inlist_orders",
+    "filter_regex_road",
+    "inc_daily_trend",
+    "inc_minmax_bounds",
+    "inc_status_rank_order",
+    "inc_type_distribution",
+    # --- newest stamp r03 (stale-tail drain) -----------------------------
+    "agg_skew_salted_flags",
+    "dedup_ngram_jaccard_pairs",
+    "dq_expectations_report",
+    "events_hourly_tumbling",
+    "events_sliding_window",
 ]
 
 
