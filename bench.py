@@ -58,6 +58,7 @@ def _write_local_artifact(
         doc = {}
     key = f"sf{sf}" if sf is not None else "sf?"
     prev = doc.get(key)
+    notes = prev.get("notes") if isinstance(prev, dict) else None
     record = {
         "metric": "total_wall_sec_all_queries",
         "sf": sf,
@@ -69,6 +70,10 @@ def _write_local_artifact(
     }
     if errors:
         record["errors"] = errors
+    if notes:
+        # Human-written measurement verdicts (noise investigations etc.)
+        # survive re-runs.
+        record["notes"] = notes
     if isinstance(prev, dict) and isinstance(prev.get("queries"), dict):
         prev_q = prev["queries"]
         record["prev"] = {
