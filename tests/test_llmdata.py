@@ -1490,3 +1490,108 @@ def test_gopher_word_count_rule_boundaries(spark, tmp_path):
     df.write.parquet(f"{d}/documents.parquet")
     got = {r["doc_id"]: r["rule_word_count"] for r in text_gopher_rules(spark, d).collect()}
     assert got == {24: False, 25: True, 90: True, 91: False}
+
+
+def test_ann_recall_report_certificates_hold(spark, sf_dir):
+    """Every probe's IVF recall@10 certificate must hold at nprobe=8,
+    and the exact top-1 must agree with an independent brute-force
+    rerank of that probe."""
+    from trafik_etl_modular_spark.llmdata.similarity import brute_force_topk
+    from trafik_etl_modular_spark.queries.llmdata import sim_ann_recall_report
+
+    rows = sim_ann_recall_report(spark, sf_dir).collect()
+    assert rows, "probe panel empty"
+    assert all(r["recall10_ok"] for r in rows), [
+        r["query_id"] for r in rows if not r["recall10_ok"]
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = rows[0]["query_id"]
+    top1 = (
+        brute_force_topk(
+            emb.filter(F.col("vec_id") != probe),
+            emb.filter(F.col("vec_id") == probe),
+            k=1,
+        )
+        .collect()[0]["vec_id"]
+    )
+    assert rows[0]["exact_top1_id"] == top1
+
+
+def test_novelty_curve_first_doc_fully_novel(spark, sf_dir):
+    """The min-doc_id document owns all of its shingles (novelty_e9 ==
+    1e9); every doc's n_novel ≤ n_shingles; and Σ n_novel equals the
+    number of DISTINCT shingles in the corpus (each distinct shingle
+    owned exactly once)."""
+    from trafik_etl_modular_spark.llmdata.dedup import hashed_shingles
+    from trafik_etl_modular_spark.queries.llmdata import text_novelty_curve
+
+    out = text_novelty_curve(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    first = min(by_id)
+    assert by_id[first]["novelty_e9"] == 1_000_000_000
+    assert all(r["n_novel"] <= r["n_shingles"] for r in out)
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct = (
+        docs.select(F.explode(hashed_shingles("text", 3)).alias("g"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in out) == n_distinct
+
+
+def test_cumulative_distinct_users_matches_direct_count(spark, sf_dir):
+    """The running first-touch sum at the last day must equal the
+    table's total distinct users, and the series must be strictly
+    increasing."""
+    from trafik_etl_modular_spark.queries.windows import (
+        window_cumulative_distinct_users,
+    )
+
+    rows = sorted(
+        window_cumulative_distinct_users(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    cums = [r["cum_distinct_users"] for r in rows]
+    assert cums == sorted(cums) and len(set(cums)) == len(cums)
+    ev = load_table(spark, sf_dir, "events")
+    assert cums[-1] == ev.select("user_id").distinct().count()
+
+
+def test_overlap_matrix_bounded_by_group_distincts(spark, sf_dir):
+    """|users(A) ∩ users(B)| ≤ min(|users(A)|, |users(B)|) for every
+    pair, and the matrix covers every type pair with any overlap."""
+    from trafik_etl_modular_spark.queries.aggregates import (
+        agg_distinct_overlap_matrix,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_type = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in agg_distinct_overlap_matrix(spark, sf_dir).collect():
+        assert r["type_a"] < r["type_b"]
+        assert r["n_shared_users"] <= min(per_type[r["type_a"]], per_type[r["type_b"]])
+
+
+def test_curation_v6_manifest_partitions_gated_corpus(spark, sf_dir):
+    """The v6 manifest's doc counts partition exactly the Gopher-gated
+    corpus; token budgets never grow under the rewrite; per-lang train
+    quota is exactly floor(0.8·n)."""
+    from trafik_etl_modular_spark.queries.llmdata import (
+        curation_pipeline_v6,
+        text_gopher_rules,
+    )
+
+    rows = curation_pipeline_v6(spark, sf_dir).collect()
+    n_gated = text_gopher_rules(spark, sf_dir).filter("passes").count()
+    assert sum(r["n_docs"] for r in rows) == n_gated
+    assert all(r["n_tok_after"] <= r["n_tok_before"] for r in rows)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["split"]] = r["n_docs"]
+    for lang, d in by_lang.items():
+        n = d.get("train", 0) + d.get("holdout", 0)
+        assert d.get("train", 0) == n * 8 // 10

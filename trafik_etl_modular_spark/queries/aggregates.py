@@ -447,3 +447,41 @@ def agg_grouping_sets(spark, sf_dir):
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
     )
+
+
+_OVERLAP_SQL = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_shared_users
+FROM tu a JOIN tu b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY type_a, type_b
+ORDER BY type_a, type_b
+"""
+
+
+@query("agg_distinct_overlap_matrix", sql=_OVERLAP_SQL, tags=("agg",))
+def agg_distinct_overlap_matrix(spark, sf_dir):
+    """AUDIENCE-OVERLAP matrix: |users(A) ∩ users(B)| for every
+    event-type pair — the exact companion of the HLL family (theta
+    sketches approximate exactly this at scale).  One distinct pass
+    over (type, user), then a self-equi-join on user_id: work is
+    Σ_user (types-per-user choose 2), never |users|² — the type
+    dimension is tiny (≤5 here) so per-user fan-out is bounded; the
+    output is the |types|² upper triangle."""
+    ev = t(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    a, b = tu.alias("a"), tu.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_shared_users"))
+        .orderBy("type_a", "type_b")
+    )

@@ -425,3 +425,71 @@ def dq_table_fingerprint(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_DRIFT_CURSOR = "2024-01-16 00:00:00"
+
+_DRIFT_SQL = f"""
+WITH vals AS (
+  SELECT event_type, value, (ts < TIMESTAMP '{_DRIFT_CURSOR}') AS is_before
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       COUNT(CASE WHEN is_before THEN value END) AS n_before,
+       COUNT(CASE WHEN NOT is_before THEN value END) AS n_after,
+       (CAST(SUM(CAST((CASE WHEN is_before THEN value END) AS DECIMAL(38,6))) AS DOUBLE)
+          / COUNT(CASE WHEN is_before THEN value END)) AS mean_before,
+       (CAST(SUM(CAST((CASE WHEN NOT is_before THEN value END) AS DECIMAL(38,6))) AS DOUBLE)
+          / COUNT(CASE WHEN NOT is_before THEN value END)) AS mean_after,
+       (abs((CAST(SUM(CAST((CASE WHEN NOT is_before THEN value END) AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(CASE WHEN NOT is_before THEN value END))
+            - (CAST(SUM(CAST((CASE WHEN is_before THEN value END) AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(CASE WHEN is_before THEN value END)))
+        > CAST(0.05 AS DOUBLE)
+          * abs(CAST(SUM(CAST((CASE WHEN is_before THEN value END) AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(CASE WHEN is_before THEN value END))) AS drifted
+FROM vals
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("dq_drift_report", sql=_DRIFT_SQL, tags=("quality", "agg"))
+def dq_drift_report(spark, sf_dir):
+    """SNAPSHOT-DRIFT monitor — the check a daily ingest runs before
+    publishing: split the fact stream at a cursor into before/after
+    halves and compare each group's value distribution (counts, exact
+    decimal means, a 5%-shift flag).  One conditional-aggregation
+    pass over the scan — adding a drift window adds columns, not
+    jobs; both means come from exact decimal sums (dsum) so the
+    comparison is partition-order-free, and the drift flag is the
+    same IEEE expression on both engines."""
+    from trafik_etl_modular_spark.functions.scalars import dsum
+
+    cursor = F.lit(_DRIFT_CURSOR).cast("timestamp")
+    vals = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            (F.col("ts").cast("timestamp") < cursor).alias("is_before"),
+        )
+    )
+    before = F.when(F.col("is_before"), F.col("value"))
+    after = F.when(~F.col("is_before"), F.col("value"))
+    mean_b = dsum(before, 6) / F.count(before)
+    mean_a = dsum(after, 6) / F.count(after)
+    return (
+        vals.groupBy("event_type")
+        .agg(
+            F.count(before).alias("n_before"),
+            F.count(after).alias("n_after"),
+            mean_b.alias("mean_before"),
+            mean_a.alias("mean_after"),
+            (
+                F.abs(mean_a - mean_b) > F.lit(0.05) * F.abs(mean_b)
+            ).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )

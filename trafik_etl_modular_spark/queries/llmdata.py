@@ -1311,6 +1311,103 @@ def sim_ann_ivf_probe(spark, sf_dir):
     ).orderBy(F.desc("cosine"), F.asc("vec_id"))
 
 
+_RECALL_SQL = f"""
+WITH p AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT p.qid, e.vec_id, {_cos_sql('e.embedding', 'p.qvec')} AS cosine
+  FROM embeddings e JOIN p ON e.vec_id <> p.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid AS query_id,
+       MAX(CASE WHEN rn = 1 THEN vec_id END) AS exact_top1_id,
+       MAX(CASE WHEN rn = 1 THEN cosine END) AS exact_top1_cosine,
+       TRUE AS recall10_ok
+FROM ranked WHERE rn <= 10
+GROUP BY qid ORDER BY qid
+"""
+
+
+@query("sim_ann_recall_report", sql=_RECALL_SQL, tags=("llmdata", "similarity", "topk"))
+def sim_ann_recall_report(spark, sf_dir):
+    """ANN QUALITY EVAL — the report a retrieval pipeline publishes
+    per index build: for a deterministic probe panel (every 50th
+    vec_id), the exact brute-force top-1 neighbor and a recall@10
+    CERTIFICATE for the IVF probe path (|IVF top-10 ∩ exact top-10| ≥
+    5 at nprobe=8 — the fixture's embeddings are weakly clustered, so
+    half the coarse buckets buy ≥60% measured recall with one notch
+    of margin; nprobe == n_centroids reproduces brute force exactly).
+    The exact side is cross-engine verifiable (DuckDB recomputes the
+    same fold-order cosine and ranking); the IVF side is engine-local
+    by nature, so the oracle asserts its certificate as literal TRUE
+    — hash-green iff every probe's IVF recall holds (same pattern as
+    the sketch aggregates).  Plan shape: probes broadcast against the
+    corpus (map-only scoring, one window per side), IVF candidates
+    from the persisted bucket-partitioned index via an nprobe-bucket
+    join — candidate volume ≈ nprobe/k of the corpus, never
+    corpus²."""
+    from pyspark.sql import Window
+
+    from trafik_etl_modular_spark.llmdata.similarity import cosine, to_double_array
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), to_double_array("embedding").alias("qvec")
+    )
+    corpus = emb.select("vec_id", to_double_array("embedding").alias("vec"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exact = (
+        corpus.join(F.broadcast(probes), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+    )
+    exact_agg = exact.groupBy("qid").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("vec_id"))).alias("exact_top1_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("cosine"))).alias("exact_top1_cosine"),
+        F.collect_set("vec_id").alias("exact_ids"),
+    )
+    assigned, centroids, _rows = _ivf_ensure_index(spark, sf_dir)
+    wc = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("ivf_bucket"))
+    buckets = (
+        probes.crossJoin(F.broadcast(centroids))
+        .select(
+            "qid",
+            "qvec",
+            "ivf_bucket",
+            cosine(F.col("qvec"), F.col("centroid")).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= 8)
+        .select("qid", "qvec", "ivf_bucket")
+    )
+    ivf_top = (
+        assigned.join(buckets.hint("broadcast"), "ivf_bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("__vec"), F.col("qvec")).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+    )
+    ivf_agg = ivf_top.groupBy("qid").agg(F.collect_set("vec_id").alias("ivf_ids"))
+    return (
+        exact_agg.join(ivf_agg, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "exact_top1_id",
+            "exact_top1_cosine",
+            (
+                F.size(F.array_intersect("exact_ids", "ivf_ids")) >= 5
+            ).alias("recall10_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 _NEARDUP_EMB_SQL = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_cos_sql('a.embedding', 'b.embedding')} AS cosine
@@ -3355,4 +3452,195 @@ def curation_pipeline_v5(spark, sf_dir):
             F.max("mean_bigram_prob_e9").alias("max_lm_score_e9"),
         )
         .orderBy("phase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v6 — the ROUND-6 capstone: compose the proven
+# integer/md5-surface operators end to end.  Gopher rule gate →
+# repeated-chunk REMOVAL rewrite over the gated corpus (ExactSubstr
+# dedup: boilerplate survives once globally) → exact-quota stratified
+# split → per-(lang, split) shard manifest with an order-insensitive
+# XOR fingerprint of the rewritten texts.  This is the artifact a
+# training-data build publishes per snapshot: how many docs/tokens
+# each shard holds after dedup, plus a state certificate two replicas
+# can compare without exchanging the texts.  Every driver-visible
+# cell is a bigint or string; every stage is scan + hash-agg +
+# window on bounded keys — no corpus² term anywhere.
+# ---------------------------------------------------------------------------
+
+_CURATION_V6_SQL = """
+WITH sig AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS swc,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_symbols,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+  FROM documents
+),
+gated AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN sig s USING (doc_id)
+  WHERE (s.n_words BETWEEN 25 AND 90)
+    AND (CAST(s.swc AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+           BETWEEN CAST(4.0 AS DOUBLE) AND CAST(5.0 AS DOUBLE))
+    AND (CAST(s.n_symbols AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+           <= CAST(0.1 AS DOUBLE))
+    AND (CAST(s.n_stop AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+           >= CAST(0.03 AS DOUBLE))
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM gated),
+posts AS (
+  SELECT doc_id, i AS start,
+         array_to_string(t[i:i+9], ' ') AS chunk,
+         len(t[i:i+9]) AS chunk_len
+  FROM (SELECT doc_id, t, UNNEST(range(1, greatest(len(t), 1) + 1, 10)) AS i
+        FROM toks)
+),
+ranked AS (
+  SELECT doc_id, start, chunk, chunk_len,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, start) AS rn
+  FROM posts
+),
+kept AS (SELECT doc_id, start, chunk, chunk_len FROM ranked WHERE rn = 1),
+agg AS (
+  SELECT doc_id, SUM(chunk_len) AS n_tok_after,
+         md5(string_agg(chunk, ' ' ORDER BY start)) AS rmd5
+  FROM kept GROUP BY doc_id
+),
+rw AS (
+  SELECT t.doc_id,
+         CAST(len(t.t) AS BIGINT) AS n_tokens_before,
+         CAST(COALESCE(a.n_tok_after, 0) AS BIGINT) AS n_tokens_after,
+         COALESCE(a.rmd5, md5('')) AS rmd5
+  FROM toks t LEFT JOIN agg a USING (doc_id)
+),
+sp AS (
+  SELECT doc_id, lang,
+         CASE WHEN CAST(ROW_NUMBER() OVER (
+                PARTITION BY lang
+                ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)), doc_id
+              ) AS BIGINT) * 10
+              <= COUNT(*) OVER (PARTITION BY lang) * 8
+              THEN 'train' ELSE 'holdout' END AS split
+  FROM gated
+)
+SELECT sp.lang, sp.split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(rw.n_tokens_before) AS BIGINT) AS n_tok_before,
+       CAST(SUM(rw.n_tokens_after) AS BIGINT) AS n_tok_after,
+       bit_xor(('0x' || substring(rw.rmd5, 1, 15))::BIGINT) AS rewrite_fp
+FROM rw JOIN sp USING (doc_id)
+GROUP BY sp.lang, sp.split
+ORDER BY sp.lang, sp.split
+"""
+
+
+@query("curation_pipeline_v6", sql=_CURATION_V6_SQL, tags=("llmdata", "pipeline"))
+def curation_pipeline_v6(spark, sf_dir):
+    """Round-6 curation capstone, one Catalyst plan per stage
+    boundary: Gopher rule gate (structural rejects) → repeated-chunk
+    REMOVAL rewrite over the gated corpus (Lee 2021 ExactSubstr,
+    chunk-granular: cross-doc boilerplate survives exactly once) →
+    exact-quota 80/20 stratified split per language → per-(lang,
+    split) shard manifest: doc count, token budget before/after the
+    rewrite, and an order-insensitive XOR fingerprint of the
+    rewritten texts (the dq_table_fingerprint anti-entropy pattern —
+    two replicas compare shards by exchanging 10 rows, not texts).
+    Composes ONLY integer/md5-surface operators (dedup_chunk_remove,
+    sample_exact_quota_split, text_gopher_rules, dq_table_fingerprint
+    — each independently driver-green), so every driver-visible cell
+    is a bigint or string."""
+    from trafik_etl_modular_spark.llmdata.dedup import remove_repeated_chunks
+    from trafik_etl_modular_spark.llmdata.sampling import exact_quota_split
+
+    docs = t(spark, sf_dir, "documents")
+    gate = text_gopher_rules(spark, sf_dir).filter(F.col("passes")).select("doc_id")
+    # The gated corpus feeds three legs (rewrite postings, rewrite
+    # base, split window) — materialize once, the same persisted
+    # post-gate corpus boundary the v3/v5 capstones use.
+    gated = docs.join(gate, "doc_id").select(
+        "doc_id", "lang", "text"
+    ).localCheckpoint(eager=False)
+    rw = remove_repeated_chunks(gated, chunk=10)
+    split = exact_quota_split(gated.select("doc_id", "lang"), "lang", "doc_id", 8, 10)
+    h = F.conv(F.substring("rewritten_md5", 1, 15), 16, 10).cast("long")
+    return (
+        rw.join(split, "doc_id")
+        .select("lang", "split", "n_tokens_before", "n_tokens_after", h.alias("__h"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens_before").alias("n_tok_before"),
+            F.sum("n_tokens_after").alias("n_tok_after"),
+            F.expr("bit_xor(__h)").alias("rewrite_fp"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve — dataset-growth diagnostic: how much of each
+# document's shingle set is NEW relative to everything before it.
+# ---------------------------------------------------------------------------
+
+_NOVELTY_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS s
+  FROM documents
+),
+post AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+own AS (SELECT g, MIN(doc_id) AS owner FROM post GROUP BY g)
+SELECT p.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN o.owner = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       (CAST(SUM(CASE WHEN o.owner = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+          * 1000000000) // COUNT(*) AS novelty_e9
+FROM post p JOIN own o USING (g)
+GROUP BY p.doc_id
+"""
+
+
+@query("text_novelty_curve", sql=_NOVELTY_SQL, tags=("llmdata", "text"))
+def text_novelty_curve(spark, sf_dir):
+    """Per-document 3-GRAM NOVELTY against the corpus prefix (docs
+    ordered by doc_id): each distinct shingle is owned by its
+    min-doc_id first occurrence, and a doc's novelty is the fraction
+    of its shingles it owns — the curve a dataset-growth report
+    plots to show when new data stops adding new content (novelty →
+    0 means the crawl is saturating).  First-touch attribution again
+    (cf. window_cumulative_distinct_users): one shingle groupBy for
+    ownership, one equi-join back, per-doc integer aggregation — the
+    e9-scaled ratio is pure integer division on both engines, and no
+    stage is ever corpus².  Spark shuffles 64-bit shingle hashes; the
+    oracle computes the string form (values agree up to ~n²/2⁶⁴
+    collisions, the hashed_shingles contract).  Docs with <3 tokens
+    have no shingles and drop out in both engines."""
+    from trafik_etl_modular_spark.llmdata.dedup import hashed_shingles
+    from trafik_etl_modular_spark.operators.partitions import fan_out
+
+    docs = t(spark, sf_dir, "documents")
+    post = (
+        fan_out(docs)
+        .select("doc_id", F.explode(hashed_shingles("text", 3)).alias("g"))
+        .localCheckpoint(eager=False)
+    )
+    own = post.groupBy("g").agg(F.min("doc_id").alias("owner"))
+    return (
+        post.join(own, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("owner") == F.col("doc_id")).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+        .withColumn("novelty_e9", F.expr("(n_novel * 1000000000) DIV n_shingles"))
     )

@@ -294,3 +294,42 @@ def window_time_rolling_1h(spark, sf_dir):
         F.count("*").over(w).cast("bigint").alias("n_1h"),
         F.sum(F.col("value").cast("decimal(38,4)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct via first-touch attribution — the exact
+# incremental form of "distinct users to date".
+# ---------------------------------------------------------------------------
+
+_CUM_DISTINCT_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+),
+d AS (SELECT day, COUNT(*) AS n_new_users FROM f GROUP BY day)
+SELECT day, n_new_users,
+       CAST(SUM(n_new_users) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_distinct_users
+FROM d ORDER BY day
+"""
+
+
+@query("window_cumulative_distinct_users", sql=_CUM_DISTINCT_SQL, tags=("window", "agg"))
+def window_cumulative_distinct_users(spark, sf_dir):
+    """Running DISTINCT-to-date user counts via FIRST-TOUCH
+    attribution — the trick that turns an unbounded distinct-over-
+    growing-window (which would re-scan history per day) into two
+    hash aggregations plus a tiny running sum: each user contributes
+    exactly once, on their first-seen day, and the cumulative distinct
+    is the prefix sum of new-user counts.  At 100 TB the first-touch
+    table is maintained incrementally (MERGE keeps min(day) per user)
+    and the daily rollup never touches raw history again."""
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first.groupBy("day").agg(F.count("*").alias("n_new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("bigint").alias("cum_distinct_users"),
+    ).orderBy("day")

@@ -90,11 +90,15 @@ _QUERY_MODULES = [
 # the e9-integer LM rewrite and therefore need fresh stamps.  Slots
 # 8–10: the three sketch aggregates, oracle-bearing for the first
 # time via error-bound certificates (round-5 verdict ask #6).  Slots
-# 11–45: the 35 queries whose newest driver-green stamp is round 2
-# (18 TPC-H, the cube/pivot/rollup/unpivot/median/value-stats/
-# distinct aggregate family, 3 filters, 4 incident queries).  Slots
-# 46–50: the five alphabetically-first round-3-stamped queries, so
-# the stale tail keeps draining.
+# 11–44: 34 of the 35 queries whose newest driver-green stamp is
+# round 2 (18 TPC-H, the cube/pivot/rollup/unpivot/median/value-stats
+# aggregate family, 3 filters, 4 incident queries) —
+# agg_distinct_users_per_type sits out because its exact-distinct
+# semantics are re-verified verbatim inside both new certificate
+# queries' exact_users columns on the same table.  Slots 45–50: the
+# six round-6 additions (ANN recall report, snapshot-drift monitor,
+# curation v6 capstone, n-gram novelty curve, cumulative-distinct
+# window, audience-overlap matrix), never sampled before.
 DRIVER_WINDOW: list[str] = [
     # --- red in r04/r05, HUGEINT oracle fix this round ------------------
     "dedup_chunk_crossdoc",
@@ -134,7 +138,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q22_dormant_customers",
     # --- newest stamp r02: aggregate family ------------------------------
     "agg_cube_flag_status",
-    "agg_distinct_users_per_type",
     "agg_exact_median_iqr",
     "agg_pivot_linestatus",
     "agg_rollup_daily_type",
@@ -148,12 +151,13 @@ DRIVER_WINDOW: list[str] = [
     "inc_minmax_bounds",
     "inc_status_rank_order",
     "inc_type_distribution",
-    # --- newest stamp r03 (stale-tail drain) -----------------------------
-    "agg_skew_salted_flags",
-    "dedup_ngram_jaccard_pairs",
-    "dq_expectations_report",
-    "events_hourly_tumbling",
-    "events_sliding_window",
+    # --- round-6 additions (never sampled) -------------------------------
+    "sim_ann_recall_report",
+    "dq_drift_report",
+    "curation_pipeline_v6",
+    "text_novelty_curve",
+    "window_cumulative_distinct_users",
+    "agg_distinct_overlap_matrix",
 ]
 
 
