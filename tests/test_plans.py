@@ -356,6 +356,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "vocab_coverage_curve",  # 1-row corpus token-count total
         "sample_curriculum_phases",  # 1-row quality-quartile thresholds
         "curation_pipeline_v5",  # composes the same 1-row threshold join
+        # k-row (16) centroid model-metadata broadcast × fixed probe
+        # panel — O(panel·k) map-side centroid ranking, shuffle-free;
+        # the corpus side still joins on the equi bucket key.
+        "sim_ann_recall_report",
     }
     bad = []
     for name in sorted(REGISTRY):
