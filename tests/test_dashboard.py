@@ -36,3 +36,33 @@ def test_dashboard_consumers_share_cached_base(spark, sf_dir):
         assert len(session["table"].collect()) <= 100
     finally:
         session["__base__"].unpersist()
+
+
+def test_nearest_center_argmin_matches_python(spark, sf_dir):
+    """The array_min struct argmin must equal a per-row Python argmin
+    over the same 25 center literals, including the county tiebreak,
+    and matches_recorded must be exactly (county_no == nearest)."""
+    from trafik_etl_modular_spark.queries.filters import _CENTERS, inc_nearest_center
+
+    rows = inc_nearest_center(spark, sf_dir).collect()
+    assert rows
+    from trafik_etl_modular_spark.pipelines.incidents import build_incidents
+
+    pts = {
+        r["incident_id"]: r
+        for r in build_incidents(spark, sf_dir)
+        .filter("latitude IS NOT NULL AND longitude IS NOT NULL")
+        .select("incident_id", "county_no", "latitude", "longitude")
+        .collect()
+    }
+    assert len(rows) == len(pts)
+    for r in rows[:200]:
+        p = pts[r["incident_id"]]
+        best = min(
+            ((p["latitude"] - lat) ** 2 + (p["longitude"] - lon) ** 2, no)
+            for no, lat, lon in _CENTERS
+        )[1]
+        assert r["nearest_county_no"] == best
+        assert r["matches_recorded"] == (
+            p["county_no"] is not None and p["county_no"] == best
+        )

@@ -187,3 +187,80 @@ def inc_geo_imputation(spark, sf_dir):
             F.col("longitude"), F.lit(11.0) + F.col("county_no") * 0.2, F.lit(15.0)
         ).alias("lon_display"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J3 extension — nearest-center geo classification (the map-domain op
+# behind the reference's county click-filter: which county's center is
+# this point closest to).
+# ---------------------------------------------------------------------------
+
+_CENTERS = [(no, 55.0 + no * 0.3, 11.0 + no * 0.2) for no in range(25)]
+
+_NEAREST_SQL = f"""{_CTE},
+pts AS (
+  SELECT incident_id, county_no, latitude, longitude FROM incidents
+  WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+),
+centers(c_no, c_lat, c_lon) AS (VALUES
+  {", ".join(f"({no}, {lat!r}, {lon!r})" for no, lat, lon in _CENTERS)}
+),
+scored AS (
+  SELECT p.incident_id, p.county_no, c.c_no,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.incident_id
+           ORDER BY (p.latitude - c.c_lat) * (p.latitude - c.c_lat)
+                    + (p.longitude - c.c_lon) * (p.longitude - c.c_lon),
+                    c.c_no
+         ) AS rn
+  FROM pts p CROSS JOIN centers c
+)
+SELECT incident_id, county_no,
+       CAST(c_no AS INTEGER) AS nearest_county_no,
+       (county_no IS NOT NULL AND county_no = c_no) AS matches_recorded
+FROM scored WHERE rn = 1
+"""
+
+
+@query("inc_nearest_center", sql=_NEAREST_SQL, tags=("filter", "join", "geo"))
+def inc_nearest_center(spark, sf_dir):
+    """Nearest-county-center CLASSIFICATION — the geometric audit of
+    the recorded dimension FK (which incidents sit geographically in a
+    different county than their tag says; the reference's map/county
+    interplay, streamlit_app.py:141-146 + 375-376).  The 25 centers
+    are broadcast MODEL LITERALS frozen identically into both plans
+    (the hyperplane-LSH pattern), and the argmin is a single
+    zero-shuffle projection: an array of 25 (distance, county) structs
+    reduced by array_min with the county as tiebreaker — no fan-out
+    join, no window, O(rows·25) map work that scales embarrassingly.
+    The oracle takes the 25× cross-join + window form; identical
+    literals and expression order make the doubles — and therefore
+    the argmin — bit-equal."""
+    from trafik_etl_modular_spark.pipelines.incidents import build_incidents
+
+    inc = build_incidents(spark, sf_dir)
+    pts = inc.filter(
+        F.col("latitude").isNotNull() & F.col("longitude").isNotNull()
+    ).select("incident_id", "county_no", "latitude", "longitude")
+    candidates = F.array(
+        *[
+            F.struct(
+                (
+                    (F.col("latitude") - F.lit(lat)) * (F.col("latitude") - F.lit(lat))
+                    + (F.col("longitude") - F.lit(lon))
+                    * (F.col("longitude") - F.lit(lon))
+                ).alias("d"),
+                F.lit(no).alias("c"),
+            )
+            for no, lat, lon in _CENTERS
+        ]
+    )
+    nearest = F.array_min(candidates)["c"].cast("int")
+    return pts.select(
+        "incident_id",
+        "county_no",
+        nearest.alias("nearest_county_no"),
+        (
+            F.col("county_no").isNotNull() & (F.col("county_no") == nearest)
+        ).alias("matches_recorded"),
+    )
