@@ -62,3 +62,24 @@ def test_no_oracle_emits_hugeint(oracle_types):
         "HUGEINT in oracle final projection — DuckDB-version-dependent "
         f"pandas conversion broke the driver hash before: {offenders}"
     )
+
+
+# The complete type surface every oracle is allowed to emit: plain
+# fixed-width primitives whose DuckDB→pandas conversion has been
+# stable across versions.  DECIMAL deliberately excluded (it converts
+# to object/float inconsistently), as is every nested/exotic type —
+# a new query emitting one fails here before it can fail on the
+# driver.
+_ALLOWED = {
+    "BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE",
+    "TIMESTAMP", "TIMESTAMP_NS",
+}
+
+
+def test_oracle_type_surface_is_allowlisted(oracle_types):
+    offenders = {
+        name: [(c, t) for c, t in cols.items() if t.split("(")[0] not in _ALLOWED]
+        for name, cols in oracle_types.items()
+    }
+    offenders = {n: cs for n, cs in offenders.items() if cs}
+    assert not offenders, f"oracle emits non-allowlisted output type: {offenders}"
