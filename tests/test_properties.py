@@ -534,3 +534,64 @@ def test_bigram_lm_matches_reference(spark, texts):
         assert r["sum_q_e9"] == sum(ratios)
         assert r["mean_bigram_prob_e9"] == sum(ratios) // len(ratios)
         assert 0 < r["mean_bigram_prob_e9"] <= 1_000_000_000
+
+
+@_SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=9
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_novelty_curve_matches_reference(spark, texts):
+    """text_novelty_curve equals an exact Python first-occurrence
+    model under adversarial corpora: short docs (<3 tokens) drop out,
+    an exact duplicate of an earlier doc scores 0 novelty, the
+    min-doc_id doc with shingles is fully novel, and per-doc
+    (n_shingles, n_novel, novelty_e9) match the reference."""
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    # the registered query reads the fixture table; run the same
+    # operator body over the inline frame
+    from trafik_etl_modular_spark.llmdata.dedup import hashed_shingles
+
+    post = docs.select("doc_id", F.explode(hashed_shingles("text", 3)).alias("g"))
+    own = post.groupBy("g").agg(F.min("doc_id").alias("owner"))
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_e9"])
+        for r in post.join(own, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("owner") == F.col("doc_id")).cast("bigint")).alias("n_novel"),
+        )
+        .withColumn("novelty_e9", F.expr("(n_novel * 1000000000) DIV n_shingles"))
+        .collect()
+    }
+
+    # pure-Python reference: distinct word 3-grams per doc, first
+    # occurrence by doc_id owns the shingle
+    ref_sets = {}
+    for i, tx in enumerate(texts):
+        toks = tx.split(" ")
+        ref_sets[i] = {
+            " ".join(toks[j : j + 3]) for j in range(max(len(toks) - 2, 0))
+        }
+    owner = {}
+    for i in sorted(ref_sets):
+        for g in ref_sets[i]:
+            owner.setdefault(g, i)
+    expect = {
+        i: (
+            len(s),
+            sum(1 for g in s if owner[g] == i),
+            sum(1 for g in s if owner[g] == i) * 1_000_000_000 // len(s),
+        )
+        for i, s in ref_sets.items()
+        if s
+    }
+    assert got == expect, (got, expect, texts)
