@@ -1595,3 +1595,32 @@ def test_curation_v6_manifest_partitions_gated_corpus(spark, sf_dir):
     for lang, d in by_lang.items():
         n = d.get("train", 0) + d.get("holdout", 0)
         assert d.get("train", 0) == n * 8 // 10
+
+
+def test_bfs_hops_handcrafted_path(spark):
+    """BFS on a handcrafted path 1-2-3-4-5 (undirected): hops from 1
+    must be exact, and vertex 5 unreached within 3 rounds."""
+    from trafik_etl_modular_spark.queries.graph import bfs_hops
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u bigint, v bigint"
+    )
+    ee = e.unionByName(e.selectExpr("v AS u", "u AS v"))
+    got = {r["id"]: r["hop"] for r in bfs_hops(spark, ee, source=1, rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_pagerank_conserves_mass_and_ranks_hub_first(spark):
+    """On a star graph (hub 0 — leaves 1..4, undirected) the hub must
+    out-rank every leaf, leaves tie exactly, and total rank mass stays
+    1 (the graph is dangling-free by construction)."""
+    from trafik_etl_modular_spark.queries.graph import pagerank
+
+    e = spark.createDataFrame([(0, i) for i in range(1, 5)], "u bigint, v bigint")
+    ee = e.unionByName(e.selectExpr("v AS u", "u AS v"))
+    rows = {r["u"]: r["rank"] for r in pagerank(spark, ee, rounds=3).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert all(rows[0] > rows[i] for i in range(1, 5))
+    leaf_ranks = {rows[i] for i in range(1, 5)}
+    assert len(leaf_ranks) == 1
+    assert abs(sum(rows.values()) - 1.0) < 1e-9

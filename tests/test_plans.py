@@ -360,6 +360,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # panel — O(panel·k) map-side centroid ranking, shuffle-free;
         # the corpus side still joins on the equi bucket key.
         "sim_ann_recall_report",
+        "graph_pagerank_3iter",  # 1-row vertex-count N scalar per iteration
     }
     bad = []
     for name in sorted(REGISTRY):

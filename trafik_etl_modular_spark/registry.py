@@ -69,6 +69,7 @@ _QUERY_MODULES = [
     "trafik_etl_modular_spark.queries.skew",
     "trafik_etl_modular_spark.queries.temporal",
     "trafik_etl_modular_spark.queries.dq",
+    "trafik_etl_modular_spark.queries.graph",
 ]
 
 # The driver's correctness pass checks exactly the FIRST 50 queries in
