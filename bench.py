@@ -182,6 +182,11 @@ def main() -> int:
         from trafik_etl_modular_spark.queries.llmdata import _ivf_ensure_index
 
         _ivf_ensure_index(spark, sf_dir)
+        # The purchase-graph edge table is likewise ingest-time work
+        # (persisted once per snapshot; graph queries scan it).
+        from trafik_etl_modular_spark.queries.graph import ensure_edge_table
+
+        ensure_edge_table(spark, sf_dir)
         warm_sf = "/root/testdata/sf0.001"
         REGISTRY["source_xml_feed_roundtrip"].fn(spark, warm_sf).count()
         REGISTRY["streaming_sessionize_stateful"].fn(spark, warm_sf).count()
