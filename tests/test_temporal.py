@@ -130,3 +130,79 @@ def test_scd2_asof_lookup_edges(spark, sf_dir):
     assert max(counts.values()) == 1  # one row per fact
     assert any(r["version_id"] is None for r in rows)  # pre-history facts exist
     assert any(r["version_id"] is not None for r in rows)
+
+
+def test_nearest_join_directions_ties_and_tolerance(spark):
+    """nearest_join edge semantics: backward closer, forward closer,
+    exact-equal ts (diff 0 via the backward pass), a bd==fd tie
+    resolving to the EARLIER right row, candidates outside tolerance
+    ignored, and keys with no right rows null-padding."""
+    from trafik_etl_modular_spark.operators.temporal import nearest_join
+
+    left = _ts(
+        spark.createDataFrame(
+            [
+                (1, "k", "2024-01-01 10:00:00"),  # == R1 → diff 0
+                (2, "k", "2024-01-01 10:04:00"),  # R1 4min back vs R2 6min fwd
+                (3, "k", "2024-01-01 10:07:00"),  # R2 3min fwd vs R1 7min back
+                (4, "k", "2024-01-01 10:05:00"),  # exact tie → earlier (R1)
+                (5, "k", "2024-01-01 11:00:00"),  # nearest is 50min off → NULL
+                (6, "lone", "2024-01-01 10:00:00"),  # no rights for key
+            ],
+            "id long, k string, ts string",
+        ),
+        "ts",
+    )
+    right = _ts(
+        spark.createDataFrame(
+            [
+                ("k", "2024-01-01 10:00:00", 100),
+                ("k", "2024-01-01 10:10:00", 200),
+            ],
+            "k string, rts string, v long",
+        ),
+        "rts",
+    )
+    rows = nearest_join(
+        left,
+        right,
+        key="k",
+        left_ts="ts",
+        right_ts="rts",
+        value_cols=["v"],
+        tolerance_us=5 * 60 * 1_000_000,
+    ).collect()
+    got = {r["id"]: (r["v_nearest"], r["diff_us_nearest"]) for r in rows}
+    assert got == {
+        1: (100, 0),
+        2: (100, 4 * 60 * 1_000_000),
+        3: (200, 3 * 60 * 1_000_000),
+        4: (100, 5 * 60 * 1_000_000),  # tie at exactly ±5min → earlier
+        5: (None, None),
+        6: (None, None),
+    }
+    assert len(rows) == 6  # left outer: every left row exactly once
+
+
+def test_containment_asymmetry_and_threshold(spark):
+    """A short doc quoted inside a long one is flagged in the
+    short→long direction only; sub-threshold overlap and sub-minimum
+    shingle counts are dropped."""
+    from trafik_etl_modular_spark.llmdata.dedup import shingle_containment_pairs
+
+    quoted = "alpha bravo charlie delta echo foxtrot golf"  # 5 shingles
+    long_doc = quoted + " hotel india juliet kilo lima mike november oscar"
+    docs = spark.createDataFrame(
+        [
+            (1, quoted),
+            (2, long_doc),
+            (3, "zulu yankee xray whiskey victor uniform tango sierra"),
+            (4, "tiny doc"),  # 0 shingles at k=3
+        ],
+        "doc_id long, text string",
+    )
+    rows = shingle_containment_pairs(
+        docs, k=3, threshold_pct=80, min_shingles=5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["containment_pct"] for r in rows}
+    assert got == {(1, 2): 100}  # doc1 fully inside doc2; NOT (2,1)

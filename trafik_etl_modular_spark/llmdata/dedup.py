@@ -323,6 +323,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_pct: int = 80,
+    min_shingles: int = 5,
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs (Broder 1997's second
+    resemblance measure): C(a→b) = |S(a) ∩ S(b)| / |S(a)| — "how much
+    of a is inside b".  This is the detector symmetric Jaccard
+    structurally MISSES: a short document wholly quoted inside a long
+    one has containment 1.0 but Jaccard |a|/|b| → 0, which is exactly
+    the boilerplate/quotation/template-page regime of web-corpus
+    curation.
+
+    Same scale shape as :func:`ngram_jaccard_pairs` — inverted hashed
+    shingle index, equi-join on the shingle key, map-side-combinable
+    pair counts; docs sharing no shingle never pair.  The undirected
+    shared-count is assembled ONCE (id ordering halves the pair
+    shuffle), then both directed rows are derived map-side after the
+    aggregation.  All-integer comparison surface: the threshold is the
+    cross-multiplied integer inequality n_shared·100 ≥ pct·sz_a and
+    the reported percentage is integer division — no doubles anywhere.
+
+    Output: (id_a, id_b, sz_a, n_shared, containment_pct), one row per
+    DIRECTED pair with sz_a ≥ min_shingles (drops trivially-contained
+    stubs) and containment ≥ threshold_pct.
+    """
+    from trafik_etl_modular_spark.operators.partitions import fan_out
+
+    sh = fan_out(docs).select(
+        F.col(id_col), hashed_shingles(F.col(text_col), k).alias("s")
+    )
+    inv = sh.select(
+        F.col(id_col), F.size("s").alias("sz"), F.explode("s").alias("shingle")
+    ).localCheckpoint(eager=False)
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(
+            F.any_value(F.col("a.sz")).alias("sz_a"),
+            F.any_value(F.col("b.sz")).alias("sz_b"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    directed = shared.select("id_a", "id_b", "sz_a", "n_shared").unionByName(
+        shared.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            F.col("sz_b").alias("sz_a"),
+            "n_shared",
+        )
+    )
+    return directed.filter(
+        (F.col("sz_a") >= min_shingles)
+        & (F.col("n_shared") * 100 >= threshold_pct * F.col("sz_a"))
+    ).select(
+        "id_a",
+        "id_b",
+        "sz_a",
+        "n_shared",
+        F.expr("n_shared * 100 div sz_a").alias("containment_pct"),
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     docs: DataFrame,
     text_col: str = "text",

@@ -81,6 +81,104 @@ def asof_join(
     return out.filter(F.col("__is_left") == 1).drop("__is_left")
 
 
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_us: int,
+    suffix: str = "_nearest",
+) -> DataFrame:
+    """For each left row: the right row NEAREST in time within
+    ±tolerance on the same key (left outer; ties → the EARLIER right
+    row).  The bidirectional generalization of :func:`asof_join` —
+    pandas' ``merge_asof(direction='nearest', tolerance=...)``, which
+    Spark has no operator for.
+
+    Same single-shuffle shape as the as-of join: union-tag both
+    sides, sort each key's timeline once, then TWO window passes over
+    the one sorted partition — a backward ``last(ignorenulls)`` carry
+    and a forward ``first(ignorenulls)`` frame — and a map-side pick
+    of whichever candidate is closer and inside the tolerance.  Zero
+    row explosion: the naive form is an interval join whose candidate
+    set is every right row within ±tolerance (at 100 TB, a melt for
+    dense keys); this is one sort + two window scans.
+
+    Ordering puts right rows BEFORE left rows at equal timestamps, so
+    an exact-timestamp match is found by the backward pass (diff 0)
+    and the forward pass only sees strictly-later rows.  Right must
+    be one row per (key, ts) — same series precondition as as-of.
+
+    Output: left columns + ``{c}{suffix}`` for each value col +
+    ``diff_us{suffix}`` (BIGINT microseconds to the chosen row).
+    """
+    # cast through TIMESTAMP so TIMESTAMP_NTZ inputs get exact micros
+    # (session tz is pinned UTC)
+    def _us(c: str):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    rhs = right.select(
+        F.col(key),
+        _us(right_ts).alias("__ts_us"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__bk_{c}") for c in value_cols],
+        *[F.col(c).alias(f"__fw_{c}") for c in value_cols],
+        _us(right_ts).alias("__bk_ts"),
+        _us(right_ts).alias("__fw_ts"),
+    )
+    lhs = left.withColumn("__ts_us", _us(left_ts)).withColumn(
+        "__is_left", F.lit(1)
+    )
+    merged = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    order = [F.asc("__ts_us"), F.asc("__is_left")]
+    w_bk = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fw = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = merged.select(
+        "*",
+        F.last("__bk_ts", ignorenulls=True).over(w_bk).alias("__bk_ts_c"),
+        F.first("__fw_ts", ignorenulls=True).over(w_fw).alias("__fw_ts_c"),
+        *[
+            F.last(f"__bk_{c}", ignorenulls=True).over(w_bk).alias(f"__bk_{c}_c")
+            for c in value_cols
+        ],
+        *[
+            F.first(f"__fw_{c}", ignorenulls=True).over(w_fw).alias(f"__fw_{c}_c")
+            for c in value_cols
+        ],
+    ).filter(F.col("__is_left") == 1)
+
+    bd = F.col("__ts_us") - F.col("__bk_ts_c")
+    fd = F.col("__fw_ts_c") - F.col("__ts_us")
+    bk_ok = F.col("__bk_ts_c").isNotNull() & (bd <= F.lit(tolerance_us))
+    fw_ok = F.col("__fw_ts_c").isNotNull() & (fd <= F.lit(tolerance_us))
+    # tie (bd == fd) → backward, i.e. the earlier right row
+    use_bk = bk_ok & (~fw_ok | (bd <= fd))
+    use_fw = fw_ok & ~use_bk
+
+    picked = [
+        F.when(use_bk, F.col(f"__bk_{c}_c"))
+        .when(use_fw, F.col(f"__fw_{c}_c"))
+        .alias(f"{c}{suffix}")
+        for c in value_cols
+    ]
+    diff = (
+        F.when(use_bk, bd).when(use_fw, fd).cast("bigint").alias(f"diff_us{suffix}")
+    )
+    keep = [c for c in left.columns]
+    return carried.select(*keep, *picked, diff)
+
+
 def range_join_buckets(
     events: DataFrame,
     intervals: DataFrame,

@@ -493,3 +493,84 @@ def dq_drift_report(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_MAD_SQL = """
+WITH vals AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type, COUNT(*) AS n,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM vals GROUP BY event_type
+),
+dev AS (
+  SELECT v.event_type, m.n, m.med, ABS(v.value - m.med) AS dev
+  FROM vals v JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(ANY_VALUE(d.n) AS BIGINT) AS n,
+       (CAST(ROUND(ANY_VALUE(d.med) * 1e9) AS BIGINT) / 1e9) AS median_value,
+       (CAST(ROUND(ANY_VALUE(m.mad) * 1e9) AS BIGINT) / 1e9) AS mad_value,
+       CAST(COUNT(CASE WHEN CAST(0.6745 AS DOUBLE) * d.dev
+                            > CAST(3.5 AS DOUBLE) * m.mad THEN 1 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@query("dq_mad_outliers", sql=_MAD_SQL, tags=("quality", "agg", "percentile"))
+def dq_mad_outliers(spark, sf_dir):
+    """ROBUST per-group outlier report via median absolute deviation
+    (Iglewicz–Hoaglin modified z-score: |0.6745·(x − med)/MAD| > 3.5)
+    — the companion to dq_outlier_report's 3-sigma rule for columns
+    where outliers themselves corrupt mean/std (a single 10⁹ spike
+    inflates σ until nothing is an outlier; the median and MAD don't
+    move).  Two exact grouped percentiles (F.percentile ↔
+    percentile_cont, the bit-identical pair agg_exact_median_iqr
+    pins) with the per-group scalars broadcast back between passes;
+    the outlier test is multiplication-form (no division, NULL-safe
+    when MAD is NULL-degenerate).  Exact per-group median sorts
+    within groups — bounded group cardinality here; the sketch path
+    at open-ended scale is agg_approx_percentile_value."""
+    from trafik_etl_modular_spark.functions.scalars import fquant
+
+    vals = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = vals.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile("value", F.lit(0.5)).alias("med"),
+    )
+    dev = vals.join(F.broadcast(med), "event_type").select(
+        "event_type", "n", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n"),
+            fquant(F.any_value("med")).alias("median_value"),
+            fquant(F.any_value("mad")).alias("mad_value"),
+            F.count(
+                F.when(
+                    F.lit(0.6745) * F.col("dev") > F.lit(3.5) * F.col("mad"), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -286,3 +286,70 @@ def events_cohort_retention(spark, sf_dir):
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_LOCF_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         COUNT(*) AS n, {oracle_dsum('value', 2)} AS rev
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (
+  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM hourly GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+)
+SELECT s.event_type, s.hr,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+       h.n IS NULL AS is_gap,
+       h2.rev AS rev_filled
+FROM spine s
+LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
+ASOF LEFT JOIN hourly h2 ON s.event_type = h2.event_type AND s.hr >= h2.hr
+"""
+
+
+@query("events_hourly_locf", sql=_LOCF_SQL, tags=("agg", "window-time", "timeseries"))
+def events_hourly_locf(spark, sf_dir):
+    """Hourly RESAMPLE with last-observation-carried-forward gap fill
+    — the time-series alignment primitive (sensor grids, market
+    bars): aggregate to the hour, build each series' hour spine
+    engine-side (per-type bounds → sequence + explode, no driver
+    collect, no cross join — spine length = span, broadcast-sized),
+    left-join the observed hours, and carry the last observed value
+    across gaps with one `last(ignorenulls)` window pass per series.
+    Complements inc_daily_trend_gapfill (zero-fill): LOCF is the fill
+    rule where absence means "unchanged", not "zero".  Hourly sums
+    are exact decimal (`dsum`), so the carried doubles are identical
+    cross-engine; the oracle derives the same fill via DuckDB's
+    native ASOF join onto the spine — two independent formulations
+    of LOCF agreeing exactly.  One shuffle per pass; the window sort
+    is per-series and spine-sized."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").alias("n"), dsum("value", 2).alias("rev"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    joined = spine.join(hourly, ["event_type", "hr"], "left")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hr",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+        F.last("rev", ignorenulls=True).over(w).alias("rev_filled"),
+    )

@@ -20,6 +20,7 @@ from trafik_etl_modular_spark.llmdata.dedup import (
     remove_repeated_chunks,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_prefix,
+    shingle_containment_pairs,
     simhash_candidate_pairs,
     simhash_signatures,
 )
@@ -328,6 +329,58 @@ def dedup_jaccard_prefix(spark, sf_dir):
     so it shares the oracle."""
     docs = t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs_prefix(docs, k=3, threshold=0.6)
+
+
+_CONTAINMENT_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS s
+  FROM documents
+),
+inv AS (
+  SELECT doc_id, len(s) AS sz, UNNEST(s) AS shingle FROM sh
+),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b,
+         COUNT(*) AS n_shared
+  FROM inv a
+  JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+directed AS (
+  SELECT id_a, id_b, sz_a, n_shared FROM shared
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b, sz_b AS sz_a, n_shared FROM shared
+)
+SELECT CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b,
+       CAST(sz_a AS BIGINT) AS sz_a,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_shared * 100 // sz_a AS BIGINT) AS containment_pct
+FROM directed
+WHERE sz_a >= 5 AND n_shared * 100 >= 80 * sz_a
+"""
+
+
+@query("dedup_containment_pairs", sql=_CONTAINMENT_SQL, tags=("llmdata", "dedup"))
+def dedup_containment_pairs(spark, sf_dir):
+    """ASYMMETRIC shingle containment pairs — |S(a)∩S(b)| / |S(a)| ≥
+    80% (Broder 1997's containment measure): the quotation /
+    boilerplate / template-page detector symmetric Jaccard misses,
+    because a short doc fully embedded in a long one has containment
+    1.0 but vanishing Jaccard.  Same inverted-index scale shape as
+    the Jaccard pair queries (equi-join on the shingle key, never
+    all-pairs); the undirected shared-count shuffle is paid once and
+    both directions are derived map-side.  All-integer surface:
+    cross-multiplied threshold, integer-division percentage
+    (llmdata/dedup.py::shingle_containment_pairs)."""
+    docs = t(spark, sf_dir, "documents")
+    return shingle_containment_pairs(docs, k=3, threshold_pct=80, min_shingles=5)
 
 
 _INCREMENTAL_SQL = """

@@ -7,7 +7,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from trafik_etl_modular_spark.operators.temporal import asof_join, range_join_buckets
+from trafik_etl_modular_spark.operators.temporal import (
+    asof_join,
+    nearest_join,
+    range_join_buckets,
+)
 from trafik_etl_modular_spark.pipelines.incidents import build_incidents, incidents_cte_sql
 from trafik_etl_modular_spark.queries.common import t
 from trafik_etl_modular_spark.registry import query
@@ -164,4 +168,79 @@ def join_interval_overlap(spark, sf_dir):
             F.unix_micros(F.least("a_end", "b_end").cast("timestamp"))
             - F.unix_micros(F.greatest("a_start", "b_start").cast("timestamp"))
         ).alias("overlap_micros"),
+    )
+
+
+# Each ERROR event → the user's nearest CLICK within ±15 minutes
+# (nearest by |Δt| in exact microseconds; tie → the earlier click).
+_NEAREST_SQL = """
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clk AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+cand AS (
+  SELECT e.event_id, c.click_id, c.ts AS cts,
+         ABS(epoch_us(e.ts) - epoch_us(c.ts)) AS d
+  FROM err e JOIN clk c
+    ON e.user_id = c.user_id
+   AND c.ts BETWEEN e.ts - INTERVAL 15 MINUTE AND e.ts + INTERVAL 15 MINUTE
+),
+pick AS (
+  SELECT event_id, click_id, cts, d,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_id ORDER BY d, cts, click_id
+         ) AS rn
+  FROM cand
+)
+SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+       p.click_id AS click_id_nearest,
+       p.cts AS click_ts_nearest,
+       CAST(p.d AS BIGINT) AS diff_us_nearest
+FROM err e
+LEFT JOIN pick p ON e.event_id = p.event_id AND p.rn = 1
+"""
+
+
+@query("join_nearest_click_tolerance", sql=_NEAREST_SQL, tags=("join", "temporal"))
+def join_nearest_click_tolerance(spark, sf_dir):
+    """NEAREST-in-time join with tolerance (pandas merge_asof
+    direction='nearest'): every error event matched to the same
+    user's closest click within ±15 minutes, left outer, ties to the
+    earlier click.  The engine runs the single-shuffle bidirectional
+    carry (operators/temporal.py::nearest_join — one sort per key
+    timeline, a backward and a forward window pass, map-side pick);
+    the oracle runs the naive ±tolerance interval join + ROW_NUMBER
+    pick that DuckDB can afford at fixture scale, so the comparison
+    proves the carry trick IS the interval-join semantics.  Exact
+    integer microsecond distances — no float time math."""
+    ev = t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("error_ts")
+    )
+    clk = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("ts").alias("click_ts"), "click_id")
+    )
+    out = nearest_join(
+        err,
+        clk,
+        key="user_id",
+        left_ts="error_ts",
+        right_ts="click_ts",
+        value_cols=["click_id", "click_ts"],
+        tolerance_us=15 * 60 * 1_000_000,
+    )
+    return out.select(
+        "error_id",
+        "user_id",
+        "error_ts",
+        "click_id_nearest",
+        "click_ts_nearest",
+        "diff_us_nearest",
     )
