@@ -595,3 +595,98 @@ def test_novelty_curve_matches_reference(spark, texts):
         if s
     }
     assert got == expect, (got, expect, texts)
+
+
+@_SETTINGS
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=12),
+    right=st.lists(st.tuples(_key, _ts, st.integers(0, 999)), max_size=12),
+    tol=st.integers(min_value=0, max_value=20),
+)
+def test_nearest_join_matches_reference(spark, left, right, tol):
+    """nearest_join == brute-force 'closest right within ±tol, tie →
+    earlier right ts' on random keyed series (long ts = epoch
+    seconds; the operator works in exact microseconds)."""
+    from trafik_etl_modular_spark.operators.temporal import nearest_join
+
+    rmap: dict[tuple, int] = {}
+    for k, ts, v in right:
+        rmap[(k, ts)] = max(rmap.get((k, ts), -1), v)
+    rrows = [(k, ts, v) for (k, ts), v in sorted(rmap.items())]
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        "id long, k string, ts long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rdf = spark.createDataFrame(
+        rrows or [("zz", -1, 0)], "k string, rts long, v long"
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    got = {
+        r["id"]: r["v_nearest"]
+        for r in nearest_join(
+            ldf,
+            rdf,
+            key="k",
+            left_ts="ts",
+            right_ts="rts",
+            value_cols=["v"],
+            tolerance_us=tol * 1_000_000,
+        ).collect()
+    }
+
+    for i, (k, ts) in enumerate(left):
+        cands = [
+            (abs(rts - ts), rts, v)
+            for (rk, rts), v in rmap.items()
+            if rk == k and abs(rts - ts) <= tol
+        ]
+        expect = min(cands)[2] if cands else None
+        assert got[i] == expect, (i, k, ts, tol, sorted(cands))
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    pct=st.sampled_from([50, 80, 100]),
+)
+def test_containment_pairs_match_set_reference(spark, docs, pct):
+    """shingle_containment_pairs == brute-force directed containment
+    over exact shingle SETS (min_shingles=1 so every nonempty set
+    participates)."""
+    from trafik_etl_modular_spark.llmdata.dedup import shingle_containment_pairs
+
+    texts = [" ".join(words) for words in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["sz_a"], r["n_shared"], r["containment_pct"])
+        for r in shingle_containment_pairs(
+            df, k=3, threshold_pct=pct, min_shingles=1
+        ).collect()
+    }
+
+    def shingles(words):
+        return {
+            " ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 0))
+        }
+
+    sets = [shingles(w) for w in docs]
+    expect = {}
+    for a in range(len(docs)):
+        for b in range(len(docs)):
+            if a == b or not sets[a]:
+                continue
+            shared = len(sets[a] & sets[b])
+            if shared * 100 >= pct * len(sets[a]):
+                expect[(a, b)] = (
+                    len(sets[a]),
+                    shared,
+                    shared * 100 // len(sets[a]),
+                )
+    assert got == expect, (texts, pct)
