@@ -612,6 +612,135 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
+_GOLDEN_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS s
+  FROM documents
+),
+inv AS (
+  SELECT doc_id, len(s) AS sz, UNNEST(s) AS shingle FROM sh
+),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b,
+         COUNT(*) AS n_shared
+  FROM inv a
+  JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM shared
+  WHERE CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared) >= 0.6
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(id, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, w.r FROM walk w JOIN edges e ON e.u = w.id
+),
+cc AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY id
+),
+members AS (
+  SELECT cc.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+  FROM cc JOIN documents d USING (doc_id)
+),
+base AS (
+  SELECT cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MAX(n_chars) AS BIGINT) AS max_n_chars,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM members GROUP BY cluster_id
+),
+lang_mode AS (
+  SELECT cluster_id, lang AS canonical_lang FROM (
+    SELECT cluster_id, lang,
+           ROW_NUMBER() OVER (
+             PARTITION BY cluster_id ORDER BY COUNT(*) DESC, lang
+           ) AS rn
+    FROM members GROUP BY cluster_id, lang
+  ) WHERE rn = 1
+),
+src_mode AS (
+  SELECT cluster_id, source AS canonical_source FROM (
+    SELECT cluster_id, source,
+           ROW_NUMBER() OVER (
+             PARTITION BY cluster_id ORDER BY COUNT(*) DESC, source
+           ) AS rn
+    FROM members GROUP BY cluster_id, source
+  ) WHERE rn = 1
+)
+SELECT b.cluster_id, b.n_members, l.canonical_lang, s.canonical_source,
+       b.max_n_chars, b.total_chars
+FROM base b
+JOIN lang_mode l USING (cluster_id)
+JOIN src_mode s USING (cluster_id)
+"""
+
+
+@query("dedup_golden_record", sql=_GOLDEN_SQL, tags=("llmdata", "dedup"))
+def dedup_golden_record(spark, sf_dir):
+    """SURVIVORSHIP over duplicate clusters — the MDM "golden record"
+    step after entity resolution: near-dup clusters (same CC as
+    dedup_clusters) collapsed to ONE canonical row each, attributes
+    merged by explicit rules — EXACT GROUPED MODE with deterministic
+    lexicographic tiebreak for lang/source (two hash aggregations +
+    a window over the group-bounded count frame — never collect_list,
+    so a hot cluster can't blow a task), MAX/SUM for the numeric
+    fields.  Cluster ids and member sets are the independently
+    verified dedup_clusters output; this query adds the merge
+    policy.  Work ∝ members of multi-doc clusters (~10⁻² of corpus
+    rows at fixture scale), one equi-join back to the documents
+    relation for attributes."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.6).localCheckpoint(eager=False)
+    cc = connected_components(pairs, "id_a", "id_b", n_partitions=8)
+    members = cc.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")).join(
+        docs.select("doc_id", "lang", "source", "n_chars"), "doc_id"
+    )
+    base = members.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.max("n_chars").cast("bigint").alias("max_n_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+    def _mode_of(col: str, out: str):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("cnt"), F.asc(col)
+        )
+        return (
+            members.groupBy("cluster_id", col)
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cluster_id", F.col(col).alias(out))
+        )
+
+    return (
+        base.join(_mode_of("lang", "canonical_lang"), "cluster_id")
+        .join(_mode_of("source", "canonical_source"), "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "canonical_lang",
+            "canonical_source",
+            "max_n_chars",
+            "total_chars",
+        )
+    )
+
+
 def _minhash_oracle_sql(sf_dir: str) -> str:
     """DERIVED oracle for MinHash-LSH: the sketch (xxhash64 MinHash
     signatures → band buckets) is the only engine-specific part, so
