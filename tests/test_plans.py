@@ -361,6 +361,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # the corpus side still joins on the equi bucket key.
         "sim_ann_recall_report",
         "graph_pagerank_3iter",  # 1-row vertex-count N scalar per iteration
+        # 2-row probe panel broadcast — map-side cosine scoring, the
+        # same shape as the recall report's panel
+        "sim_rank_fusion_rrf",
     }
     bad = []
     for name in sorted(REGISTRY):

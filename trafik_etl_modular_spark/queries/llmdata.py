@@ -1252,6 +1252,95 @@ def sim_ann(spark, sf_dir):
     return bucketed_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
 
 
+_RRF_SQL = f"""
+WITH cand AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id NOT IN (0, 1)
+),
+q0 AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+q1 AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1),
+r0 AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (
+           ORDER BY {_cos_sql('cand.embedding', 'q0.qvec')} DESC, vec_id
+         ) AS r
+  FROM cand, q0
+),
+r1 AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (
+           ORDER BY {_cos_sql('cand.embedding', 'q1.qvec')} DESC, vec_id
+         ) AS r
+  FROM cand, q1
+),
+u AS (
+  SELECT vec_id, r FROM r0 WHERE r <= 50
+  UNION ALL
+  SELECT vec_id, r FROM r1 WHERE r <= 50
+),
+fused AS (
+  SELECT vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lists,
+         CAST(MIN(r) AS BIGINT) AS best_rank,
+         SUM(CAST(1.0 AS DOUBLE) / (60 + r)) AS rrf
+  FROM u GROUP BY vec_id
+)
+SELECT vec_id, n_lists, best_rank,
+       (CAST(ROUND(rrf * 1e12) AS BIGINT) / 1e12) AS rrf_q
+FROM fused
+ORDER BY rrf DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("sim_rank_fusion_rrf", sql=_RRF_SQL, tags=("llmdata", "similarity", "topk"))
+def sim_rank_fusion_rrf(spark, sf_dir):
+    """RECIPROCAL RANK FUSION (Cormack & Clarke 2009) of two retrieval
+    rankings — the standard hybrid-retrieval merge (dense + sparse,
+    or multi-query): candidates ranked independently against probes
+    vec_id 0 and 1, each list cut to its top-50, fused by
+    Σ 1/(60 + rank) with docs missing from a list contributing
+    nothing.  Fusion consumes ONLY integer ranks, so the fused score
+    is deterministic regardless of float-cosine ulps; the two-term
+    sum is commutative-safe.  One 2-row broadcast probe panel scores
+    the corpus map-side (BNLJ allowlist), one window rank per list,
+    one hash-agg fuse — at scale the per-list rankings come straight
+    from the ANN index's top-K output (sim_ann_ivf_probe) and fusion
+    stays a rank-only agg over K·lists rows per probe."""
+    from pyspark.sql import Window
+
+    from trafik_etl_modular_spark.llmdata.similarity import cosine, to_double_array
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("qid"), to_double_array("embedding").alias("qvec")
+    )
+    cand = emb.filter(~F.col("vec_id").isin(0, 1)).select(
+        "vec_id", to_double_array("embedding").alias("vec")
+    )
+    scored = cand.join(F.broadcast(probes)).select(
+        "vec_id", "qid", cosine(F.col("vec"), F.col("qvec")).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ranked = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 50)
+    fused = ranked.groupBy("vec_id").agg(
+        F.count("*").cast("bigint").alias("n_lists"),
+        F.min("r").cast("bigint").alias("best_rank"),
+        F.sum(F.lit(1.0) / (F.lit(60) + F.col("r"))).alias("rrf"),
+    )
+    from trafik_etl_modular_spark.functions.scalars import fquant
+
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("vec_id"))
+        .limit(10)
+        .select(
+            "vec_id",
+            "n_lists",
+            "best_rank",
+            fquant(F.col("rrf"), 12).alias("rrf_q"),
+        )
+    )
+
+
 def _embeddings_fingerprint(sf_dir: str) -> str:
     """Content fingerprint (names + sizes + mtimes) of the embeddings
     fixture, so a regenerated fixture gets a NEW index path instead of
