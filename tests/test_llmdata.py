@@ -641,6 +641,46 @@ def test_grouped_map_matches_native_window(spark, sf_dir):
     assert arrow == native
 
 
+def test_trimmed_mean_udaf_matches_exact_model(spark, sf_dir):
+    """GROUPED_AGG pandas UDAF trimmed mean must equal the exact
+    driver-side model (sort, drop n//10 from each end, int sum, one
+    double division) per group — including a singleton group and one
+    exactly at the trim boundary."""
+    from trafik_etl_modular_spark.operators.grouped import (
+        group_size_agg,
+        trimmed_mean_agg,
+    )
+
+    rows = (
+        [("a", v) for v in [10, 1, 100, 5, 5, 7, 3, 2, 9, 4]]  # n=10 → trims 1+1
+        + [("b", 42)]  # singleton → trims nothing
+        + [("c", v) for v in [1, 2, 3]]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["n"], r["tm"])
+        for r in df.groupBy("g")
+        .agg(group_size_agg("v").alias("n"), trimmed_mean_agg("v").alias("tm"))
+        .collect()
+    }
+
+    def model(vals):
+        s = sorted(vals)
+        k = len(s) // 10
+        core = s[k : len(s) - k]
+        return float(sum(core)) / float(len(core))
+
+    want = {
+        (g, len(vs), model(vs))
+        for g, vs in {
+            "a": [10, 1, 100, 5, 5, 7, 3, 2, 9, 4],
+            "b": [42],
+            "c": [1, 2, 3],
+        }.items()
+    }
+    assert got == want
+
+
 def test_kmeans_empty_cluster_repair_distinct_seeds():
     """Simultaneously-empty clusters must reseed to DISTINCT points
     (advisor r3: reseeding them all to the single farthest point left

@@ -318,6 +318,101 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
+def test_graph_broadcast_gate_switches_to_shuffle_join(spark, sf_dir):
+    """The iterative graph rounds broadcast the vertex-bounded
+    frontier/rank frame ONLY under the vertex-count gate (r06 verdict:
+    an unconditional broadcast of a 10⁹-vertex frame is an OOM, not a
+    plan choice).  With the gate forced closed (limit=0) and
+    auto-broadcast off (simulating at-scale size statistics), neither
+    algorithm may plan a BroadcastHashJoin — every per-round join must
+    be a shuffle join against the edge table; pagerank's 1-row
+    vertex-count scalar is the only broadcast left.  The default gate
+    (fixture-scale vertex counts) must still broadcast."""
+    from trafik_etl_modular_spark.queries.graph import (
+        _edges,
+        bfs_hops,
+        pagerank,
+    )
+
+    ee = _edges(spark, sf_dir)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # checkpoint=False keeps all rounds in one inspectable plan
+        # (the production eager checkpoint truncates explain output).
+        big_bfs = _explain(
+            bfs_hops(
+                spark,
+                ee,
+                source=2,
+                rounds=2,
+                broadcast_vertex_limit=0,
+                checkpoint=False,
+            ),
+            "simple",
+        )
+        assert "BroadcastHashJoin" not in big_bfs, big_bfs
+        assert "SortMergeJoin" in big_bfs, big_bfs
+        big_pr = _explain(
+            pagerank(spark, ee, rounds=2, broadcast_vertex_limit=0), "simple"
+        )
+        assert "BroadcastHashJoin" not in big_pr, big_pr
+        assert "SortMergeJoin" in big_pr, big_pr
+        # 1-row N scalar stays broadcast at any scale — BNLJ only.
+        small_bfs = _explain(
+            bfs_hops(spark, ee, source=2, rounds=2, checkpoint=False), "simple"
+        )
+        assert "BroadcastHashJoin" in small_bfs, small_bfs
+        small_pr = _explain(pagerank(spark, ee, rounds=2), "simple")
+        assert "BroadcastHashJoin" in small_pr, small_pr
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_graph_gated_path_values_match_broadcast_path(spark, sf_dir):
+    """The shuffle-join (big-graph) path must return byte-identical
+    results to the broadcast path — the gate changes the physical
+    join strategy, never the algorithm."""
+    from trafik_etl_modular_spark.queries.graph import _edges, bfs_hops, pagerank
+
+    ee = _edges(spark, sf_dir)
+    via_b = sorted(
+        (r["id"], r["hop"]) for r in bfs_hops(spark, ee, 2, 3).collect()
+    )
+    via_s = sorted(
+        (r["id"], r["hop"])
+        for r in bfs_hops(spark, ee, 2, 3, broadcast_vertex_limit=0).collect()
+    )
+    assert via_b == via_s
+    pr_b = {r["u"]: r["rank"] for r in pagerank(spark, ee, 2).collect()}
+    pr_s = {
+        r["u"]: r["rank"]
+        for r in pagerank(spark, ee, 2, broadcast_vertex_limit=0).collect()
+    }
+    assert pr_b == pr_s  # dsum makes the sums order-independent, so exact
+
+
+def test_registry_wide_global_window_invariant(spark, sf_dir):
+    """No registered query may plan an UNPARTITIONED Window over
+    unbounded input (r06 verdict ask #5): the benign cases
+    (vocab_coverage_curve etc.) sit above an Aggregate/Limit that
+    reduces the frame to O(groups) rows first, and this test turns
+    that from a docstring claim into a guarded invariant — a future
+    query accidentally running a global row_number over a fact table
+    fails the suite, not the cluster."""
+    from trafik_etl_modular_spark.plans.audit import unbounded_global_windows
+
+    _load_all()
+    bad = []
+    for name in sorted(REGISTRY):
+        if name.startswith(("streaming_", "source_xml")):
+            continue  # execute eagerly / Python data source
+        violations = unbounded_global_windows(REGISTRY[name].fn(spark, sf_dir))
+        if violations:
+            bad.append((name, violations))
+    assert not bad, bad
+
+
 def test_registry_wide_plan_hygiene(spark, sf_dir):
     """Every registered query's plan, audited at once: no cartesian
     product, and no Python-on-executor node of ANY type (row UDF,
@@ -341,6 +436,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "multimodal_extract_features": {"MapInPandas"},  # Python image codec
         "multimodal_frame_sample": {"MapInPandas"},  # Python frame sampler
         "pergroup_percent_rank": {"FlatMapGroupsInPandas"},  # applyInPandas demo
+        # GROUPED_AGG pandas UDAF (trimmed mean) — §2.10's fourth UDF
+        # shape; node name differs by Spark major version
+        "text_trimmed_mean_tokens": {"AggregateInPandas", "ArrowAggregatePython"},
     }
     broadcast_scalar_ok = {
         "filter_quality_quantile",  # global P90 threshold row

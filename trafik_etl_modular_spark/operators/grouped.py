@@ -17,8 +17,59 @@ rules non-negotiable:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def trimmed_mean_agg(col: Column | str, trim_num: int = 1, trim_den: int = 10) -> Column:
+    """GROUPED_AGG pandas UDF (SURVEY.md §2.10 — the fourth public UDF
+    shape alongside scalar pandas UDF, applyInPandas, and @udtf): a
+    per-group TRIMMED MEAN over an integer metric column, dropping the
+    lowest and highest ``floor(n·trim_num/trim_den)`` values.
+
+    Why a UDAF at all: a trimmed mean needs the group's sorted value
+    multiset, which built-in aggregates can't stream; the Arrow path
+    ships each group's metric column (ints only — never the document
+    text) into one Python worker.  Execution shape and scale rules are
+    the same as grouped-map (one hash shuffle on the group key, group
+    must fit a task — group here is a bounded source/language stratum);
+    note GROUPED_AGG does NOT partial-aggregate, so keep the shipped
+    column narrow.
+
+    Determinism discipline: the trim count is INTEGER arithmetic
+    (``n·num // den`` — no float fraction), the kept multiset depends
+    only on values (ties are interchangeable under sum), the sum is
+    exact int64, and the mean is ONE IEEE double division — the exact
+    recipe ``CAST(SUM(core) AS DOUBLE) / COUNT(core)`` any ANSI engine
+    reproduces bit-for-bit."""
+
+    @F.pandas_udf("double")
+    def _trimmed_mean(v: pd.Series) -> float:
+        a = np.sort(v.to_numpy(np.int64))
+        k = len(a) * trim_num // trim_den
+        core = a[k : len(a) - k]
+        return float(int(core.sum())) / float(len(core))
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _trimmed_mean(c)
+
+
+def group_size_agg(col: Column | str) -> Column:
+    """GROUPED_AGG pandas UDF group size.  Exists because Spark bans
+    mixing a group-aggregate pandas UDF with built-in aggregates in
+    one ``agg()`` (INVALID_PANDAS_UDF_PLACEMENT) — so any count that
+    must sit NEXT TO a pandas UDAF has to ride the same Arrow path.
+    Both UDAFs share the one hash shuffle / AggregateInPandas node."""
+
+    @F.pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return int(len(v))
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _n(c)
 
 
 def percent_rank_by_group(

@@ -49,7 +49,8 @@ PYTHON_PLAN_NODES: tuple[str, ...] = (
     "FlatMapGroupsInPandas",  # groupBy().applyInPandas
     "FlatMapCoGroupsInPandas",  # cogroup().applyInPandas
     "MapInArrow",  # df.mapInArrow / PythonMapInArrow
-    "AggregateInPandas",  # pandas grouped-agg path
+    "AggregateInPandas",  # pandas grouped-agg path (Spark ≤3 node name)
+    "ArrowAggregatePython",  # pandas grouped-agg path (Spark 4 node name)
     "PythonDataSource",  # custom Python DataSource scan
 )
 
@@ -111,3 +112,52 @@ def audit(df: DataFrame) -> PlanAudit:
         take_ordered="TakeOrderedAndProject" in simple,
         python_plan_nodes=py_nodes,
     )
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Global-window invariant check (r06 verdict ask #5): every
+    UNPARTITIONED logical Window node must sit above an Aggregate or
+    a Limit — i.e. its input is already reduced to O(groups)/O(k)
+    rows — because an unpartitioned window over a fact table is a
+    single-task sort of the whole input (the one shape that cannot
+    scale no matter what the cluster looks like).
+
+    Walks the OPTIMIZED LOGICAL plan via py4j (physical text parsing
+    can't see partitionSpec reliably, and the logical tree is AQE-
+    independent).  Returns a violation string per offending Window
+    node; empty list = invariant holds."""
+
+    def children(node):
+        seq = node.children()
+        return [seq.apply(i) for i in range(seq.length())]
+
+    def subtree_is_bounded(node) -> bool:
+        name = node.nodeName()
+        if name in ("Aggregate", "GlobalLimit", "LocalLimit", "OneRowRelation"):
+            return True
+        # LocalRelation literals (createDataFrame fixtures) are bounded.
+        if name == "LocalRelation":
+            return True
+        kids = children(node)
+        if not kids:
+            return False  # reached a scan with no reduction above it
+        # Every path from the window down to a leaf must cross a
+        # reduction — a join of one aggregated side with a raw fact
+        # scan is still unbounded on the fact side.
+        return all(subtree_is_bounded(k) for k in kids)
+
+    bad: list[str] = []
+
+    def walk(node):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            for k in children(node):
+                if not subtree_is_bounded(k):
+                    bad.append(
+                        "unpartitioned Window over unbounded input: "
+                        + node.simpleString(120)
+                    )
+        for k in children(node):
+            walk(k)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad

@@ -66,18 +66,57 @@ GROUP BY hop ORDER BY hop
 """
 
 
-def bfs_hops(spark, ee, source: int, rounds: int):
+# Max rows of a vertex-keyed frame we'll hint into a broadcast: ~5M
+# (id, hop) / (u, deg, rank) rows is ~100-200 MB serialized — around
+# Spark's practical broadcast ceiling.  Below it, each iterative round
+# is a map-side join over the edge scan; above it (a 10⁹-vertex graph
+# would OOM the driver and every executor), the rounds shuffle-join
+# against the co-partitioned 32-file edge table instead — the gate is
+# a runtime row-count condition, not a docstring promise.
+BROADCAST_VERTEX_LIMIT = 5_000_000
+
+
+def count_vertices(ee) -> int:
+    """Approximate vertex count of a symmetric edge frame — the gate
+    input.  approx_count_distinct is a map-side-combined HLL sketch
+    (one scalar to the driver, no exact-distinct shuffle); a ±2% RSD
+    is irrelevant to a 5M-row threshold."""
+    return int(ee.agg(F.approx_count_distinct("u").alias("n")).first()["n"])
+
+
+def _vertex_gate(df, n_vertices: int, limit: int):
+    """Broadcast-hint a vertex-bounded frame only when the vertex
+    count says it fits; otherwise return it unhinted so the round
+    plans a shuffle join (and AQE may still locally convert a
+    genuinely small runtime side)."""
+    return F.broadcast(df) if n_vertices <= limit else df
+
+
+def bfs_hops(
+    spark,
+    ee,
+    source: int,
+    rounds: int,
+    n_vertices: int | None = None,
+    broadcast_vertex_limit: int = BROADCAST_VERTEX_LIMIT,
+    checkpoint: bool = True,
+):
     """Fixed-round BFS distance relaxation over an edge frame
     (u bigint, v bigint): d_{k+1}(x) = min(d_k(x), min_{u→x} d_k(u)+1).
-    Returns (id, hop) for every vertex reached within `rounds`."""
+    Returns (id, hop) for every vertex reached within `rounds`.
+    ``checkpoint=False`` keeps the full round lineage in one plan —
+    for plan tests only (production rounds cut lineage eagerly)."""
+    if n_vertices is None:
+        n_vertices = count_vertices(ee)
     d = spark.createDataFrame([(source, 0)], "id bigint, hop int")
     for _ in range(rounds):
-        # The reached set is VERTEX-bounded (tiny next to the edge
-        # table) — broadcast it so each round is a map-side join over
-        # the edge scan; the only shuffle is the min-agg on (id, hop)
-        # partials, map-side combined to ~|V| rows per task.
+        # The reached set is VERTEX-bounded — when the whole vertex
+        # set fits the broadcast gate, each round is a map-side join
+        # over the edge scan and the only shuffle is the min-agg on
+        # (id, hop) partials, map-side combined to ~|V| rows per task.
+        # Past the gate, the frontier shuffle-joins the edge table.
         relaxed = d.unionByName(
-            F.broadcast(d)
+            _vertex_gate(d, n_vertices, broadcast_vertex_limit)
             .join(ee, d.id == ee.u)
             .select(F.col("v").alias("id"), (F.col("hop") + 1).alias("hop"))
         )
@@ -86,40 +125,57 @@ def bfs_hops(spark, ee, source: int, rounds: int):
         # final job (measured 3.2× slower at sf0.1); eager pays the
         # ~|V|-row materialization once and keeps plan depth constant
         # in the number of rounds.
-        d = (
-            relaxed.groupBy("id")
-            .agg(F.min("hop").alias("hop"))
-            .localCheckpoint(eager=True)
-        )
+        d = relaxed.groupBy("id").agg(F.min("hop").alias("hop"))
+        if checkpoint:
+            d = d.localCheckpoint(eager=True)
     return d
 
 
-def pagerank(spark, ee, rounds: int = 3):
+def pagerank(
+    spark,
+    ee,
+    rounds: int = 3,
+    n_vertices: int | None = None,
+    broadcast_vertex_limit: int = BROADCAST_VERTEX_LIMIT,
+):
     """Fixed-round damped PageRank over an edge frame (u, v); returns
     (u, deg, rank) with DECIMAL(38,18)-exact per-round contribution
     sums (see graph_pagerank_3iter)."""
     from trafik_etl_modular_spark.functions.scalars import dsum
 
+    if n_vertices is None:
+        n_vertices = count_vertices(ee)
     deg = ee.groupBy("u").agg(F.count("*").alias("deg"))
     n_row = deg.agg(F.count("*").alias("n"))
     r = deg.crossJoin(F.broadcast(n_row)).select(
         "u", "deg", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
     )
     for _ in range(rounds):
-        # rank/deg frames are vertex-bounded — broadcast both sides of
-        # the per-round joins; each round is then one edge scan plus
-        # one map-side-combined (v, contribution) shuffle.  No
-        # per-round lineage cut: 3 unrolled rounds is one shallow
-        # Catalyst plan (eager checkpoints measured 2.7× slower —
-        # three synchronous materialization stalls); cut lineage into
-        # a persisted rank table only when the round count grows.
+        # rank/deg frames are vertex-bounded — under the broadcast
+        # gate, both sides of the per-round joins broadcast and each
+        # round is one edge scan plus one map-side-combined
+        # (v, contribution) shuffle; past the gate every round is a
+        # co-partitioned shuffle join against the 32-file edge table
+        # (the 1-row vertex-count scalar stays broadcast at any
+        # scale).  No per-round lineage cut: 3 unrolled rounds is one
+        # shallow Catalyst plan (eager checkpoints measured 2.7×
+        # slower — three synchronous materialization stalls); cut
+        # lineage into a persisted rank table only when the round
+        # count grows.
         contrib = ee.join(
-            F.broadcast(r.select("u", (F.col("rank") / F.col("deg")).alias("c"))),
+            _vertex_gate(
+                r.select("u", (F.col("rank") / F.col("deg")).alias("c")),
+                n_vertices,
+                broadcast_vertex_limit,
+            ),
             "u",
         ).select("v", "c")
         summed = contrib.groupBy("v").agg(dsum("c", 18).alias("s"))
         r = (
-            deg.join(F.broadcast(summed), deg.u == summed.v)
+            deg.join(
+                _vertex_gate(summed, n_vertices, broadcast_vertex_limit),
+                deg.u == summed.v,
+            )
             .crossJoin(F.broadcast(n_row))
             .select(
                 deg.u.alias("u"),

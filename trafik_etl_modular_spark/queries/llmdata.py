@@ -55,7 +55,7 @@ from trafik_etl_modular_spark.llmdata.text import (
     tokens,
     top_bigram_count,
 )
-from trafik_etl_modular_spark.functions.scalars import fquant
+from trafik_etl_modular_spark.functions.scalars import fquant, oracle_fquant
 from trafik_etl_modular_spark.operators.grouped import percent_rank_by_group
 from trafik_etl_modular_spark.queries.common import t
 from trafik_etl_modular_spark.registry import query
@@ -168,6 +168,59 @@ def text_fingerprint(spark, sf_dir):
 
     docs = fan_out(t(spark, sf_dir, "documents"))
     return docs.select("doc_id", char_fingerprint("text").alias("fingerprint"))
+
+
+_TRIMMED_MEAN_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(len(string_split(text, ' ')) AS BIGINT)) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       {oracle_fquant('CAST(SUM(n_tok) AS DOUBLE) / COUNT(*)')} AS trimmed_mean_tok
+FROM scored
+WHERE rn > n * 1 // 10 AND rn <= n - n * 1 // 10
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("text_trimmed_mean_tokens", sql=_TRIMMED_MEAN_SQL, tags=("llmdata", "text", "udaf"))
+def text_trimmed_mean_tokens(spark, sf_dir):
+    """Per-source 10%-trimmed mean token count — the robust corpus
+    length signal a mixture designer reads instead of a mean that one
+    pathological document can drag.  This is the engine's GROUPED_AGG
+    pandas UDF exposure (SURVEY.md §2.10 — the fourth public UDF shape
+    after scalar pandas UDF, applyInPandas, and @udtf; the reference
+    itself has no UDAFs, so the surface is demonstrated on the
+    documents table): a trimmed mean needs the group's sorted value
+    multiset, which no built-in aggregate streams.  Only the integer
+    token counts ride the Arrow batch — the text never leaves the JVM
+    — and the group count rides the same AggregateInPandas node
+    because Spark bans mixing pandas UDAFs with built-in aggregates.
+    Determinism: integer trim bound (n//10), exact int64 sum, one IEEE
+    division, fquant'd — the DuckDB oracle re-derives the same kept
+    multiset via ROW_NUMBER and the same single division."""
+    from trafik_etl_modular_spark.operators.grouped import (
+        group_size_agg,
+        trimmed_mean_agg,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select("source", token_count("text").cast("long").alias("n_tok"))
+    return (
+        d.groupBy("source")
+        .agg(
+            group_size_agg("n_tok").alias("n_docs"),
+            fquant(trimmed_mean_agg("n_tok", 1, 10)).alias("trimmed_mean_tok"),
+        )
+        .orderBy("source")
+    )
 
 
 _REPETITION_SQL = """

@@ -80,85 +80,81 @@ _QUERY_MODULES = [
 # window (a pytest asserts registry[0:50] == DRIVER_WINDOW).  Every
 # name here is oracle-bearing.
 #
-# Round-6 rotation.  Slots 1–4: the four queries red in r04/r05 —
-# root cause found and fixed this round (their oracles' final
-# projections contained DuckDB HUGEINT columns, whose pandas
-# conversion is DuckDB-version-dependent; every green oracle had
-# none — see forensics/README.md and tests/test_oracle_types.py).
-# Slot 5: source_file_provenance, the only oracle-bearing query with
-# no driver row in any round (registered after the round-5 window was
-# pinned).  Slots 6–7: the two capstones whose surfaces changed with
-# the e9-integer LM rewrite and therefore need fresh stamps.  Slots
-# 8–10: the three sketch aggregates, oracle-bearing for the first
-# time via error-bound certificates (round-5 verdict ask #6).  Slots
-# 11–44: 34 of the 35 queries whose newest driver-green stamp is
-# round 2 (18 TPC-H, the cube/pivot/rollup/unpivot/median/value-stats
-# aggregate family, 3 filters, 4 incident queries) —
-# agg_distinct_users_per_type sits out because its exact-distinct
-# semantics are re-verified verbatim inside both new certificate
-# queries' exact_users columns on the same table.  Slots 45–50: the
-# six round-6 additions (ANN recall report, snapshot-drift monitor,
-# curation v6 capstone, n-gram novelty curve, cumulative-distinct
-# window, audience-overlap matrix), never sampled before.
+# Round-7 rotation (verdict r06 ask #1).  Slots 1–9: the nine
+# queries registered after the round-6 window was pinned — the only
+# oracle-bearing queries with no driver row in ANY round (all
+# judge-green in the round-6 independent sweep).  Slot 10: the new
+# round-7 GROUPED_AGG pandas-UDAF query (SURVEY §2.10 fourth UDF
+# shape), never sampled.  Slots 11–38: the full stale cohort — the
+# one r02 stamp (agg_distinct_users_per_type, sat out round 6 because
+# its semantics ride inside the certificate queries; the verdict asked
+# for its own row anyway) plus all 27 queries whose newest driver
+# stamp is r03 (windows, JSON/events, setops, early text/dedup/ANN,
+# early streaming, skew-salting, dq expectations).  Slots 39–50:
+# twelve r04-stamped refreshers chosen for family diversity (merge,
+# exact dedup, temporal joins, dq profile, the XML source pair, the
+# v1 curation capstone, two streaming, the flagship, the grouped-map
+# Arrow demo) so no family's newest stamp ages past two rounds.
 DRIVER_WINDOW: list[str] = [
-    # --- red in r04/r05, HUGEINT oracle fix this round ------------------
-    "dedup_chunk_crossdoc",
-    "text_unigram_lm_score",
-    "text_bigram_lm_score",
-    "curation_pipeline_v3",
-    # --- never driver-sampled ------------------------------------------
-    "source_file_provenance",
-    # --- surfaces changed by the e9-integer LM rewrite ------------------
-    "curation_pipeline_v2",
-    "curation_pipeline_v5",
-    # --- newly oracle-bearing sketch aggregates (error-bound certs) -----
-    "agg_approx_distinct_users",
-    "agg_hll_mergeable_rollup",
-    "agg_approx_percentile_value",
-    # --- newest stamp r02: TPC-H ----------------------------------------
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_priority_count",
-    "tpch_q5_region_revenue",
-    "tpch_q6_revenue_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_lines",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_big_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_inventory",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_dormant_customers",
-    # --- newest stamp r02: aggregate family ------------------------------
-    "agg_cube_flag_status",
-    "agg_exact_median_iqr",
-    "agg_pivot_linestatus",
-    "agg_rollup_daily_type",
-    "agg_stats_unpivot",
-    "agg_value_stats",
-    # --- newest stamp r02: filters + incident queries --------------------
-    "filter_or_contains_text",
-    "filter_range_inlist_orders",
-    "filter_regex_road",
-    "inc_daily_trend",
-    "inc_minmax_bounds",
-    "inc_status_rank_order",
-    "inc_type_distribution",
-    # --- round-6 additions (never sampled) -------------------------------
-    "sim_ann_recall_report",
-    "dq_drift_report",
-    "curation_pipeline_v6",
-    "text_novelty_curve",
-    "window_cumulative_distinct_users",
-    "agg_distinct_overlap_matrix",
+    # --- never driver-sampled (registered post-r06-window) --------------
+    "graph_bfs_3hop",
+    "graph_pagerank_3iter",
+    "dedup_containment_pairs",
+    "dedup_golden_record",
+    "dq_mad_outliers",
+    "events_hourly_locf",
+    "inc_nearest_center",
+    "join_nearest_click_tolerance",
+    "sim_rank_fusion_rrf",
+    # --- new this round: GROUPED_AGG pandas UDAF -------------------------
+    "text_trimmed_mean_tokens",
+    # --- newest stamp r02 -------------------------------------------------
+    "agg_distinct_users_per_type",
+    # --- newest stamp r03: window family ----------------------------------
+    "window_top3_orders_per_customer",
+    "window_running_revenue_per_supplier",
+    "window_dense_rank_parts",
+    "window_session_window_native",
+    "window_lead_lag_order_gaps",
+    # --- newest stamp r03: JSON / events ----------------------------------
+    "json_extract_props",
+    "json_typed_projection",
+    "events_hourly_tumbling",
+    "events_variant_projection",
+    "events_sliding_window",
+    # --- newest stamp r03: incidents / setops ------------------------------
+    "inc_display_formats",
+    "setop_intersect_users",
+    "setop_except_users",
+    # --- newest stamp r03: text / dedup / ANN ------------------------------
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "dedup_ngram_jaccard_pairs",
+    "sim_ann_bucketed",
+    "sim_neardup_embeddings",
+    "text_tfidf_top_terms",
+    "text_decontaminate",
+    # --- newest stamp r03: streaming / skew / dq ----------------------------
+    "streaming_sliding_window",
+    "streaming_foreachbatch_upsert",
+    "streaming_static_enrich",
+    "agg_skew_salted_flags",
+    "join_skew_salted_supplier",
+    "dq_expectations_report",
+    # --- r04 refreshers (family diversity) ----------------------------------
+    "merge_upsert_latest_wins",
+    "dedup_exact_documents",
+    "join_asof_last_purchase",
+    "join_range_active_incidents",
+    "dq_profile_columns",
+    "source_xml_feed_roundtrip",
+    "source_xml_feed_stream",
+    "curation_pipeline",
+    "streaming_hourly_window",
+    "streaming_dedup_within_watermark",
+    "inc_flagship_county_status",
+    "pergroup_percent_rank",
 ]
 
 
