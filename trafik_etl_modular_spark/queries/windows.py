@@ -120,6 +120,44 @@ def window_dense_rank(spark, sf_dir):
     )
 
 
+_NTILE_SQL = """
+SELECT p_brand, p_partkey, p_retailprice,
+       NTILE(4) OVER (
+         PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+       ) AS price_quartile,
+       CUME_DIST() OVER (
+         PARTITION BY p_brand ORDER BY p_retailprice DESC
+       ) AS price_cume
+FROM part
+"""
+
+
+@query("window_ntile_cume_dist", sql=_NTILE_SQL, tags=("window",))
+def window_ntile_cume_dist(spark, sf_dir):
+    """Quartile bucketing (ntile) + cumulative distribution
+    (cume_dist) per brand — the two ranking window functions the
+    family didn't yet demonstrate (rank/dense_rank/percent_rank/
+    row_number are covered elsewhere).  Determinism: ntile assigns by
+    ROW position, so its ORDER BY carries the (price, partkey) total
+    order; cume_dist is tie-stable (peers share a value) and emits the
+    exact rational (#rows ≤ peer group)/n — one integer division both
+    engines perform identically, no quantization needed.  Same
+    single-shuffle window shape as `window_dense_rank_parts`:
+    partition-bounded sort, no global window."""
+    part = t(spark, sf_dir, "part")
+    w_pos = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    w_val = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.ntile(4).over(w_pos).alias("price_quartile"),
+        F.cume_dist().over(w_val).alias("price_cume"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization: lag-gap flagging + cumulative session ids.
 # ---------------------------------------------------------------------------

@@ -129,7 +129,10 @@ def read_events_stream(
 
 
 def _run_to_memory(
-    stream_df: DataFrame, mode: str, state_partitions: int | None = 4
+    stream_df: DataFrame,
+    mode: str,
+    state_partitions: int | None = 4,
+    no_data_flush: bool = True,
 ) -> DataFrame:
     """Drive a streaming frame to completion synchronously into a
     memory sink; return the sink contents as a batch frame.
@@ -141,12 +144,27 @@ def _run_to_memory(
     dominates small local runs; measured at sf0.1 the stream-stream
     outer join runs ~3.5 s at 8 partitions vs ~2.8 s at 4 with
     identical results; at cluster scale the same override tracks
-    keys-per-executor)."""
+    keys-per-executor).
+
+    ``no_data_flush``: whether to let the engine run its trailing
+    NO-DATA micro-batch (profiled at a 0.6–0.9 s full state-store
+    open/commit round even with zero input).  It exists to advance
+    state cleanup and emit watermark-proven results, so it is
+    REQUIRED wherever emission waits on watermark proof — outer
+    stream-stream joins, append-mode session/tumbling windows, the
+    chained join→window query.  Pass ``False`` only for EAGER
+    emission shapes where the flush batch can't change the sink:
+    complete-mode aggregations (each batch rewrites the full table),
+    inner interval joins and watermark dedup (rows emit in the batch
+    they arrive), and stateless stream-static joins."""
     spark = stream_df.sparkSession
     name = f"stream_sink_{next(_counter)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_flush = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if not no_data_flush:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             stream_df.writeStream.outputMode(mode)
@@ -161,6 +179,7 @@ def _run_to_memory(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_flush)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -187,7 +206,7 @@ def hourly_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete", no_data_flush=False)
 
 
 def sliding_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +232,7 @@ def sliding_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete", no_data_flush=False)
 
 
 def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,7 +252,7 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["entity_id"])
         .select("entity_id")
     )
-    out = _run_to_memory(deduped, "append")
+    out = _run_to_memory(deduped, "append", no_data_flush=False)
     # First-arrival content is micro-batch-order dependent; the KEY SET
     # is deterministic. Return the sorted key set.
     return out.select("entity_id").distinct().orderBy("entity_id")
@@ -259,7 +278,7 @@ def static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mktsegment", "event_type")
         .agg(F.count("*").alias("n"), dsum("value", 2).alias("total_value"))
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete", no_data_flush=False)
 
 
 def _click_purchase_streams(
@@ -328,7 +347,7 @@ def interval_joined_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clicks, purchases = _click_purchase_streams(spark, sf_dir)
     pairs = clicks.join(purchases, F.expr(_INTERVAL_COND))
-    out = _run_to_memory(pairs, "append")
+    out = _run_to_memory(pairs, "append", no_data_flush=False)
     return (
         out.groupBy(F.col("click_user").alias("user_id"))
         .agg(
@@ -602,4 +621,4 @@ def scd2_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version_id",
         F.col("h_value").alias("value_at_ts"),
     )
-    return _run_to_memory(joined, "append")
+    return _run_to_memory(joined, "append", no_data_flush=False)
