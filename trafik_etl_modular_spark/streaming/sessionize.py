@@ -188,9 +188,13 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (per-GROUP Python invocation dominates this operator); at
     # cluster scale the same override tracks keys-per-executor.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    # 4 measured fastest at sf0.1 (8: ~4.3 s, 4: ~3.9 s, 2: ~6.3 s —
-    # below 4 the per-group Python calls lose parallelism).
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # Re-tuned r7 after the numpy vectorization of the group fn moved
+    # the bottleneck to per-group Python CALL dispatch: interleaved
+    # medians at sf0.1 now 2: 6.4 s, 4: 4.8 s, 8: 3.4 s, 16: ≈8 (within
+    # noise of 8).  8 pinned — more state partitions = more parallel
+    # Python workers dispatching groups, until store open/commit
+    # overhead wins again past ~16.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
             updates.writeStream.outputMode("update")
