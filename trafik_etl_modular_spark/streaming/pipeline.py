@@ -103,7 +103,10 @@ def _sentinel_stream_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, stream_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    files_per_trigger: int = 1,
 ) -> DataFrame:
     """File-source stream over the events fixture. maxFilesPerTrigger
     keeps micro-batches bounded; in production this is the Kafka /
@@ -118,7 +121,7 @@ def read_events_stream(
     raw = (
         spark.readStream.format("parquet")
         .schema(spark.read.parquet(table_path(sf_dir, "events")).schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(files_per_trigger))
         .load(stream_dir or _stream_dir(sf_dir))
     )
     if dict(raw.dtypes).get("ts") == "bigint":
@@ -282,7 +285,10 @@ def static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _click_purchase_streams(
-    spark: SparkSession, sf_dir: str, sentinel: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    sentinel: bool = False,
+    files_per_trigger: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """The two watermarked sides every interval-join variant shares:
     clicks (click_user, click_ts, click_id) and purchases
@@ -294,6 +300,7 @@ def _click_purchase_streams(
         spark,
         sf_dir,
         stream_dir=_sentinel_stream_dir(sf_dir) if sentinel else None,
+        files_per_trigger=files_per_trigger,
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -511,7 +518,17 @@ def joined_then_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true"
     )
     scoped.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "512")
-    clicks, purchases = _click_purchase_streams(scoped, sf_dir, sentinel=True)
+    # Data + sentinel land in ONE micro-batch here (files_per_trigger=2):
+    # this query's coverage point is the CHAINED stateful pair on RocksDB,
+    # not cross-batch join-state carry — the two outer-join queries keep
+    # the 1-file-per-trigger staging that exercises that — so the third
+    # full RocksDB open/commit round (~1.2 s locally) buys nothing.  The
+    # watermark still advances only after the batch, so the windows still
+    # emit on PROOF in the trailing flush batch; the completed output is
+    # batch-identical either way (the oracle pins it).
+    clicks, purchases = _click_purchase_streams(
+        scoped, sf_dir, sentinel=True, files_per_trigger=2
+    )
     pairs = clicks.join(purchases, F.expr(_INTERVAL_COND))
     agg = (
         pairs.groupBy(F.window("click_ts", "1 hour").alias("w"))
