@@ -681,6 +681,30 @@ def test_trimmed_mean_udaf_matches_exact_model(spark, sf_dir):
     assert got == want
 
 
+def test_trimmed_mean_udaf_null_handling(spark):
+    """NULLs in the metric column must be DROPPED, never cast (pandas
+    delivers nullable int groups as float64+NaN, and a raw int64 cast
+    of NaN silently yields an arbitrary integer); an all-NULL group
+    aggregates to NULL; a trim fraction ≥ 1/2 is rejected at call
+    time (it would empty small groups and divide by zero on an
+    executor)."""
+    import pytest
+
+    from trafik_etl_modular_spark.operators.grouped import trimmed_mean_agg
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 3), ("b", None)], "g string, v long"
+    )
+    got = {
+        (r["g"], r["tm"])
+        for r in df.groupBy("g").agg(trimmed_mean_agg("v").alias("tm")).collect()
+    }
+    assert got == {("a", 2.0), ("b", None)}
+
+    with pytest.raises(ValueError, match="trim fraction"):
+        trimmed_mean_agg("v", 1, 2)
+
+
 def test_kmeans_empty_cluster_repair_distinct_seeds():
     """Simultaneously-empty clusters must reseed to DISTINCT points
     (advisor r3: reseeding them all to the single farthest point left

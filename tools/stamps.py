@@ -60,15 +60,18 @@ def main() -> int:
     if "--window" in sys.argv:
         # Rotation suggestion: never-stamped first, then oldest stamps,
         # excluding what is already in the current window (their stamps
-        # refresh when the driver next runs).
-        pool = never + [
+        # refresh when the driver next runs) — from BOTH cohorts.
+        pool = [n for n in never if n not in DRIVER_WINDOW] + [
             n
             for r in sorted(by_round)
             for n in sorted(by_round[r])
             if n not in DRIVER_WINDOW
         ]
-        for n in pool[:50]:
-            print(n, f"(r{stamps[n]:02d})" if n in stamps else "(never)")
+        try:
+            for n in pool[:50]:
+                print(n, f"(r{stamps[n]:02d})" if n in stamps else "(never)")
+        except BrokenPipeError:  # `| head` closed the pipe — fine
+            pass
         return 0
 
     print(f"registered queries: {len(names)}   latest driver round: r{latest:02d}")

@@ -44,11 +44,27 @@ def trimmed_mean_agg(col: Column | str, trim_num: int = 1, trim_den: int = 10) -
     only on values (ties are interchangeable under sum), the sum is
     exact int64, and the mean is ONE IEEE double division — the exact
     recipe ``CAST(SUM(core) AS DOUBLE) / COUNT(core)`` any ANSI engine
-    reproduces bit-for-bit."""
+    reproduces bit-for-bit.
+
+    NULL handling matches SQL aggregates: NULLs are dropped before
+    trimming (pandas delivers a nullable int group as float64+NaN,
+    and a raw ``.to_numpy(np.int64)`` would cast NaN to an arbitrary
+    integer — a silent corruption, not an error); an all-NULL group
+    aggregates to NULL."""
+    if not (0 <= 2 * trim_num < trim_den):
+        # 2·floor(n·num/den) < n must hold for every n ≥ 1, i.e. the
+        # total trimmed fraction must stay under 1 — otherwise a small
+        # group trims itself empty and the mean divides by zero on an
+        # executor instead of failing here.
+        raise ValueError(
+            f"trim fraction {trim_num}/{trim_den} must be in [0, 1/2)"
+        )
 
     @F.pandas_udf("double")
-    def _trimmed_mean(v: pd.Series) -> float:
-        a = np.sort(v.to_numpy(np.int64))
+    def _trimmed_mean(v: pd.Series) -> float | None:
+        a = np.sort(v.dropna().to_numpy(np.int64))
+        if len(a) == 0:
+            return None
         k = len(a) * trim_num // trim_den
         core = a[k : len(a) - k]
         return float(int(core.sum())) / float(len(core))
@@ -62,7 +78,8 @@ def group_size_agg(col: Column | str) -> Column:
     mixing a group-aggregate pandas UDF with built-in aggregates in
     one ``agg()`` (INVALID_PANDAS_UDF_PLACEMENT) — so any count that
     must sit NEXT TO a pandas UDAF has to ride the same Arrow path.
-    Both UDAFs share the one hash shuffle / AggregateInPandas node."""
+    Both UDAFs share the one hash shuffle / AggregateInPandas node.
+    Counts like COUNT(*) — NULLs in the carrier column included."""
 
     @F.pandas_udf("long")
     def _n(v: pd.Series) -> int:

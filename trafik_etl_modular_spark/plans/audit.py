@@ -131,6 +131,13 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
         seq = node.children()
         return [seq.apply(i) for i in range(seq.length())]
 
+    def subquery_plans(node):
+        # A Window can hide inside a scalar/EXISTS/IN subquery
+        # expression, which is not a child of the plan node — walk
+        # QueryPlan.subqueries too or those escape the invariant.
+        seq = node.subqueries()
+        return [seq.apply(i) for i in range(seq.length())]
+
     def subtree_is_bounded(node) -> bool:
         name = node.nodeName()
         if name in ("Aggregate", "GlobalLimit", "LocalLimit", "OneRowRelation"):
@@ -158,6 +165,8 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
                     )
         for k in children(node):
             walk(k)
+        for sq in subquery_plans(node):
+            walk(sq)
 
     walk(df._jdf.queryExecution().optimizedPlan())
     return bad

@@ -107,7 +107,14 @@ def bfs_hops(
     ``checkpoint=False`` keeps the full round lineage in one plan —
     for plan tests only (production rounds cut lineage eagerly)."""
     if n_vertices is None:
-        n_vertices = count_vertices(ee)
+        # Count only when the gate outcome actually depends on it — a
+        # non-positive limit forces the shuffle path without paying an
+        # edge-frame scan at DataFrame-construction time.
+        n_vertices = (
+            count_vertices(ee)
+            if broadcast_vertex_limit > 0
+            else broadcast_vertex_limit + 1
+        )
     d = spark.createDataFrame([(source, 0)], "id bigint, hop int")
     for _ in range(rounds):
         # The reached set is VERTEX-bounded — when the whole vertex
@@ -144,7 +151,13 @@ def pagerank(
     from trafik_etl_modular_spark.functions.scalars import dsum
 
     if n_vertices is None:
-        n_vertices = count_vertices(ee)
+        # Same lazy-count rule as bfs_hops: no edge scan when the gate
+        # outcome is predetermined.
+        n_vertices = (
+            count_vertices(ee)
+            if broadcast_vertex_limit > 0
+            else broadcast_vertex_limit + 1
+        )
     deg = ee.groupBy("u").agg(F.count("*").alias("deg"))
     n_row = deg.agg(F.count("*").alias("n"))
     r = deg.crossJoin(F.broadcast(n_row)).select(

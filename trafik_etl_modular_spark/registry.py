@@ -83,18 +83,21 @@ _QUERY_MODULES = [
 # Round-7 rotation (verdict r06 ask #1).  Slots 1–9: the nine
 # queries registered after the round-6 window was pinned — the only
 # oracle-bearing queries with no driver row in ANY round (all
-# judge-green in the round-6 independent sweep).  Slot 10: the new
-# round-7 GROUPED_AGG pandas-UDAF query (SURVEY §2.10 fourth UDF
-# shape), never sampled.  Slots 11–38: the full stale cohort — the
-# one r02 stamp (agg_distinct_users_per_type, sat out round 6 because
-# its semantics ride inside the certificate queries; the verdict asked
-# for its own row anyway) plus all 27 queries whose newest driver
-# stamp is r03 (windows, JSON/events, setops, early text/dedup/ANN,
-# early streaming, skew-salting, dq expectations).  Slots 39–50:
-# twelve r04-stamped refreshers chosen for family diversity (merge,
-# exact dedup, temporal joins, dq profile, the XML source pair, the
-# v1 curation capstone, two streaming, the flagship, the grouped-map
-# Arrow demo) so no family's newest stamp ages past two rounds.
+# judge-green in the round-6 independent sweep).  Slots 10–11: the
+# two queries ADDED this round — the GROUPED_AGG pandas-UDAF query
+# (SURVEY §2.10 fourth UDF shape) and the ntile/cume_dist window
+# query — never sampled (ntile displaced the youngest r04 refresher,
+# pergroup_percent_rank: never-stamped outranks a 2-round-old stamp).
+# Slots 12–39: the full stale cohort — the one r02 stamp
+# (agg_distinct_users_per_type, sat out round 6 because its semantics
+# ride inside the certificate queries; the verdict asked for its own
+# row anyway) plus all 27 queries whose newest driver stamp is r03
+# (windows, JSON/events, setops, early text/dedup/ANN, early
+# streaming, skew-salting, dq expectations).  Slots 40–50: eleven
+# r04-stamped refreshers chosen for family diversity (merge, exact
+# dedup, temporal joins, dq profile, the XML source pair, the v1
+# curation capstone, two streaming, the flagship) so no family's
+# newest stamp ages past two rounds.
 DRIVER_WINDOW: list[str] = [
     # --- never driver-sampled (registered post-r06-window) --------------
     "graph_bfs_3hop",
@@ -106,8 +109,9 @@ DRIVER_WINDOW: list[str] = [
     "inc_nearest_center",
     "join_nearest_click_tolerance",
     "sim_rank_fusion_rrf",
-    # --- new this round: GROUPED_AGG pandas UDAF -------------------------
+    # --- new this round, never sampled -----------------------------------
     "text_trimmed_mean_tokens",
+    "window_ntile_cume_dist",
     # --- newest stamp r02 -------------------------------------------------
     "agg_distinct_users_per_type",
     # --- newest stamp r03: window family ----------------------------------
@@ -154,7 +158,6 @@ DRIVER_WINDOW: list[str] = [
     "streaming_hourly_window",
     "streaming_dedup_within_watermark",
     "inc_flagship_county_status",
-    "pergroup_percent_rank",
 ]
 
 
