@@ -34,6 +34,7 @@ def _write_local_artifact(
     errors: dict[str, str],
     total: float,
     n_reruns: int,
+    calib: dict[str, float] | None = None,
     path: str | None = None,
 ) -> None:
     """Persist the FULL per-query record to BENCH_LOCAL.json.
@@ -68,6 +69,13 @@ def _write_local_artifact(
         "value": round(total, 3),
         "queries": timings,
     }
+    if calib:
+        # Machine-weather calibration: the same fixed single-thread CPU
+        # loop timed before and after the run.  This box shows
+        # multi-tenant bursts that inflate readings up to 20x; dividing
+        # a suspicious delta by (calib / prev calib) separates "code got
+        # slower" from "the machine was busy" without re-running.
+        record["calib"] = calib
     if errors:
         record["errors"] = errors
     if notes:
@@ -95,12 +103,22 @@ def _write_local_artifact(
         pass
 
 
+def _calibrate() -> float:
+    """Fixed single-thread CPU loop (~2 s quiet) — the weather gauge."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     _load_all()
+    calib_before = _calibrate()
     spark = get_spark("bench")
 
     # JVM/codegen warmup so the first measured query isn't charged
@@ -261,6 +279,7 @@ def main() -> int:
         if dt is not None:
             timings[name] = min(timings[name], round(dt, 3))
     total = sum(timings.values())
+    calib = {"before": calib_before, "after": _calibrate()}
 
     # Key order matters: the driver stores only the LAST 2000 chars of
     # this line, so the headline fields (value/unit/sf/n_queries) must
@@ -276,11 +295,12 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(timings),
         "n_reruns": len(rerun),
+        "calib": calib,  # machine-weather gauge, see _write_local_artifact
         "unit": "sec",
         "value": round(total, 3),
     })
     print(json.dumps(out))
-    _write_local_artifact(sf, timings, errors, total, len(rerun))
+    _write_local_artifact(sf, timings, errors, total, len(rerun), calib)
     # Guaranteed-parseable short summary line as a fallback for
     # tail-truncating consumers that parse line-by-line.
     print(json.dumps({

@@ -690,3 +690,41 @@ def test_containment_pairs_match_set_reference(spark, docs, pct):
                     shared * 100 // len(sets[a]),
                 )
     assert got == expect, (texts, pct)
+
+
+@_SETTINGS
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["g1", "g2", "g3"]),
+        st.lists(
+            st.one_of(st.none(), st.integers(-(10**6), 10**6)),
+            min_size=1,
+            max_size=25,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_trimmed_mean_udaf_matches_model_property(spark, groups):
+    """GROUPED_AGG trimmed mean vs the exact driver-side model across
+    generated groups: negatives, duplicates, NULLs, singleton and
+    trim-boundary sizes — NULLs drop, all-NULL groups yield NULL, the
+    kept multiset is the sorted middle n - 2·(n//10) values."""
+    from trafik_etl_modular_spark.operators.grouped import trimmed_mean_agg
+
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: r["tm"]
+        for r in df.groupBy("g").agg(trimmed_mean_agg("v").alias("tm")).collect()
+    }
+
+    def model(vs):
+        s = sorted(v for v in vs if v is not None)
+        if not s:
+            return None
+        k = len(s) // 10
+        core = s[k : len(s) - k]
+        return float(sum(core)) / float(len(core))
+
+    assert got == {g: model(vs) for g, vs in groups.items()}
