@@ -3101,6 +3101,13 @@ def curation_pipeline_v4(spark, sf_dir):
         .when(F.md5("text") != F.col("__oldh"), F.lit("changed"))
         .otherwise(F.lit("unchanged")),
     )
+    # The snapshot-diff output feeds FIVE downstream legs (both dedup
+    # sides, the verdict join, the refreshed union, the rollups) —
+    # materialize it once instead of re-running the scan+md5+join per
+    # leg (interleaved A/B at sf0.1: 3.96 s vs 4.79 s median, byte-
+    # identical output).  At lake scale this is the persisted diff
+    # table between the refresh job's stages.
+    status = status.localCheckpoint(eager=False)
     corpus = status.filter(F.col("status") == "unchanged").select(
         "doc_id", "source", "text"
     )
