@@ -705,6 +705,55 @@ def test_trimmed_mean_udaf_null_handling(spark):
         trimmed_mean_agg("v", 1, 2)
 
 
+def test_trimmed_mean_oracle_agrees_on_null_text(spark, tmp_path):
+    """The DuckDB oracle must agree with the Spark UDAF when documents
+    carry NULL text (advisor r7: the original oracle ranked NULL rows
+    into the trim window and counted kept-NULLs in the divisor — the
+    fixture has no NULL text, so the divergence was latent).  Plants
+    NULLs, an all-NULL source, and a NULL-free source, then runs BOTH
+    engines over the same parquet."""
+    import duckdb
+
+    from trafik_etl_modular_spark.queries.llmdata import (
+        _TRIMMED_MEAN_SQL,
+        text_trimmed_mean_tokens,
+    )
+
+    def words(n):
+        return " ".join(f"w{j}" for j in range(n))
+
+    rows = (
+        # 10 non-NULL (trims 1+1) + 2 NULLs: NULLs must not shift the
+        # trim bound or join the kept multiset, but DO count in n_docs.
+        [(i, words(n), "mixed") for i, n in enumerate([3, 1, 50, 5, 5, 7, 4, 2, 9, 6])]
+        + [(100, None, "mixed"), (101, None, "mixed")]
+        + [(200, None, "allnull")]
+        + [(300, words(8), "clean"), (301, words(4), "clean")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    d = str(tmp_path / "nulls")
+    df.write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        (r["source"], r["n_docs"], r["trimmed_mean_tok"])
+        for r in text_trimmed_mean_tokens(spark, d).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{d}/documents.parquet/*.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(_TRIMMED_MEAN_SQL).fetchall()}
+    assert got == want
+    # and the exact values: mixed keeps [2..9] after trimming 1 and 50
+    by_src = {s: (n, tm) for s, n, tm in got}
+    assert by_src["mixed"][0] == 12
+    assert by_src["mixed"][1] == pytest.approx(sum([3, 5, 5, 7, 4, 2, 9, 6]) / 8.0)
+    assert by_src["allnull"] == (1, None)
+    assert by_src["clean"] == (2, 6.0)
+
+
 def test_kmeans_empty_cluster_repair_distinct_seeds():
     """Simultaneously-empty clusters must reseed to DISTINCT points
     (advisor r3: reseeding them all to the single farthest point left

@@ -50,7 +50,15 @@ def trimmed_mean_agg(col: Column | str, trim_num: int = 1, trim_den: int = 10) -
     trimming (pandas delivers a nullable int group as float64+NaN,
     and a raw ``.to_numpy(np.int64)`` would cast NaN to an arbitrary
     integer — a silent corruption, not an error); an all-NULL group
-    aggregates to NULL."""
+    aggregates to NULL.
+
+    Exactness bound: a NULL-FREE group arrives as int64 and the sum
+    is exact over the full int64 range.  A NULL-BEARING group arrives
+    from Arrow as float64 (precision is lost at the Arrow→pandas
+    conversion, before this function runs), so individual values in
+    such groups are exact only up to 2^53.  Fine for token counts and
+    any metric column; do not feed NULL-bearing groups of >2^53
+    identifiers through this aggregate."""
     if not (0 <= 2 * trim_num < trim_den):
         # 2·floor(n·num/den) < n must hold for every n ≥ 1, i.e. the
         # total trimmed fraction must stay under 1 — otherwise a small

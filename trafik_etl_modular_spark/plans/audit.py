@@ -140,7 +140,13 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
 
     def subtree_is_bounded(node) -> bool:
         name = node.nodeName()
-        if name in ("Aggregate", "GlobalLimit", "LocalLimit", "OneRowRelation"):
+        # GlobalLimit bounds the subtree to O(k) rows TOTAL.  A bare
+        # LocalLimit does NOT — it caps rows per partition, so an
+        # unpartitioned Window above only a LocalLimit is still
+        # O(k × numPartitions).  Optimized plans always place a
+        # LocalLimit beneath its GlobalLimit, so accepting GlobalLimit
+        # alone loses no legitimate shape.
+        if name in ("Aggregate", "GlobalLimit", "OneRowRelation"):
             return True
         # LocalRelation literals (createDataFrame fixtures) are bounded.
         if name == "LocalRelation":

@@ -171,22 +171,37 @@ def text_fingerprint(spark, sf_dir):
 
 
 _TRIMMED_MEAN_SQL = f"""
-WITH scored AS (
+WITH base AS (
   SELECT source,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-         ROW_NUMBER() OVER (
-           PARTITION BY source
-           ORDER BY CAST(len(string_split(text, ' ')) AS BIGINT)) AS rn,
-         COUNT(*) OVER (PARTITION BY source) AS n
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
   FROM documents
+),
+scored AS (
+  -- NULL n_tok rows rank NULLS LAST, so non-NULL rows get rn 1..n
+  -- exactly; n counts NON-NULL rows only — the trim bound and kept
+  -- multiset must match the Spark UDAF, which drops NULLs before
+  -- trimming (SQL aggregate semantics).  n_docs counts ALL rows
+  -- (COUNT(*) semantics, matching group_size_agg).
+  SELECT source, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+         COUNT(n_tok) OVER (PARTITION BY source) AS n,
+         COUNT(*) OVER (PARTITION BY source) AS n_all
+  FROM base
+),
+kept AS (
+  SELECT source,
+         CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS tm
+  FROM scored
+  WHERE n_tok IS NOT NULL AND rn > n * 1 // 10 AND rn <= n - n * 1 // 10
+  GROUP BY source
 )
-SELECT source,
-       CAST(MAX(n) AS BIGINT) AS n_docs,
-       {oracle_fquant('CAST(SUM(n_tok) AS DOUBLE) / COUNT(*)')} AS trimmed_mean_tok
-FROM scored
-WHERE rn > n * 1 // 10 AND rn <= n - n * 1 // 10
-GROUP BY source
-ORDER BY source
+SELECT s.source,
+       CAST(MAX(s.n_all) AS BIGINT) AS n_docs,
+       {oracle_fquant('ANY_VALUE(k.tm)')} AS trimmed_mean_tok
+FROM scored s
+LEFT JOIN kept k ON s.source = k.source
+GROUP BY s.source
+ORDER BY s.source
 """
 
 
