@@ -33,6 +33,36 @@ def test_driver_window_manifest_pins_first_50():
     assert not_oracled == []
 
 
+def test_window_covers_stale_stamps():
+    """Rotation discipline, enforced mechanically (verdict r07 ask
+    #2): every query whose newest driver-green stamp is ≥3 rounds old
+    at HEAD — or which has never been driver-sampled — must sit in
+    the CURRENT DRIVER_WINDOW, so a forgotten rotation fails pytest
+    instead of surfacing in a verdict after the stamps breach the
+    "no stamp older than 3 rounds" discipline."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "stamps", pathlib.Path(__file__).parent.parent / "tools" / "stamps.py"
+    )
+    stamps_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(stamps_mod)
+
+    from trafik_etl_modular_spark.registry import DRIVER_WINDOW
+
+    stamps, latest = stamps_mod.newest_stamps()
+    names = list(E.queries())
+    must_rotate = [
+        n for n in names if stamps.get(n, -(10**6)) <= latest - 3
+    ]
+    missing = [n for n in must_rotate if n not in DRIVER_WINDOW]
+    assert missing == [], (
+        f"stale/never-stamped queries not in DRIVER_WINDOW "
+        f"(latest driver round r{latest:02d}): {missing}"
+    )
+
+
 def test_every_registered_query_has_a_coverage_row():
     """COVERAGE.md is the judge-facing operator inventory; round-3
     lesson: `sample_token_budget_mix` was registered without a

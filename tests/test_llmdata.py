@@ -829,6 +829,136 @@ def test_ivf_nprobe_recall_on_clustered_data(spark):
     assert len(approx & exact) / len(exact) >= 0.9
 
 
+def test_ivf_incremental_append_roundtrip(spark, tmp_path, sf_dir):
+    """Incremental index maintenance end to end against a PERSISTED
+    index: build on the old corpus, ivf_append the held-out batch,
+    then (a) the read-back index holds the full corpus with the
+    batch's frozen-centroid assignments intact, and (b) a full-nprobe
+    probe over the appended index reproduces brute force over the
+    WHOLE corpus — appended vectors are probe-visible with no
+    retrain."""
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        brute_force_topk,
+        ivf_append,
+        ivf_assign,
+        ivf_index,
+        ivf_read_index,
+        ivf_topk,
+        ivf_train,
+        ivf_write_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % 10 == 7
+    old, batch = emb.filter(~is_batch), emb.filter(is_batch)
+    path = str(tmp_path / "ivf")
+    assigned_old, centroids = ivf_index(old, n_centroids=8)
+    ivf_write_index(assigned_old, centroids, path)
+
+    centers = ivf_train(old, n_centroids=8)
+    batch_assigned = ivf_assign(batch, centers)
+    want_buckets = {
+        r["vec_id"]: r["ivf_bucket"] for r in batch_assigned.collect()
+    }
+    ivf_append(batch_assigned, path)
+
+    assigned2, centroids2 = ivf_read_index(spark, path)
+    assert assigned2.count() == emb.count()
+    got_buckets = {
+        r["vec_id"]: r["ivf_bucket"]
+        for r in assigned2.filter(F.col("vec_id") % 10 == 7).collect()
+    }
+    assert got_buckets == want_buckets
+
+    probe_id = batch.select(F.min("vec_id")).collect()[0][0]
+    probe = emb.filter(F.col("vec_id") == probe_id)
+    full = {
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf_topk(assigned2, centroids2, probe, k=10, nprobe=8).collect()
+    }
+    exact = {
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in brute_force_topk(emb, probe, k=10).collect()
+    }
+    assert full == exact
+
+
+def test_lsh_calibration_matches_driver_model(spark, tmp_path):
+    """The calibration report's precision/recall must equal a driver-
+    side model on a corpus PLANTED so the numbers are non-degenerate:
+    near-dup pairs at graded overlap (some between 0.5 and 0.7, so
+    hits shrink as the threshold rises) plus unrelated noise docs.
+    Also pins the structural invariants: n_hits ≤ min(n_candidates,
+    n_true) and precision non-increasing in the threshold."""
+    from trafik_etl_modular_spark.llmdata.dedup import minhash_near_dups
+    from trafik_etl_modular_spark.queries.llmdata import dedup_lsh_calibration
+
+    base = [f"tok{i}" for i in range(40)]
+
+    def variant(n_changed, tag):
+        words = list(base)
+        for j in range(n_changed):
+            words[j] = f"sub{tag}{j}"
+        return " ".join(words)
+
+    rows = []
+    did = 0
+    # graded pairs: ~5%, ~15%, ~30% of words substituted → jaccard
+    # roughly 0.87 / 0.63 / 0.41 over 3-gram shingles
+    for n_changed in (2, 5, 10):
+        rows.append((did, " ".join(base), "src"))
+        rows.append((did + 1, variant(n_changed, n_changed), "src"))
+        did += 2
+    for i in range(20):  # unrelated noise
+        rows.append((did, " ".join(f"noise{i}w{j}" for j in range(40)), "src"))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    d = str(tmp_path / "cal")
+    df.write.parquet(f"{d}/documents.parquet")
+
+    # driver-side ground truth: all-pairs exact jaccard on 3-gram sets
+    def sh(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {r[0]: sh(r[1]) for r in rows}
+    truth = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                truth[(a, b)] = inter / (len(sets[a] | sets[b]))
+
+    cands = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_near_dups(
+            spark.read.parquet(f"{d}/documents.parquet"), threshold=0.0
+        ).collect()
+    }
+    report = {
+        r["threshold"]: r for r in dedup_lsh_calibration(spark, d).collect()
+    }
+    assert set(report) == {0.5, 0.6, 0.7}
+    prev_precision = 2.0
+    for t in (0.5, 0.6, 0.7):
+        n_true = sum(1 for j in truth.values() if j >= t)
+        n_hits = sum(1 for _, _, j in cands if j >= t)
+        r = report[t]
+        assert r["n_true"] == n_true
+        assert r["n_candidates"] == len(cands)
+        assert r["n_hits"] == n_hits
+        assert r["n_hits"] <= min(r["n_candidates"], r["n_true"])
+        p = r["precision"] if r["precision"] is not None else 0.0
+        assert p <= prev_precision + 1e-12
+        prev_precision = p
+        if n_true:
+            assert r["recall"] == pytest.approx(n_hits / n_true)
+    # the planted grading must actually exercise the interesting
+    # regime: strictly fewer hits at 0.7 than at 0.5
+    assert report[0.7]["n_hits"] < report[0.5]["n_hits"]
+
+
 def test_pii_redaction_semantics(spark):
     """Redaction order and counts on PII-bearing strings (the fixture
     corpus has none): emails first, then IPv4, then bare digit runs."""

@@ -284,6 +284,31 @@ def ivf_index(
     `ivf_bucket` column — at lake scale you WRITE it partitioned/
     clustered by that column so probes scan only nprobe/k of the
     data; `centroids` is k rows, broadcast at query time."""
+    centers = ivf_train(
+        embeddings, n_centroids, id_col, vec_col, seed, max_iter, train_sample
+    )
+    assigned = ivf_assign(embeddings, centers, id_col, vec_col)
+    centroids = embeddings.sparkSession.createDataFrame(
+        [(i, [float(v) for v in centers[i]]) for i in range(len(centers))],
+        "ivf_bucket int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+    train_sample: int = 65536,
+):
+    """Train the coarse quantizer only; returns the (k, dim) unit
+    centroid ndarray.  Split out of :func:`ivf_index` so the
+    INCREMENTAL maintenance path can assign a new batch against
+    frozen, previously-trained centroids (:func:`ivf_assign`)
+    without retraining."""
     import numpy as np
 
     base = embeddings.select(F.col(id_col), to_double_array(vec_col).alias("__vec"))
@@ -301,31 +326,63 @@ def ivf_index(
         .collect()
     )
     if not sample_rows:
-        raise ValueError("ivf_index: cannot train a quantizer on an empty corpus")
+        raise ValueError("ivf_train: cannot train a quantizer on an empty corpus")
     x = np.array([r["__vec"] for r in sample_rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0, 1.0, norms)
     k = min(n_centroids, len(x))
-    centers = _train_unit_kmeans(x, k, seed, max_iter)
+    return _train_unit_kmeans(x, k, seed, max_iter)
 
-    # Distributed assignment: k dot-product expressions against frozen
-    # unit-centroid literals, argmax via array_position(array_max).
-    # k·dim multiply-adds per row in codegen — fine for coarse-quantizer
-    # k (≤ ~256); a huge-k index would switch to a pandas-UDF matmul.
-    def _dot_lit(c: np.ndarray) -> Column:
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centers,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to EXISTING centroids (indexed 0..k-1).
+
+    Used by the one-time build (:func:`ivf_index`) and by incremental
+    index maintenance: a new crawl batch is assigned against the
+    persisted index's frozen centroids and appended bucket-partitioned
+    (:func:`ivf_append`) — work ∝ batch, no retrain, no touch of the
+    existing corpus.
+
+    Distributed assignment: k dot-product expressions against frozen
+    unit-centroid literals, argmax via array_position(array_max).
+    k·dim multiply-adds per row in codegen — fine for coarse-quantizer
+    k (≤ ~256); a huge-k index would switch to a pandas-UDF matmul."""
+    base = embeddings.select(F.col(id_col), to_double_array(vec_col).alias("__vec"))
+
+    def _dot_lit(c) -> Column:
         lit_arr = F.array(*[F.lit(float(v)) for v in c])
         return dot(F.col("__vec"), lit_arr)
 
-    dots = F.array(*[_dot_lit(centers[i]) for i in range(k)])
-    assigned = base.withColumn(
+    dots = F.array(*[_dot_lit(centers[i]) for i in range(len(centers))])
+    return base.withColumn(
         "ivf_bucket",
         (F.array_position(dots, F.array_max(dots)) - F.lit(1)).cast("int"),
     ).select(id_col, "__vec", "ivf_bucket")
-    centroids = embeddings.sparkSession.createDataFrame(
-        [(i, [float(v) for v in centers[i]]) for i in range(k)],
-        "ivf_bucket int, centroid array<double>",
-    )
-    return assigned, centroids
+
+
+def ivf_append(assigned_batch: DataFrame, path: str) -> None:
+    """INCREMENTAL index maintenance: append an already-assigned batch
+    (:func:`ivf_assign` output) to a persisted index's bucket layout.
+
+    Only the touched bucket directories gain files — the existing
+    corpus is never rewritten and the centroid table is untouched, so
+    appends are cheap and probes keep their static partition pruning.
+    The batch is repartitioned one-shuffle-partition-per-bucket first,
+    so each append adds at most one file per bucket (small-file growth
+    is O(appends·buckets), bounded by compaction cadence, not tasks).
+    Drift between appends and the frozen quantizer is OBSERVABLE, not
+    silent: the occupancy drift report (queries/llmdata.py::
+    sim_ivf_incremental_append) flags cells whose appended share
+    crosses the retrain threshold."""
+    n_buckets = assigned_batch.select("ivf_bucket").distinct().count()
+    assigned_batch.repartition(max(n_buckets, 1), "ivf_bucket").write.mode(
+        "append"
+    ).partitionBy("ivf_bucket").parquet(f"{path}/assigned")
 
 
 def ivf_write_index(

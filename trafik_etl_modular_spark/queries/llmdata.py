@@ -37,8 +37,10 @@ from trafik_etl_modular_spark.llmdata.sampling import (
 from trafik_etl_modular_spark.llmdata.similarity import (
     brute_force_topk,
     bucketed_topk,
+    ivf_assign,
     ivf_index,
     ivf_topk,
+    ivf_train,
     ivf_write_index,
     near_dup_pairs_by_bucket,
 )
@@ -878,6 +880,165 @@ def dedup_minhash(spark, sf_dir):
     )
 
 
+def _lsh_calibration_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for the LSH calibration report: only the
+    candidate-pair set is engine-specific (xxhash64 sketch) — frozen
+    as VALUES from the Spark-parity re-derivation; DuckDB computes
+    BOTH sides of the eval itself (exact string-shingle Jaccard for
+    candidates AND the inverted-index ground truth) and assembles the
+    per-threshold precision/recall."""
+    from trafik_etl_modular_spark.llmdata.sketch_oracle import (
+        check_no_shingle_collisions,
+        derive_minhash_candidates,
+    )
+
+    check_no_shingle_collisions(sf_dir)
+    pairs = derive_minhash_candidates(sf_dir, max_bucket_size=1000)
+    values = (
+        ",".join(f"({a},{b})" for a, b in pairs)
+        if pairs
+        else "(NULL, NULL)"  # guarded by the cand-join dropping NULLs
+    )
+    return f"""
+WITH cand(id_a, id_b) AS (VALUES {values}),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+             i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS s
+  FROM w
+),
+szd AS (SELECT doc_id, s, len(s) AS sz FROM sh WHERE len(s) > 0),
+cscored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (a.sz + b.sz - len(list_intersect(a.s, b.s))) AS j
+  FROM cand c
+  JOIN szd a ON a.doc_id = c.id_a
+  JOIN szd b ON b.doc_id = c.id_b
+),
+inv AS (SELECT doc_id, sz, UNNEST(s) AS shingle FROM szd),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b,
+         COUNT(*) AS n_shared
+  FROM inv a
+  JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT id_a, id_b,
+         CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared) AS j
+  FROM shared
+  WHERE CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared)
+        >= CAST(0.5 AS DOUBLE)
+),
+merged AS (
+  SELECT COALESCE(t.j, c.j) AS j,
+         (c.id_a IS NOT NULL) AS is_cand
+  FROM truth t
+  FULL OUTER JOIN cscored c ON t.id_a = c.id_a AND t.id_b = c.id_b
+),
+thr(threshold) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.6 AS DOUBLE)),
+                          (CAST(0.7 AS DOUBLE)))
+SELECT thr.threshold,
+       CAST(SUM(CASE WHEN m.j >= thr.threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true,
+       CAST(SUM(CASE WHEN m.is_cand THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_candidates,
+       CAST(SUM(CASE WHEN m.is_cand AND m.j >= thr.threshold THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       {oracle_fquant(
+           "CASE WHEN SUM(CASE WHEN m.is_cand THEN 1 ELSE 0 END) > 0 THEN "
+           "CAST(SUM(CASE WHEN m.is_cand AND m.j >= thr.threshold THEN 1 ELSE 0 END)"
+           " AS DOUBLE) / SUM(CASE WHEN m.is_cand THEN 1 ELSE 0 END) END"
+       )} AS precision,
+       {oracle_fquant(
+           "CASE WHEN SUM(CASE WHEN m.j >= thr.threshold THEN 1 ELSE 0 END) > 0 THEN "
+           "CAST(SUM(CASE WHEN m.is_cand AND m.j >= thr.threshold THEN 1 ELSE 0 END)"
+           " AS DOUBLE) / SUM(CASE WHEN m.j >= thr.threshold THEN 1 ELSE 0 END) END"
+       )} AS recall
+FROM merged m CROSS JOIN thr
+GROUP BY thr.threshold
+ORDER BY thr.threshold
+"""
+
+
+@query(
+    "dedup_lsh_calibration",
+    sql=_lsh_calibration_oracle_sql,
+    tags=("llmdata", "dedup", "eval"),
+)
+def dedup_lsh_calibration(spark, sf_dir):
+    """NEAR-DUP THRESHOLD CALIBRATION — the eval a data-quality owner
+    reads before trusting a Jaccard cutoff at lake scale (mirrors
+    sim_ann_recall_report's certificate shape on the dedup side): for
+    the MinHash(64)+LSH(16×4) candidate set, precision and recall vs
+    EXACT Jaccard ground truth at thresholds 0.5 / 0.6 / 0.7.
+
+    Ground truth is the inverted-index exact-Jaccard join (complete
+    for any threshold > 0: a pair at Jaccard ≥ t shares ≥ 1 shingle,
+    so the equi-join surfaces it — no all-pairs term).  Candidates
+    carry their exact verify Jaccard already (minhash_near_dups with
+    threshold 0), so the report is one full-outer join of two pair
+    frames plus a 3-row threshold cross join over the ~|pairs| merged
+    frame — precision = hits/candidates, recall = hits/true, per
+    threshold.  At 100 TB you run this on a sampled stratum; the plan
+    shape (two banded/bucketed equi-joins, no cartesian) is the same.
+    Oracle: DERIVED — only the xxhash64 candidate set is frozen;
+    DuckDB recomputes exact Jaccard for both sides and the report
+    itself."""
+    docs = t(spark, sf_dir, "documents")
+    cand = minhash_near_dups(docs, threshold=0.0, max_bucket_size=1000).select(
+        "id_a", "id_b", F.col("jaccard").alias("j_c"), F.lit(True).alias("is_cand")
+    )
+    truth = ngram_jaccard_pairs(docs, k=3, threshold=0.5).select(
+        "id_a", "id_b", F.col("jaccard").alias("j_t")
+    )
+    merged = truth.join(cand, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("j_t", "j_c").alias("j"),
+        F.coalesce("is_cand", F.lit(False)).alias("is_cand"),
+    )
+    thr = F.explode(
+        F.array(*[F.lit(x).cast("double") for x in (0.5, 0.6, 0.7)])
+    ).alias("threshold")
+    n_true = F.sum(F.when(F.col("j") >= F.col("threshold"), 1).otherwise(0)).cast(
+        "bigint"
+    )
+    n_cand = F.sum(F.when(F.col("is_cand"), 1).otherwise(0)).cast("bigint")
+    n_hits = F.sum(
+        F.when(F.col("is_cand") & (F.col("j") >= F.col("threshold")), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        merged.select("j", "is_cand", thr)
+        .groupBy("threshold")
+        .agg(
+            n_true.alias("n_true"),
+            n_cand.alias("n_candidates"),
+            n_hits.alias("n_hits"),
+        )
+        .select(
+            "threshold",
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            fquant(
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_hits").cast("double") / F.col("n_candidates"),
+                )
+            ).alias("precision"),
+            fquant(
+                F.when(
+                    F.col("n_true") > 0,
+                    F.col("n_hits").cast("double") / F.col("n_true"),
+                )
+            ).alias("recall"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def _simhash_oracle_sql(sf_dir: str) -> str:
     """DERIVED oracle for SimHash: only the 64-bit signatures are
     engine-specific — re-derived outside the engine (Spark-parity
@@ -1648,6 +1809,137 @@ def sim_ann_ivf_probe(spark, sf_dir):
         assigned, centroids, None, k=10, nprobe=4,
         centroid_rows=rows, query_point=(0, qvec),
     ).orderBy(F.desc("cosine"), F.asc("vec_id"))
+
+
+# Deterministic "new crawl batch" split for the incremental index
+# maintenance query: every vec_id ≡ 7 (mod 10) arrives AFTER the index
+# was built.  A modulus split (not a range split) so the batch spreads
+# across all cells — the interesting maintenance case.
+_IVF_BATCH_MOD, _IVF_BATCH_REM = 10, 7
+
+
+def _derive_ivf_incremental(sf_dir: str):
+    """Re-derive the incremental-append state OUTSIDE the engine
+    (same determinism contract as :func:`_derive_ivf_assignment`):
+    train the quantizer on the OLD corpus only (vec_id % 10 != 7,
+    md5-ordered sample, seeded numpy k-means), then assign EVERY
+    vector — old and batch — with the engine's strict column-ascending
+    fold.  Returns (ids, assign, is_new)."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.llmdata.similarity import _train_unit_kmeans
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_pylist()
+    vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    is_new = [int(i) % _IVF_BATCH_MOD == _IVF_BATCH_REM for i in ids]
+    old_idx = [j for j in range(len(ids)) if not is_new[j]]
+    order = sorted(
+        old_idx,
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )
+    x = vecs[order[:65536]]
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)
+    k = min(16, len(x))
+    centers = _train_unit_kmeans(x, k, seed=42, max_iter=5)
+    dots = np.zeros((len(ids), k))
+    for j in range(k):
+        acc = np.zeros(len(ids))
+        for d in range(vecs.shape[1]):
+            acc = acc + vecs[:, d] * float(centers[j][d])
+        dots[:, j] = acc
+    return ids, dots.argmax(axis=1), is_new
+
+
+def _ivf_incremental_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for the incremental append: the per-vector
+    bucket assignment (old corpus AND appended batch) is re-derived
+    outside the engine and frozen as VALUES; DuckDB computes the
+    occupancy drift report — counts, shares, and the retrain
+    certificate — itself."""
+    ids, assign, is_new = _derive_ivf_incremental(sf_dir)
+    values = ",".join(
+        f"({int(i)},{int(b)},{int(n)})" for i, b, n in zip(ids, assign, is_new)
+    )
+    share = "CAST(na AS DOUBLE) / (nb + na)"
+    return f"""
+WITH a(vec_id, ivf_bucket, is_new) AS (VALUES {values}),
+agg AS (
+  SELECT ivf_bucket,
+         SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS nb,
+         SUM(is_new) AS na
+  FROM a GROUP BY ivf_bucket
+)
+SELECT ivf_bucket,
+       CAST(nb AS BIGINT) AS n_before,
+       CAST(na AS BIGINT) AS n_appended,
+       CAST(nb + na AS BIGINT) AS n_after,
+       {oracle_fquant(share)} AS appended_share,
+       ({share}) > CAST(0.2 AS DOUBLE) AS retrain_cell
+FROM agg
+ORDER BY ivf_bucket
+"""
+
+
+@query(
+    "sim_ivf_incremental_append",
+    sql=_ivf_incremental_oracle_sql,
+    tags=("llmdata", "similarity", "index-maintenance"),
+)
+def sim_ivf_incremental_append(spark, sf_dir):
+    """INCREMENTAL IVF index maintenance — the similarity-side analog
+    of dedup_incremental_batch (llmdata/dedup.py:416): a continuous
+    crawl appends vector batches BETWEEN retrains by assigning them to
+    the index's frozen centroids (llmdata/similarity.py::ivf_assign —
+    map-only, work ∝ batch, existing corpus untouched) and appending
+    bucket-partitioned (::ivf_append, exercised against a persisted
+    index in tests).  Returns the CELL-OCCUPANCY DRIFT REPORT the
+    index owner reads: per cell, before/appended/after counts, the
+    appended share, and a retrain-trigger certificate (share > 0.2 —
+    the cell's geometry no longer reflects its population).  Quantizer
+    trained on the OLD corpus only (vec_id % 10 != 7); the batch is
+    the held-out residue class, so drift spreads across cells.
+    Oracle: DERIVED — old-corpus training + both assignments re-run
+    outside the engine (numpy, same md5-ordered sample / seeded
+    k-means / column-ascending dot fold) and frozen as VALUES; DuckDB
+    aggregates the drift report itself."""
+    emb = t(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % _IVF_BATCH_MOD == _IVF_BATCH_REM
+    old = emb.filter(~is_batch)
+    batch = emb.filter(is_batch)
+    centers = ivf_train(old, n_centroids=16)
+    before = (
+        ivf_assign(old, centers)
+        .groupBy("ivf_bucket")
+        .agg(F.count("*").alias("n_before"))
+    )
+    appended = (
+        ivf_assign(batch, centers)
+        .groupBy("ivf_bucket")
+        .agg(F.count("*").alias("n_appended"))
+    )
+    nb = F.coalesce("n_before", F.lit(0)).cast("bigint")
+    na = F.coalesce("n_appended", F.lit(0)).cast("bigint")
+    share = na.cast("double") / (nb + na)
+    return (
+        before.join(appended, "ivf_bucket", "full_outer")
+        .select(
+            "ivf_bucket",
+            nb.alias("n_before"),
+            na.alias("n_appended"),
+            (nb + na).alias("n_after"),
+            fquant(share).alias("appended_share"),
+            (share > F.lit(0.2)).alias("retrain_cell"),
+        )
+        .orderBy("ivf_bucket")
+    )
 
 
 _RECALL_SQL = f"""

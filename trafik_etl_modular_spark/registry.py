@@ -80,84 +80,70 @@ _QUERY_MODULES = [
 # window (a pytest asserts registry[0:50] == DRIVER_WINDOW).  Every
 # name here is oracle-bearing.
 #
-# Round-7 rotation (verdict r06 ask #1).  Slots 1–9: the nine
-# queries registered after the round-6 window was pinned — the only
-# oracle-bearing queries with no driver row in ANY round (all
-# judge-green in the round-6 independent sweep).  Slots 10–11: the
-# two queries ADDED this round — the GROUPED_AGG pandas-UDAF query
-# (SURVEY §2.10 fourth UDF shape) and the ntile/cume_dist window
-# query — never sampled (ntile displaced the youngest r04 refresher,
-# pergroup_percent_rank: never-stamped outranks a 2-round-old stamp).
-# Slots 12–39: the full stale cohort — the one r02 stamp
-# (agg_distinct_users_per_type, sat out round 6 because its semantics
-# ride inside the certificate queries; the verdict asked for its own
-# row anyway) plus all 27 queries whose newest driver stamp is r03
-# (windows, JSON/events, setops, early text/dedup/ANN, early
-# streaming, skew-salting, dq expectations).  Slots 40–50: eleven
-# r04-stamped refreshers chosen for family diversity (merge, exact
-# dedup, temporal joins, dq profile, the XML source pair, the v1
-# curation capstone, two streaming, the flagship) so no family's
-# newest stamp ages past two rounds.
+# Round-8 rotation (verdict r07 asks #1/#3/#4).  Slots 1–2: the two
+# queries ADDED this round — incremental IVF index maintenance (the
+# similarity-side analog of dedup_incremental_batch) and the
+# MinHash-LSH threshold calibration report — never driver-sampled.
+# Slots 3–38: the ENTIRE r04 cohort (36 queries), whose stamps would
+# breach the "no stamp older than 3 rounds" discipline after this
+# round.  Slots 39–50: the twelve oldest r05 stamps (tools/stamps.py
+# --window order) so the r05 cohort starts rotating before IT goes
+# stale.  test_window_covers_stale_stamps enforces the staleness
+# discipline mechanically from the CORRECTNESS_r*.json ledger.
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-sampled (registered post-r06-window) --------------
-    "graph_bfs_3hop",
-    "graph_pagerank_3iter",
-    "dedup_containment_pairs",
-    "dedup_golden_record",
-    "dq_mad_outliers",
-    "events_hourly_locf",
-    "inc_nearest_center",
-    "join_nearest_click_tolerance",
-    "sim_rank_fusion_rrf",
     # --- new this round, never sampled -----------------------------------
-    "text_trimmed_mean_tokens",
-    "window_ntile_cume_dist",
-    # --- newest stamp r02 -------------------------------------------------
-    "agg_distinct_users_per_type",
-    # --- newest stamp r03: window family ----------------------------------
-    "window_top3_orders_per_customer",
-    "window_running_revenue_per_supplier",
-    "window_dense_rank_parts",
-    "window_session_window_native",
-    "window_lead_lag_order_gaps",
-    # --- newest stamp r03: JSON / events ----------------------------------
-    "json_extract_props",
-    "json_typed_projection",
-    "events_hourly_tumbling",
-    "events_variant_projection",
-    "events_sliding_window",
-    # --- newest stamp r03: incidents / setops ------------------------------
-    "inc_display_formats",
-    "setop_intersect_users",
-    "setop_except_users",
-    # --- newest stamp r03: text / dedup / ANN ------------------------------
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "dedup_ngram_jaccard_pairs",
-    "sim_ann_bucketed",
-    "sim_neardup_embeddings",
-    "text_tfidf_top_terms",
-    "text_decontaminate",
-    # --- newest stamp r03: streaming / skew / dq ----------------------------
-    "streaming_sliding_window",
-    "streaming_foreachbatch_upsert",
-    "streaming_static_enrich",
-    "agg_skew_salted_flags",
-    "join_skew_salted_supplier",
-    "dq_expectations_report",
-    # --- r04 refreshers (family diversity) ----------------------------------
-    "merge_upsert_latest_wins",
-    "dedup_exact_documents",
-    "join_asof_last_purchase",
-    "join_range_active_incidents",
-    "dq_profile_columns",
-    "source_xml_feed_roundtrip",
-    "source_xml_feed_stream",
-    "curation_pipeline",
-    "streaming_hourly_window",
-    "streaming_dedup_within_watermark",
-    "inc_flagship_county_status",
+    "sim_ivf_incremental_append",
+    "dedup_lsh_calibration",
+    # --- newest stamp r04 (entire cohort) ---------------------------------
+    "dedup_clusters",
+    "dedup_composite_key",
+    "dedup_distinct_projection",
+    "dedup_incremental_batch",
+    "dedup_latest_wins",
+    "dedup_ngram_jaccard_prefix",
+    "filter_quality_quantile",
+    "inc_table_view",
+    "multimodal_frame_sample",
+    "multimodal_payload_stats",
+    "pack_materialize_sequences",
+    "pack_training_bins",
+    "pergroup_percent_rank",
+    "sample_per_source_cap",
+    "sample_shuffle_shard",
+    "sample_split_manifest",
+    "sample_stratified_by_lang",
+    "sample_token_budget_mix",
+    "sample_weighted_by_quality",
+    "setop_union_pages_dedup",
+    "sim_ann_hyperplane_lsh",
+    "sim_ann_ivf_probe",
+    "sim_knn_join",
+    "sim_topk_cosine_bruteforce",
+    "streaming_interval_join",
+    "streaming_interval_join_outer",
+    "streaming_join_then_window",
+    "streaming_session_window_native",
+    "streaming_sessionize_stateful",
+    "text_bpe_token_stats",
+    "text_length_buckets",
+    "text_pii_redact",
+    "text_repetition_signals",
+    "text_token_stats",
+    "vocab_top_terms",
+    "window_sessionize_users",
+    # --- oldest r05 stamps (rotate before they age out) --------------------
+    "agg_grouping_sets_flag_status",
+    "agg_incremental_rollup",
+    "curation_pipeline_v4",
+    "dedup_chunk_remove",
+    "dedup_fuzzy_name_pairs",
+    "dedup_minhash_lsh",
+    "dedup_semantic_embeddings",
+    "dedup_simhash_candidates",
+    "dedup_snapshot_diff",
+    "dq_histogram_value",
+    "dq_outlier_report",
+    "dq_table_fingerprint",
 ]
 
 
