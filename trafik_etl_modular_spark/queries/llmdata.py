@@ -1942,6 +1942,176 @@ def sim_ivf_incremental_append(spark, sf_dir):
     )
 
 
+def _ivf_centroid_alignment(centers_new, centers_old):
+    """Align a retrained quantizer's arbitrary k-means labels to the
+    OLD quantizer's cells: each new centroid maps to its nearest old
+    centroid (argmax dot over unit vectors — driver-side k×k numpy,
+    first-max tiebreak).  Cell labels are not comparable across
+    retrains without this; the churn metric is defined over ALIGNED
+    labels."""
+    import numpy as np
+
+    sims = np.asarray(centers_new, dtype=np.float64) @ np.asarray(
+        centers_old, dtype=np.float64
+    ).T
+    return [int(j) for j in sims.argmax(axis=1)]
+
+
+def _derive_ivf_retrain(sf_dir: str):
+    """Re-derive the retrain-churn state OUTSIDE the engine: the OLD
+    quantizer (trained on vec_id % 10 != 7, as in
+    :func:`_derive_ivf_incremental`), the NEW quantizer (retrained on
+    the FULL corpus, same deterministic recipe), both assignments via
+    the engine's column-ascending fold, and the driver-side centroid
+    alignment.  Returns (ids, old_assign, mapped_new_assign)."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.llmdata.similarity import _train_unit_kmeans
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_pylist()
+    vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+
+    def _train(idx):
+        order = sorted(
+            idx,
+            key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+        )
+        x = vecs[order[:65536]]
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(norms == 0, 1.0, norms)
+        return _train_unit_kmeans(x, min(16, len(x)), seed=42, max_iter=5)
+
+    def _assign(centers):
+        k = len(centers)
+        dots = np.zeros((len(ids), k))
+        for j in range(k):
+            acc = np.zeros(len(ids))
+            for d in range(vecs.shape[1]):
+                acc = acc + vecs[:, d] * float(centers[j][d])
+            dots[:, j] = acc
+        return dots.argmax(axis=1)
+
+    old_idx = [
+        j for j in range(len(ids)) if int(ids[j]) % _IVF_BATCH_MOD != _IVF_BATCH_REM
+    ]
+    centers_old = _train(old_idx)
+    centers_new = _train(list(range(len(ids))))
+    mapping = _ivf_centroid_alignment(centers_new, centers_old)
+    old_assign = _assign(centers_old)
+    new_assign = _assign(centers_new)
+    return ids, old_assign, [mapping[int(b)] for b in new_assign]
+
+
+def _ivf_retrain_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for the retrain churn report: both quantizers,
+    both assignments, and the centroid alignment are re-derived
+    outside the engine and frozen as VALUES; DuckDB computes the
+    per-cell churn aggregation itself."""
+    ids, old_assign, mapped_new = _derive_ivf_retrain(sf_dir)
+    values = ",".join(
+        f"({int(i)},{int(o)},{int(n)})"
+        for i, o, n in zip(ids, old_assign, mapped_new)
+    )
+    return f"""
+WITH a(vec_id, old_bucket, new_bucket) AS (VALUES {values})
+SELECT old_bucket AS ivf_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN new_bucket = old_bucket THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stay,
+       CAST(SUM(CASE WHEN new_bucket <> old_bucket THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved,
+       {oracle_fquant(
+           'CAST(SUM(CASE WHEN new_bucket <> old_bucket THEN 1 ELSE 0 END)'
+           ' AS DOUBLE) / COUNT(*)'
+       )} AS moved_share
+FROM a
+GROUP BY old_bucket
+ORDER BY old_bucket
+"""
+
+
+@query(
+    "sim_ivf_retrain_reassignment",
+    sql=_ivf_retrain_oracle_sql,
+    tags=("llmdata", "similarity", "index-maintenance"),
+)
+def sim_ivf_retrain_reassignment(spark, sf_dir):
+    """IVF RETRAIN REASSIGNMENT CHURN — the last step of the index
+    maintenance lifecycle (build → incremental append → drift report
+    → retrain): when the drift certificate fires
+    (sim_ivf_incremental_append), the quantizer is retrained on the
+    full corpus and the owner reads THIS report to size the rebuild —
+    per old cell, how many vectors the retrain moves to a different
+    (aligned) cell, i.e. how much of the bucket-partitioned layout
+    must actually be rewritten.  New k-means labels are arbitrary, so
+    new centroids are first ALIGNED to old cells driver-side (nearest
+    old centroid, k×k numpy — index metadata, not data); both
+    assignments are ONE map-only projection over the corpus (two
+    frozen-literal argmax expressions side by side — no join between
+    the two assignments, no shuffle before the 16-group agg).  At
+    100 TB the retrain itself is the one unavoidable full-corpus
+    rewrite; this report is what justifies paying it.  Oracle:
+    DERIVED — both trainings, both assignments, and the alignment are
+    re-run outside the engine and frozen as VALUES; DuckDB aggregates
+    the churn itself."""
+    from trafik_etl_modular_spark.llmdata.similarity import dot, to_double_array
+
+    emb = t(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % _IVF_BATCH_MOD == _IVF_BATCH_REM
+    centers_old = ivf_train(emb.filter(~is_batch), n_centroids=16)
+    centers_new = ivf_train(emb, n_centroids=16)
+    mapping = _ivf_centroid_alignment(centers_new, centers_old)
+
+    def bucket_expr(centers):
+        dots = F.array(
+            *[
+                dot(F.col("__vec"), F.array(*[F.lit(float(v)) for v in c]))
+                for c in centers
+            ]
+        )
+        return (F.array_position(dots, F.array_max(dots)) - F.lit(1)).cast("int")
+
+    base = emb.select("vec_id", to_double_array("embedding").alias("__vec"))
+    aligned_new = F.element_at(
+        F.array(*[F.lit(int(m)) for m in mapping]), bucket_expr(centers_new) + 1
+    )
+    both = base.select(
+        bucket_expr(centers_old).alias("old_bucket"),
+        aligned_new.alias("new_bucket"),
+    )
+    moved = F.sum(
+        F.when(F.col("new_bucket") != F.col("old_bucket"), 1).otherwise(0)
+    ).cast("bigint")
+    stay = F.sum(
+        F.when(F.col("new_bucket") == F.col("old_bucket"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        both.groupBy(F.col("old_bucket").alias("ivf_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            stay.alias("n_stay"),
+            moved.alias("n_moved"),
+        )
+        .select(
+            "ivf_bucket",
+            "n_vectors",
+            "n_stay",
+            "n_moved",
+            fquant(
+                F.col("n_moved").cast("double") / F.col("n_vectors")
+            ).alias("moved_share"),
+        )
+        .orderBy("ivf_bucket")
+    )
+
+
 _RECALL_SQL = f"""
 WITH p AS (
   SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0

@@ -317,7 +317,7 @@ def streaming_interval_join_outer(spark, sf_dir):
 
 
 _INCR_DEDUP_STREAM_SQL = """
-WITH d AS (SELECT doc_id, doc_id % 3 AS batch_id, text FROM documents),
+WITH d AS (SELECT doc_id, doc_id % 2 AS batch_id, text FROM documents),
 sh AS (
   SELECT doc_id, batch_id,
          list_distinct(list_transform(
@@ -364,8 +364,11 @@ LEFT JOIN near ON d.doc_id = near.bid
     tags=("streaming", "dedup", "llmdata"),
 )
 def streaming_incremental_dedup(spark, sf_dir):
-    """Continuous-crawl incremental dedup: documents arrive in 3
-    micro-batches (batch_id = doc_id mod 3); each batch is classified
+    """Continuous-crawl incremental dedup: documents arrive in 2
+    micro-batches (batch_id = doc_id mod 2) — the MINIMUM that still
+    exercises the incremental shape (batch 1 is classified against
+    batch 0's index; deeper accumulation is pinned by the 4-batch
+    pytest, tests/test_llmdata.py); each batch is classified
     exact/near/novel against the accumulated inverted-shingle +
     content-hash index of the STRICTLY EARLIER batches, then its
     postings are appended to the index
@@ -378,7 +381,7 @@ def streaming_incremental_dedup(spark, sf_dir):
         incremental_dedup_stream_run,
     )
 
-    return incremental_dedup_stream_run(spark, sf_dir, n_batches=3)
+    return incremental_dedup_stream_run(spark, sf_dir, n_batches=2)
 
 
 # same comparison surface as the batch point-in-time lookup — the

@@ -80,19 +80,21 @@ _QUERY_MODULES = [
 # window (a pytest asserts registry[0:50] == DRIVER_WINDOW).  Every
 # name here is oracle-bearing.
 #
-# Round-8 rotation (verdict r07 asks #1/#3/#4).  Slots 1–2: the two
-# queries ADDED this round — incremental IVF index maintenance (the
-# similarity-side analog of dedup_incremental_batch) and the
+# Round-8 rotation (verdict r07 asks #1/#3/#4).  Slots 1–3: the three
+# queries ADDED this round — incremental IVF index maintenance + the
+# retrain reassignment-churn report (the similarity-side analog of
+# dedup_incremental_batch, completing the index lifecycle) and the
 # MinHash-LSH threshold calibration report — never driver-sampled.
-# Slots 3–38: the ENTIRE r04 cohort (36 queries), whose stamps would
+# Slots 4–39: the ENTIRE r04 cohort (36 queries), whose stamps would
 # breach the "no stamp older than 3 rounds" discipline after this
-# round.  Slots 39–50: the twelve oldest r05 stamps (tools/stamps.py
+# round.  Slots 40–50: the eleven oldest r05 stamps (tools/stamps.py
 # --window order) so the r05 cohort starts rotating before IT goes
 # stale.  test_window_covers_stale_stamps enforces the staleness
 # discipline mechanically from the CORRECTNESS_r*.json ledger.
 DRIVER_WINDOW: list[str] = [
     # --- new this round, never sampled -----------------------------------
     "sim_ivf_incremental_append",
+    "sim_ivf_retrain_reassignment",
     "dedup_lsh_calibration",
     # --- newest stamp r04 (entire cohort) ---------------------------------
     "dedup_clusters",
@@ -143,7 +145,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_snapshot_diff",
     "dq_histogram_value",
     "dq_outlier_report",
-    "dq_table_fingerprint",
 ]
 
 

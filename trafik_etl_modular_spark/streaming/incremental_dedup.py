@@ -100,6 +100,7 @@ def incremental_dedup_stream_run(
         bdf = bdf.localCheckpoint(eager=True)
         if bdf.isEmpty():
             return
+        state["n_seen"] = state.get("n_seen", 0) + 1
         cinv, chash = state.get("postings"), state.get("hashes")
         # the batch's postings serve BOTH the verdict probe and the
         # index append — shingle once per batch
@@ -122,19 +123,25 @@ def incremental_dedup_stream_run(
         # partition count: unions of per-batch checkpoints otherwise
         # accumulate 32 partitions per batch (96-task stages measured
         # at sf0.1 for micro-batch-sized state); at lake scale the
-        # Delta append handles file sizing instead.
-        new_inv = binv
-        new_hash = content_hashes(bdf)
-        state["postings"] = (
-            (new_inv if cinv is None else cinv.unionByName(new_inv))
-            .coalesce(8)
-            .localCheckpoint(eager=True)
-        )
-        state["hashes"] = (
-            (new_hash if chash is None else chash.unionByName(new_hash))
-            .coalesce(8)
-            .localCheckpoint(eager=True)
-        )
+        # Delta append handles file sizing instead.  The append is
+        # SKIPPED after the final batch: the accumulated index's only
+        # consumer is the NEXT batch's verdict probe, so the last
+        # append is dead work here (two eager-materialization jobs) —
+        # a real continuous pipeline never hits this because it has
+        # no final batch.
+        if state["n_seen"] < n_batches:
+            new_inv = binv
+            new_hash = content_hashes(bdf)
+            state["postings"] = (
+                (new_inv if cinv is None else cinv.unionByName(new_inv))
+                .coalesce(8)
+                .localCheckpoint(eager=True)
+            )
+            state["hashes"] = (
+                (new_hash if chash is None else chash.unionByName(new_hash))
+                .coalesce(8)
+                .localCheckpoint(eager=True)
+            )
         # verdicts accumulate LAZILY: they hang off the eagerly
         # checkpointed batch/index frames, so the union materializes
         # once at the final read instead of costing a job per batch

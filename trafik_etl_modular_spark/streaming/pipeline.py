@@ -375,8 +375,16 @@ def session_windowed_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-of-close sentinel batch (`_sentinel_stream_dir`) to flush the
     final open sessions, exactly like the outer interval join.
     Completed output equals the batch session_window aggregation."""
+    # Data + sentinel in ONE micro-batch (files_per_trigger=2, same
+    # consolidation as the chained join→window query, PINNED.md): the
+    # watermark still advances past every real session's close at end
+    # of that batch — the sentinel only exists to push the watermark,
+    # not to be its own emission round — and the trailing no-data
+    # flush batch (kept: append windows REQUIRE it) emits the
+    # watermark-proven sessions.  Saves one full state-store
+    # open/commit round; identical output, oracle-checked.
     ev = read_events_stream(
-        spark, sf_dir, stream_dir=_sentinel_stream_dir(sf_dir)
+        spark, sf_dir, stream_dir=_sentinel_stream_dir(sf_dir), files_per_trigger=2
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         ev.withWatermark("ts", "2 hours")
@@ -408,7 +416,14 @@ def interval_joined_clicks_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks precisely that."""
     from trafik_etl_modular_spark.functions.scalars import dsum
 
-    clicks, purchases = _click_purchase_streams(spark, sf_dir, sentinel=True)
+    # Data + sentinel one micro-batch (files_per_trigger=2, PINNED.md):
+    # matched rows emit in the data batch either way; the null-padded
+    # rows wait on the watermark, which the sentinel advances at end
+    # of that same batch, so the (kept) no-data flush emits them —
+    # one fewer state-store round, identical output.
+    clicks, purchases = _click_purchase_streams(
+        spark, sf_dir, sentinel=True, files_per_trigger=2
+    )
     pairs = clicks.join(purchases, F.expr(_INTERVAL_COND), "leftOuter")
     out = _run_to_memory(pairs, "append")
     return (
@@ -439,7 +454,11 @@ def interval_joined_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle."""
     from trafik_etl_modular_spark.functions.scalars import dsum
 
-    clicks, purchases = _click_purchase_streams(spark, sf_dir, sentinel=True)
+    # Same data+sentinel single-micro-batch consolidation as the
+    # left-outer form (files_per_trigger=2, PINNED.md).
+    clicks, purchases = _click_purchase_streams(
+        spark, sf_dir, sentinel=True, files_per_trigger=2
+    )
     pairs = clicks.join(purchases, F.expr(_INTERVAL_COND), "fullOuter")
     out = _run_to_memory(pairs, "append")
     # Drop the two sentinel rows (negative user ids, one per side);
