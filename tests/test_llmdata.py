@@ -883,6 +883,23 @@ def test_ivf_incremental_append_roundtrip(spark, tmp_path, sf_dir):
     assert full == exact
 
 
+def test_ivf_centroid_alignment_identity_and_churn():
+    """Aligning a centroid set to itself must be the identity (so a
+    no-op retrain reports zero churn), and a permuted retrain must
+    align back to the original cells — label arbitrariness is exactly
+    what the alignment removes."""
+    import numpy as np
+
+    from trafik_etl_modular_spark.queries.llmdata import _ivf_centroid_alignment
+
+    rng = np.random.RandomState(3)
+    c = rng.randn(8, 16)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    assert _ivf_centroid_alignment(c, c) == list(range(8))
+    perm = [3, 0, 7, 1, 6, 2, 5, 4]
+    assert _ivf_centroid_alignment(c[perm], c) == perm
+
+
 def test_lsh_calibration_matches_driver_model(spark, tmp_path):
     """The calibration report's precision/recall must equal a driver-
     side model on a corpus PLANTED so the numbers are non-degenerate:
