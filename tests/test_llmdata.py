@@ -883,6 +883,89 @@ def test_ivf_incremental_append_roundtrip(spark, tmp_path, sf_dir):
     assert full == exact
 
 
+def test_simhash_calibration_invariants(spark, sf_dir):
+    """Radius-sweep structure: candidates and hits are non-decreasing
+    in the radius, hits ≤ min(candidates, truth), truth constant
+    across radii, and precision/recall agree with their count
+    columns."""
+    from trafik_etl_modular_spark.queries.llmdata import dedup_simhash_calibration
+
+    rows = {r["radius"]: r for r in dedup_simhash_calibration(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert len({rows[r]["n_true"] for r in rows}) == 1
+    for r in (1, 2, 3):
+        c = rows[r]
+        assert c["n_hits"] <= min(c["n_candidates"], c["n_true"])
+        if c["n_candidates"]:
+            assert c["precision"] == pytest.approx(c["n_hits"] / c["n_candidates"])
+        if c["n_true"]:
+            assert c["recall"] == pytest.approx(c["n_hits"] / c["n_true"])
+        if r > 1:
+            assert c["n_candidates"] >= rows[r - 1]["n_candidates"]
+            assert c["n_hits"] >= rows[r - 1]["n_hits"]
+
+
+def test_quantized_recall_roundtrip_and_certificate(spark, sf_dir):
+    """int8 max-abs quantization must (a) reconstruct every component
+    within half a quantization step (scale/254 + float slop), and
+    (b) produce a report with n_overlap10 ≤ 10 per probe and high
+    recall on the fixture (the certificate's own margin)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.queries.llmdata import (
+        _embedding_maxabs,
+        sim_quantized_recall,
+    )
+
+    scale = _embedding_maxabs(sf_dir)
+    vecs = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[
+            "embedding"
+        ].to_pylist(),
+        dtype=np.float64,
+    )
+    q = np.clip(np.round(vecs / scale * 127), -127, 127)
+    err = np.abs(q * scale / 127 - vecs).max()
+    assert err <= scale / 254 + 1e-12
+
+    rows = sim_quantized_recall(spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r["n_overlap10"] <= 10 for r in rows)
+    assert all(r["recall10_ok"] == (r["n_overlap10"] >= 7) for r in rows)
+    # int8 over 64 dims is fine-grained; the fixture panel should sit
+    # well above the certificate line
+    assert min(r["n_overlap10"] for r in rows) >= 8
+
+
+def test_embedding_profile_planted_defects(spark, tmp_path):
+    """The vector DQ gate must count planted defects exactly: one
+    zero vector, one NaN-component vector, one infinite-component
+    vector, and a ragged (short) vector moving dim_min."""
+    import math
+
+    from trafik_etl_modular_spark.queries.dq import dq_embedding_profile
+
+    good = [float(i % 7) / 7.0 + 0.1 for i in range(64)]
+    rows = [
+        (0, good),
+        (1, [0.0] * 64),
+        (2, good[:32] + [float("nan")] + good[33:]),
+        (3, good[:10] + [float("inf")] + good[11:]),
+        (4, good[:32]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    d = str(tmp_path / "emb")
+    df.write.parquet(f"{d}/embeddings.parquet")
+    r = dq_embedding_profile(spark, d).collect()[0]
+    assert r["n_vectors"] == 5
+    assert (r["dim_min"], r["dim_max"]) == (32, 64)
+    assert r["n_nonfinite_vectors"] == 2
+    assert r["n_zero_vectors"] == 1
+    assert r["norm_min"] == 0.0
+    assert r["norm_max"] > 0 and not math.isnan(r["norm_mean"])
+
+
 def test_ivf_centroid_alignment_identity_and_churn():
     """Aligning a centroid set to itself must be the identity (so a
     no-op retrain reports zero churn), and a permuted retrain must

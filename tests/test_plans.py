@@ -462,6 +462,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # 2-row probe panel broadcast — map-side cosine scoring, the
         # same shape as the recall report's panel
         "sim_rank_fusion_rrf",
+        # fixed probe-panel broadcast (every 50th vec_id) — map-side
+        # quantized-int + cosine scoring, same shape as the recall
+        # report; the "join" is panel × corpus scoring, not a pair join
+        "sim_quantized_recall",
     }
     bad = []
     for name in sorted(REGISTRY):

@@ -574,3 +574,83 @@ def dq_mad_outliers(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# Norm over the vector's OWN length (ragged-safe), computed only for
+# finite vectors — a NaN/inf component would otherwise poison the
+# decimal-exact mean the report publishes.
+_EMB_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len(embedding) + 1), "
+    "i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), "
+    "(x, y) -> x + y))"
+)
+
+_EMB_PROFILE_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         len(embedding) AS n_dim,
+         len(list_filter(embedding,
+             x -> isnan(x::DOUBLE) OR NOT isfinite(x::DOUBLE))) AS n_bad,
+         CASE WHEN len(list_filter(embedding,
+                  x -> isnan(x::DOUBLE) OR NOT isfinite(x::DOUBLE))) > 0
+              THEN NULL ELSE {_EMB_NORM} END AS nrm
+  FROM embeddings
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(n_dim) AS INTEGER) AS dim_min,
+       CAST(MAX(n_dim) AS INTEGER) AS dim_max,
+       CAST(COUNT(*) FILTER (WHERE n_bad > 0) AS BIGINT) AS n_nonfinite_vectors,
+       CAST(COUNT(*) FILTER (WHERE nrm = 0) AS BIGINT) AS n_zero_vectors,
+       (CAST(ROUND(MIN(nrm) * 1e9) AS BIGINT) / 1e9) AS norm_min,
+       (CAST(ROUND(MAX(nrm) * 1e9) AS BIGINT) / 1e9) AS norm_max,
+       CASE WHEN COUNT(nrm) > 0 THEN
+         (CAST(ROUND((CAST(SUM(CAST(nrm AS DECIMAL(38,9))) AS DOUBLE)
+            / COUNT(nrm)) * 1e9) AS BIGINT) / 1e9) END AS norm_mean
+FROM e
+"""
+
+
+@query("dq_embedding_profile", sql=_EMB_PROFILE_SQL, tags=("dq", "llmdata", "similarity"))
+def dq_embedding_profile(spark, sf_dir):
+    """VECTOR-COLUMN data quality — the gate an embedding lake runs
+    before an index build trusts a new snapshot (every downstream
+    similarity operator assumes finite, non-degenerate, fixed-dim
+    vectors; this is where that assumption becomes a CHECKED
+    expectation): vector count, dimension min/max (a ragged column is
+    a pipeline bug), non-finite-component vectors, zero-norm vectors
+    (cosine is undefined on them), and the norm min/max/mean.  One
+    fused aggregation pass over the corpus — adding an expectation
+    adds a column, not a job (same shape as dq_expectations_report).
+    Norm mean goes through an exact decimal sum (dsum) so
+    partition-parallel summation matches DuckDB's sequential sum;
+    norms themselves are the strict-fold dot, parity-pinned by the
+    similarity family."""
+    from trafik_etl_modular_spark.functions.scalars import dsum, fquant
+    from trafik_etl_modular_spark.llmdata.similarity import l2norm, to_double_array
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = to_double_array("embedding")
+    bad = F.exists(
+        v, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    e = emb.select(
+        F.size("embedding").alias("n_dim"),
+        bad.alias("is_bad"),
+        # norm only for finite vectors — NaN/inf must not reach the
+        # decimal-exact mean (ANSI decimal cast of NaN is an error,
+        # and the report exists precisely because such rows occur)
+        F.when(~bad, l2norm(v)).alias("nrm"),
+    )
+    return e.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.min("n_dim").cast("int").alias("dim_min"),
+        F.max("n_dim").cast("int").alias("dim_max"),
+        F.count(F.when(F.col("is_bad"), 1)).cast("bigint").alias("n_nonfinite_vectors"),
+        F.count(F.when(F.col("nrm") == 0, 1)).cast("bigint").alias("n_zero_vectors"),
+        fquant(F.min("nrm")).alias("norm_min"),
+        fquant(F.max("nrm")).alias("norm_max"),
+        fquant(
+            F.when(F.count("nrm") > 0, dsum("nrm", 9) / F.count("nrm"))
+        ).alias("norm_mean"),
+    )

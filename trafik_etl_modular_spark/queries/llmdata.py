@@ -1087,6 +1087,152 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+def _simhash_calibration_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for the SimHash radius calibration: only the
+    signatures are frozen (Spark-parity re-derivation); DuckDB runs
+    the pigeonhole candidate join, the exact-Jaccard ground truth,
+    and the per-radius precision/recall assembly itself."""
+    from trafik_etl_modular_spark.llmdata.sketch_oracle import (
+        check_no_shingle_collisions,
+        derive_simhash_signatures,
+    )
+
+    check_no_shingle_collisions(sf_dir)
+    sigs = derive_simhash_signatures(sf_dir)
+    values = ",".join(f"({d},{s})" for d, s in sigs)
+    return f"""
+WITH s(doc_id, simhash) AS (VALUES {values}),
+chunks AS (
+  SELECT s.doc_id, s.simhash, i.i AS chunk_idx,
+         (s.simhash >> (16 * CAST(i.i AS INTEGER))) & 65535 AS chunk_val
+  FROM s, (SELECT unnest(range(4)) AS i) i
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM chunks a
+  JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+             i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS sx
+  FROM w
+),
+szd AS (SELECT doc_id, sx, len(sx) AS sz FROM sh WHERE len(sx) > 0),
+inv AS (SELECT doc_id, sz, UNNEST(sx) AS shingle FROM szd),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b,
+         COUNT(*) AS n_shared
+  FROM inv a
+  JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT id_a, id_b FROM shared
+  WHERE CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared)
+        >= CAST(0.6 AS DOUBLE)
+),
+merged AS (
+  SELECT c.hamming, (t.id_a IS NOT NULL) AS is_true
+  FROM cand c
+  FULL OUTER JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+),
+radii(radius) AS (VALUES (1), (2), (3))
+SELECT radii.radius,
+       CAST(SUM(CASE WHEN m.is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN m.hamming <= radii.radius THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_candidates,
+       CAST(SUM(CASE WHEN m.hamming <= radii.radius AND m.is_true
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       {oracle_fquant(
+           "CASE WHEN SUM(CASE WHEN m.hamming <= radii.radius THEN 1 ELSE 0 END)"
+           " > 0 THEN "
+           "CAST(SUM(CASE WHEN m.hamming <= radii.radius AND m.is_true THEN 1"
+           " ELSE 0 END) AS DOUBLE)"
+           " / SUM(CASE WHEN m.hamming <= radii.radius THEN 1 ELSE 0 END) END"
+       )} AS precision,
+       {oracle_fquant(
+           "CASE WHEN SUM(CASE WHEN m.is_true THEN 1 ELSE 0 END) > 0 THEN "
+           "CAST(SUM(CASE WHEN m.hamming <= radii.radius AND m.is_true THEN 1"
+           " ELSE 0 END) AS DOUBLE)"
+           " / SUM(CASE WHEN m.is_true THEN 1 ELSE 0 END) END"
+       )} AS recall
+FROM merged m CROSS JOIN radii
+GROUP BY radii.radius
+ORDER BY radii.radius
+"""
+
+
+@query(
+    "dedup_simhash_calibration",
+    sql=_simhash_calibration_oracle_sql,
+    tags=("llmdata", "dedup", "eval"),
+)
+def dedup_simhash_calibration(spark, sf_dir):
+    """SIMHASH RADIUS CALIBRATION — the Hamming-cutoff analog of
+    dedup_lsh_calibration, covering the engine's second sketch: for
+    radii 1/2/3 (the range the 4-chunk pigeonhole bucketing
+    guarantees complete candidates for), precision and recall of the
+    SimHash candidate set against exact-Jaccard ≥ 0.6 ground truth.
+    Together the two calibration reports let a curation owner choose
+    BETWEEN sketches, not just tune one: MinHash approximates Jaccard
+    directly; SimHash approximates token-multiset cosine, so its
+    precision/recall against a Jaccard truth quantifies the
+    mismatch.  Same plan shape as the LSH calibration: two bounded
+    equi-join pair pipelines, one full-outer merge, a 3-row radius
+    cross join.  Oracle: DERIVED — signatures frozen, DuckDB runs the
+    pigeonhole join, the ground truth, and the report itself."""
+    docs = t(spark, sf_dir, "documents")
+    cand = simhash_candidate_pairs(simhash_signatures(docs), max_hamming=3).select(
+        "id_a", "id_b", "hamming"
+    )
+    truth = ngram_jaccard_pairs(docs, k=3, threshold=0.6).select(
+        "id_a", "id_b", F.lit(True).alias("is_true")
+    )
+    merged = cand.join(truth, ["id_a", "id_b"], "full_outer").select(
+        "hamming", F.coalesce("is_true", F.lit(False)).alias("is_true")
+    )
+    radius = F.explode(F.array(*[F.lit(r) for r in (1, 2, 3)])).alias("radius")
+    in_r = F.col("hamming") <= F.col("radius")
+    n_true = F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("bigint")
+    n_cand = F.sum(F.when(in_r, 1).otherwise(0)).cast("bigint")
+    n_hits = F.sum(F.when(in_r & F.col("is_true"), 1).otherwise(0)).cast("bigint")
+    return (
+        merged.select("hamming", "is_true", radius)
+        .groupBy("radius")
+        .agg(
+            n_true.alias("n_true"),
+            n_cand.alias("n_candidates"),
+            n_hits.alias("n_hits"),
+        )
+        .select(
+            "radius",
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            fquant(
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_hits").cast("double") / F.col("n_candidates"),
+                )
+            ).alias("precision"),
+            fquant(
+                F.when(
+                    F.col("n_true") > 0,
+                    F.col("n_hits").cast("double") / F.col("n_true"),
+                )
+            ).alias("recall"),
+        )
+        .orderBy("radius")
+    )
+
+
 # Shared oracle fragment: the deterministic per-mille hash bucket.
 _BUCKET = hash_bucket_sql("doc_id", 1000)
 
@@ -2109,6 +2255,150 @@ def sim_ivf_retrain_reassignment(spark, sf_dir):
             ).alias("moved_share"),
         )
         .orderBy("ivf_bucket")
+    )
+
+
+def _embedding_maxabs(sf_dir: str) -> float:
+    """Global symmetric quantization scale: max |component| over the
+    corpus — index METADATA derived driver-side with pyarrow (exact:
+    max over doubles is order-independent), frozen into both engines'
+    plans as the same literal."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    m = float(np.abs(np.array(tbl["embedding"].to_pylist(), dtype=np.float64)).max())
+    return m if m > 0 else 1.0
+
+
+_QDOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, 65), i -> CAST({a}[i] AS BIGINT) * {b}[i])), "
+    "(x, y) -> x + y)"
+)
+
+
+def _quantized_recall_oracle_sql(sf_dir: str) -> str:
+    """STATIC self-derived oracle (hyperplane-LSH pattern): only the
+    scale scalar is frozen; DuckDB recomputes the int8 quantization,
+    the exact-int64 quantized dots, the exact cosine ranking, and the
+    per-probe overlap itself."""
+    scale = _embedding_maxabs(sf_dir)
+    qexpr = (
+        "list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0, "
+        f"round(x / {scale!r} * 127))) AS INTEGER))"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {qexpr} AS qv, embedding FROM embeddings),
+p AS (SELECT vec_id AS qid, qv AS pqv, embedding AS pvec
+      FROM q WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT p.qid, e.vec_id,
+         {_QDOT.format(a='e.qv', b='p.pqv')} AS dq,
+         {_cos_sql('e.embedding', 'p.pvec')} AS cx
+  FROM q e JOIN p ON e.vec_id <> p.qid
+),
+rq AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dq DESC, vec_id) AS rn
+  FROM scored
+),
+rx AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cx DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT rx.qid AS query_id,
+       CAST(COUNT(rq.vec_id) AS BIGINT) AS n_overlap10,
+       {oracle_fquant('CAST(COUNT(rq.vec_id) AS DOUBLE) / 10')} AS recall10,
+       COUNT(rq.vec_id) >= 7 AS recall10_ok
+FROM rx
+LEFT JOIN rq ON rq.qid = rx.qid AND rq.vec_id = rx.vec_id AND rq.rn <= 10
+WHERE rx.rn <= 10
+GROUP BY rx.qid
+ORDER BY rx.qid
+"""
+
+
+@query(
+    "sim_quantized_recall",
+    sql=_quantized_recall_oracle_sql,
+    tags=("llmdata", "similarity", "eval"),
+)
+def sim_quantized_recall(spark, sf_dir):
+    """INT8 SCALAR-QUANTIZATION recall certificate — the storage-scale
+    eval: quantizing 64-dim float64 vectors to int8 cuts the
+    candidate-scan bytes 8× (what a 100 TB vector lake actually pays
+    for), and THIS report is what justifies it — per probe (every
+    50th vec_id, the recall-report panel), recall@10 of the
+    quantized-integer-dot ranking vs the exact-cosine ranking, with a
+    per-probe certificate (≥ 7 of 10).  Quantization is symmetric
+    max-abs/127 with the scale derived driver-side (index metadata,
+    one pyarrow pass, frozen into the plan); the quantized dot is an
+    EXACT int64 fold — bit-identical in any engine and any summation
+    order, which is the cross-engine determinism win of integer
+    scoring (the float cosine needs the strict-fold discipline; the
+    int dot needs nothing).  Map-only scoring over |panel|·|corpus|,
+    two bounded per-probe windows.  Oracle: STATIC self-derived —
+    only the scale scalar is frozen; DuckDB recomputes quantization,
+    both rankings, and the overlap itself."""
+    from trafik_etl_modular_spark.llmdata.similarity import cosine, to_double_array
+
+    scale = _embedding_maxabs(sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        to_double_array("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.round(x / F.lit(scale) * 127, 0))
+        ).cast("int"),
+    )
+    q = emb.select(
+        "vec_id", qv.alias("qv"), to_double_array("embedding").alias("__vec")
+    )
+    p = q.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("pqv"),
+        F.col("__vec").alias("pvec"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("qv", "pqv", lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = q.join(F.broadcast(p), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        qdot.alias("dq"),
+        cosine(F.col("__vec"), F.col("pvec")).alias("cx"),
+    )
+    from pyspark.sql import Window
+
+    # Both rank windows partition on qid, so they share ONE exchange
+    # (two sorts back to back), and the qid groupBy reuses the same
+    # partitioning — the whole report is broadcast-join → exchange →
+    # window×2 → partial-free agg, no pair-set joins.
+    wq = Window.partitionBy("qid").orderBy(F.desc("dq"), F.asc("vec_id"))
+    wx = Window.partitionBy("qid").orderBy(F.desc("cx"), F.asc("vec_id"))
+    ranked = scored.withColumn("rn_q", F.row_number().over(wq)).withColumn(
+        "rn_x", F.row_number().over(wx)
+    )
+    n_overlap = F.count(
+        F.when((F.col("rn_q") <= 10) & (F.col("rn_x") <= 10), 1)
+    ).cast("bigint")
+    return (
+        ranked.groupBy(F.col("qid").alias("query_id"))
+        .agg(n_overlap.alias("n_overlap10"))
+        .select(
+            "query_id",
+            "n_overlap10",
+            fquant(F.col("n_overlap10").cast("double") / F.lit(10.0)).alias(
+                "recall10"
+            ),
+            (F.col("n_overlap10") >= 7).alias("recall10_ok"),
+        )
+        .orderBy("query_id")
     )
 
 

@@ -80,14 +80,16 @@ _QUERY_MODULES = [
 # window (a pytest asserts registry[0:50] == DRIVER_WINDOW).  Every
 # name here is oracle-bearing.
 #
-# Round-8 rotation (verdict r07 asks #1/#3/#4).  Slots 1–3: the three
-# queries ADDED this round — incremental IVF index maintenance + the
-# retrain reassignment-churn report (the similarity-side analog of
-# dedup_incremental_batch, completing the index lifecycle) and the
-# MinHash-LSH threshold calibration report — never driver-sampled.
-# Slots 4–39: the ENTIRE r04 cohort (36 queries), whose stamps would
+# Round-8 rotation (verdict r07 asks #1/#3/#4).  Slots 1–6: the six
+# queries ADDED this round, never driver-sampled — the IVF index
+# maintenance lifecycle (incremental frozen-centroid append + retrain
+# reassignment churn, the similarity-side analog of
+# dedup_incremental_batch), the two sketch calibration reports
+# (MinHash-LSH thresholds, SimHash radii), the int8 quantization
+# recall certificate, and the embedding-column DQ profile.
+# Slots 7–42: the ENTIRE r04 cohort (36 queries), whose stamps would
 # breach the "no stamp older than 3 rounds" discipline after this
-# round.  Slots 40–50: the eleven oldest r05 stamps (tools/stamps.py
+# round.  Slots 43–50: the eight oldest r05 stamps (tools/stamps.py
 # --window order) so the r05 cohort starts rotating before IT goes
 # stale.  test_window_covers_stale_stamps enforces the staleness
 # discipline mechanically from the CORRECTNESS_r*.json ledger.
@@ -96,6 +98,9 @@ DRIVER_WINDOW: list[str] = [
     "sim_ivf_incremental_append",
     "sim_ivf_retrain_reassignment",
     "dedup_lsh_calibration",
+    "dedup_simhash_calibration",
+    "sim_quantized_recall",
+    "dq_embedding_profile",
     # --- newest stamp r04 (entire cohort) ---------------------------------
     "dedup_clusters",
     "dedup_composite_key",
@@ -142,9 +147,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash_lsh",
     "dedup_semantic_embeddings",
     "dedup_simhash_candidates",
-    "dedup_snapshot_diff",
-    "dq_histogram_value",
-    "dq_outlier_report",
 ]
 
 
