@@ -966,6 +966,25 @@ def test_embedding_profile_planted_defects(spark, tmp_path):
     assert r["norm_max"] > 0 and not math.isnan(r["norm_mean"])
 
 
+def test_quantized_probe_tracks_plain_probe(spark, sf_dir):
+    """The two-stage quantized probe must (a) return exactly 10 rows
+    with strictly-descending (cosine, vec_id) order, and (b) overlap
+    the plain exact-scoring IVF probe's top-10 in ≥ 8 of 10 ids —
+    int8 over 64 dims is fine-grained enough that the shortlist stage
+    rarely perturbs the final rerank."""
+    from trafik_etl_modular_spark.queries.llmdata import (
+        sim_ann_ivf_probe,
+        sim_ann_ivf_quantized_probe,
+    )
+
+    qrows = sim_ann_ivf_quantized_probe(spark, sf_dir).collect()
+    assert len(qrows) == 10
+    keys = [(-r["cosine"], r["vec_id"]) for r in qrows]
+    assert keys == sorted(keys)
+    plain = {r["vec_id"] for r in sim_ann_ivf_probe(spark, sf_dir).collect()}
+    assert len({r["vec_id"] for r in qrows} & plain) >= 8
+
+
 def test_ivf_centroid_alignment_identity_and_churn():
     """Aligning a centroid set to itself must be the identity (so a
     no-op retrain reports zero churn), and a permuted retrain must

@@ -438,6 +438,31 @@ def ivf_read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def rank_probe_buckets(
+    centroid_rows: list[tuple[int, list[float]]],
+    qvec: list[float],
+    nprobe: int,
+) -> list[int]:
+    """Rank the stored centroids against a probe vector DRIVER-SIDE
+    (an index lookup over n_centroids tiny vectors) and return the
+    nprobe winning bucket ids — same strict left-fold dot product and
+    IEEE doubles as the Spark expression, so the ranking is identical
+    to what the engine would compute, and identical to the oracle's
+    re-derivation."""
+    import math
+
+    def _cos(c: list[float]) -> float:
+        d = nc = nq = 0.0
+        for a, b in zip(c, qvec):
+            d += a * b
+            nc += a * a
+            nq += b * b
+        return d / (math.sqrt(nc) * math.sqrt(nq))
+
+    ranked = sorted(centroid_rows, key=lambda t: (-_cos(t[1]), t[0]))
+    return [b for b, _ in ranked[:nprobe]]
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -493,21 +518,7 @@ def ivf_topk(
             for r in centroids.collect()
         ]
 
-    # Rank centroids DRIVER-SIDE (an index lookup over n_centroids
-    # tiny vectors) — same strict left-fold dot product and IEEE
-    # doubles as the Spark expression, so the ranking is identical.
-    import math
-
-    def _cos(c: list[float]) -> float:
-        d = nc = nq = 0.0
-        for a, b in zip(c, qvec):
-            d += a * b
-            nc += a * a
-            nq += b * b
-        return d / (math.sqrt(nc) * math.sqrt(nq))
-
-    ranked = sorted(centroid_rows, key=lambda t: (-_cos(t[1]), t[0]))
-    probe_buckets = [b for b, _ in ranked[:nprobe]]
+    probe_buckets = rank_probe_buckets(centroid_rows, qvec, nprobe)
 
     qvec_lit = F.array(*[F.lit(x) for x in qvec])
     cands = assigned.filter(

@@ -2402,6 +2402,121 @@ def sim_quantized_recall(spark, sf_dir):
     )
 
 
+def _ivf_qprobe_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for the quantized two-stage probe: the
+    deterministic training is re-run outside the engine, the
+    nprobe-bucket candidate ids frozen as an IN-list (same protocol as
+    the plain probe's oracle), and the quantization scale frozen as a
+    scalar; DuckDB then runs BOTH scoring stages itself — the exact
+    int64 quantized-dot shortlist and the exact-cosine rerank."""
+    from trafik_etl_modular_spark.llmdata.similarity import rank_probe_buckets
+
+    ids, vecs, assign, centers = _derive_ivf_assignment(sf_dir)
+    idx0 = ids.index(0)
+    qvec = [float(v) for v in vecs[idx0]]
+    centroid_rows = [(j, [float(v) for v in centers[j]]) for j in range(len(centers))]
+    probe_buckets = set(rank_probe_buckets(centroid_rows, qvec, 4))
+    cands = sorted(
+        int(ids[i])
+        for i in range(len(ids))
+        if int(assign[i]) in probe_buckets and ids[i] != 0
+    )
+    in_list = ",".join(map(str, cands))
+    scale = _embedding_maxabs(sf_dir)
+    qexpr = (
+        "list_transform({col}, x -> CAST(greatest(-127.0, least(127.0, "
+        f"round(x / {scale!r} * 127))) AS INTEGER))"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT {qexpr.format(col='qvec')} AS pqv FROM q),
+e AS (
+  SELECT vec_id, embedding, {qexpr.format(col='embedding')} AS qv
+  FROM embeddings WHERE vec_id IN ({in_list})
+),
+short AS (
+  SELECT e.vec_id, e.embedding, {_QDOT.format(a='e.qv', b='qq.pqv')} AS dq
+  FROM e, qq
+  ORDER BY dq DESC, vec_id
+  LIMIT 100
+)
+SELECT s.vec_id, {_cos_sql('s.embedding', 'q.qvec')} AS cosine
+FROM short s, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@query(
+    "sim_ann_ivf_quantized_probe",
+    sql=_ivf_qprobe_oracle_sql,
+    tags=("llmdata", "similarity", "topk"),
+)
+def sim_ann_ivf_quantized_probe(spark, sf_dir):
+    """TWO-STAGE QUANTIZED IVF PROBE — the production vector-serving
+    path assembled from the engine's certified pieces: (1) static
+    bucket pruning (nprobe=4 of 16, driver-ranked centroids → IN
+    literals, the persisted index's partition pruning), (2) an int8
+    quantized-dot SHORTLIST of the pruned candidates (top-100 by
+    exact int64 dot, deterministic vec_id tiebreak — at lake scale
+    this stage reads the 8×-smaller quantized representation), then
+    (3) an exact-cosine RERANK of only the shortlist (top-10).  Both
+    approximations are individually certified (bucket pruning:
+    sim_ann_recall_report; quantization: sim_quantized_recall) — this
+    query is their composition, the plan a serving system actually
+    runs: pruned scan → map-only integer scoring → TakeOrdered(100) →
+    64-dim float rerank of 100 rows → TakeOrdered(10).  The probe
+    vector and its quantized form are frozen into the plan (the
+    engine quantizes the literal with the same round/clamp expression
+    as the corpus — no Python rounding anywhere).  Oracle: DERIVED —
+    candidate IN-list + scale frozen; DuckDB runs both scoring stages
+    itself."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        cosine,
+        rank_probe_buckets,
+    )
+
+    assigned, _, rows = _ivf_ensure_index(spark, sf_dir)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    idx = tbl["vec_id"].to_pylist().index(0)
+    qvec = [float(v) for v in tbl["embedding"].to_pylist()[idx]]
+    buckets = rank_probe_buckets(rows, qvec, 4)
+    scale = _embedding_maxabs(sf_dir)
+
+    def quant(x):
+        return F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.round(x / F.lit(scale) * 127, 0))
+        ).cast("int")
+
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    pqv = F.transform(qlit, quant)
+    qv = F.transform(F.col("__vec"), quant)
+    qdot = F.aggregate(
+        F.zip_with(qv, pqv, lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    shortlist = (
+        assigned.filter(
+            F.col("ivf_bucket").isin(buckets) & (F.col("vec_id") != 0)
+        )
+        .select("vec_id", "__vec", qdot.alias("dq"))
+        .orderBy(F.desc("dq"), F.asc("vec_id"))
+        .limit(100)
+    )
+    return (
+        shortlist.select("vec_id", cosine(F.col("__vec"), qlit).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 _RECALL_SQL = f"""
 WITH p AS (
   SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0

@@ -80,16 +80,17 @@ _QUERY_MODULES = [
 # window (a pytest asserts registry[0:50] == DRIVER_WINDOW).  Every
 # name here is oracle-bearing.
 #
-# Round-8 rotation (verdict r07 asks #1/#3/#4).  Slots 1–6: the six
+# Round-8 rotation (verdict r07 asks #1/#3/#4).  Slots 1–7: the seven
 # queries ADDED this round, never driver-sampled — the IVF index
 # maintenance lifecycle (incremental frozen-centroid append + retrain
 # reassignment churn, the similarity-side analog of
 # dedup_incremental_batch), the two sketch calibration reports
 # (MinHash-LSH thresholds, SimHash radii), the int8 quantization
-# recall certificate, and the embedding-column DQ profile.
-# Slots 7–42: the ENTIRE r04 cohort (36 queries), whose stamps would
+# recall certificate, the composed two-stage quantized probe, and the
+# embedding-column DQ profile.
+# Slots 8–43: the ENTIRE r04 cohort (36 queries), whose stamps would
 # breach the "no stamp older than 3 rounds" discipline after this
-# round.  Slots 43–50: the eight oldest r05 stamps (tools/stamps.py
+# round.  Slots 44–50: the seven oldest r05 stamps (tools/stamps.py
 # --window order) so the r05 cohort starts rotating before IT goes
 # stale.  test_window_covers_stale_stamps enforces the staleness
 # discipline mechanically from the CORRECTNESS_r*.json ledger.
@@ -100,6 +101,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_lsh_calibration",
     "dedup_simhash_calibration",
     "sim_quantized_recall",
+    "sim_ann_ivf_quantized_probe",
     "dq_embedding_profile",
     # --- newest stamp r04 (entire cohort) ---------------------------------
     "dedup_clusters",
@@ -146,7 +148,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_fuzzy_name_pairs",
     "dedup_minhash_lsh",
     "dedup_semantic_embeddings",
-    "dedup_simhash_candidates",
 ]
 
 
