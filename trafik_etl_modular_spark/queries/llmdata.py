@@ -2259,10 +2259,12 @@ def sim_ivf_retrain_reassignment(spark, sf_dir):
 
 
 def _embedding_maxabs(sf_dir: str) -> float:
-    """Global symmetric quantization scale: max |component| over the
-    corpus — index METADATA derived driver-side with pyarrow (exact:
-    max over doubles is order-independent), frozen into both engines'
-    plans as the same literal."""
+    """Global symmetric quantization scale for the ORACLE builders:
+    max |component| over the corpus, derived outside the engine with
+    pyarrow.  Exact and order-independent (it's a max), so it equals
+    the engine-side distributed aggregate (:func:`_spark_maxabs`) the
+    query paths use — the oracle may read the sf0.01 fixture on one
+    machine; the engine must not read 100 TB on the driver."""
     import os
 
     import numpy as np
@@ -2271,6 +2273,23 @@ def _embedding_maxabs(sf_dir: str) -> float:
     tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
     m = float(np.abs(np.array(tbl["embedding"].to_pylist(), dtype=np.float64)).max())
     return m if m > 0 else 1.0
+
+
+def _spark_maxabs(emb) -> float:
+    """The same scale computed as ONE distributed aggregate (map-side
+    partial max, one scalar to the driver) — the quantization scale
+    is a corpus statistic, so the query path derives it in the
+    engine; a driver-side full read would be the classic collect()
+    scale-killer.  max over doubles is order-independent, so the
+    value is bit-identical to the oracle's pyarrow derivation."""
+    from trafik_etl_modular_spark.llmdata.similarity import to_double_array
+
+    m = emb.agg(
+        F.max(
+            F.array_max(F.transform(to_double_array("embedding"), F.abs))
+        )
+    ).collect()[0][0]
+    return float(m) if m else 1.0
 
 
 _QDOT = (
@@ -2346,8 +2365,8 @@ def sim_quantized_recall(spark, sf_dir):
     both rankings, and the overlap itself."""
     from trafik_etl_modular_spark.llmdata.similarity import cosine, to_double_array
 
-    scale = _embedding_maxabs(sf_dir)
     emb = t(spark, sf_dir, "embeddings")
+    scale = _spark_maxabs(emb)
     qv = F.transform(
         to_double_array("embedding"),
         lambda x: F.greatest(
@@ -2487,7 +2506,10 @@ def sim_ann_ivf_quantized_probe(spark, sf_dir):
     idx = tbl["vec_id"].to_pylist().index(0)
     qvec = [float(v) for v in tbl["embedding"].to_pylist()[idx]]
     buckets = rank_probe_buckets(rows, qvec, 4)
-    scale = _embedding_maxabs(sf_dir)
+    # Scale is index metadata computed ONCE at build time in a real
+    # deployment; deriving it per probe as a distributed agg keeps the
+    # demo self-contained without a driver-side corpus read.
+    scale = _spark_maxabs(t(spark, sf_dir, "embeddings"))
 
     def quant(x):
         return F.greatest(
