@@ -605,7 +605,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
        (CAST(ROUND(MIN(nrm) * 1e9) AS BIGINT) / 1e9) AS norm_min,
        (CAST(ROUND(MAX(nrm) * 1e9) AS BIGINT) / 1e9) AS norm_max,
        CASE WHEN COUNT(nrm) > 0 THEN
-         (CAST(ROUND((CAST(SUM(CAST(nrm AS DECIMAL(38,9))) AS DOUBLE)
+         (CAST(ROUND((CAST(SUM(CAST((CAST(ROUND(nrm * 1e9) AS BIGINT) / 1e9)
+            AS DECIMAL(38,9))) AS DOUBLE)
             / COUNT(nrm)) * 1e9) AS BIGINT) / 1e9) END AS norm_mean
 FROM e
 """
@@ -650,7 +651,13 @@ def dq_embedding_profile(spark, sf_dir):
         F.count(F.when(F.col("nrm") == 0, 1)).cast("bigint").alias("n_zero_vectors"),
         fquant(F.min("nrm")).alias("norm_min"),
         fquant(F.max("nrm")).alias("norm_max"),
+        # fquant-snap before the decimal cast (the
+        # sim_centroids_by_label lesson: raw double→decimal casts
+        # round half-boundary values differently across engines)
         fquant(
-            F.when(F.count("nrm") > 0, dsum("nrm", 9) / F.count("nrm"))
+            F.when(
+                F.count("nrm") > 0,
+                dsum(fquant(F.col("nrm")), 9) / F.count("nrm"),
+            )
         ).alias("norm_mean"),
     )

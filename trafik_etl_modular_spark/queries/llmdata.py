@@ -2653,10 +2653,18 @@ def sim_neardup(spark, sf_dir):
     return near_dup_pairs_by_bucket(emb, threshold=0.4)
 
 
+# Components are snapped to the 1e-9 grid (the fquant integer
+# round-trip, whose ROUND parity is established) BEFORE the decimal
+# cast: a raw double→DECIMAL(38,9) cast rounds half-boundary values
+# differently across engines (found by the sf0.1 sweep — one of 128k
+# components sat on a boundary and moved a centroid by 1e-9/count);
+# a grid-snapped double is ~1e-25 from its decimal point, so the cast
+# can never face a boundary.
 _CENTROIDS_SQL = """
 SELECT label,
        CAST(i AS INTEGER) - 1 AS dim,
-       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+       CAST(SUM(CAST((CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)
+                      / 1e9) AS DECIMAL(38,9))) AS DOUBLE)
          / COUNT(embedding[i]) AS centroid,
        CAST(COUNT(*) AS BIGINT) AS n_vecs
 FROM embeddings e CROSS JOIN range(1, 65) t(i)
@@ -2673,17 +2681,20 @@ def sim_centroids_by_label(spark, sf_dir):
     production embedding pipeline tracks per snapshot.  posexplode →
     one (label, dim) hash aggregation with map-side partials (the
     shuffle carries one partial per task per (label, dim), never the
-    vectors); the mean is davg — exact decimal sum, one IEEE
-    division — so partition order cannot perturb the oracle
-    comparison."""
-    from trafik_etl_modular_spark.functions.scalars import davg
+    vectors); the mean is davg over fquant-snapped components — the
+    1e-9 integer round-trip puts every input ~1e-25 from its decimal
+    grid point, so the decimal cast inside dsum can never face a
+    half-boundary (raw double→decimal casts round boundary values
+    differently across engines — caught by the sf0.1 sweep), then an
+    exact decimal sum and one IEEE division."""
+    from trafik_etl_modular_spark.functions.scalars import davg, fquant
 
     emb = t(spark, sf_dir, "embeddings")
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "__v"))
         .groupBy("label", "dim")
         .agg(
-            davg(F.col("__v").cast("double"), 9).alias("centroid"),
+            davg(fquant(F.col("__v").cast("double")), 9).alias("centroid"),
             F.count("*").alias("n_vecs"),
         )
         .orderBy("label", "dim")
@@ -4624,7 +4635,8 @@ SELECT CAST(1 + (CASE WHEN quality > q25 THEN 1 ELSE 0 END)
               + (CASE WHEN quality > q75 THEN 1 ELSE 0 END) AS INTEGER) AS phase,
        COUNT(*) AS n_docs,
        CAST(SUM(n_words) AS BIGINT) AS sum_tokens,
-       CAST(SUM(CAST(quality AS DECIMAL(38,9))) AS DOUBLE) / COUNT(quality)
+       CAST(SUM(CAST((CAST(ROUND(quality * 1e9) AS BIGINT) / 1e9)
+                     AS DECIMAL(38,9))) AS DOUBLE) / COUNT(quality)
          AS avg_quality,
        MIN(mean_bigram_prob_e9) AS min_lm_score_e9,
        MAX(mean_bigram_prob_e9) AS max_lm_score_e9
@@ -4682,7 +4694,11 @@ def curation_pipeline_v5(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_words").cast("bigint").alias("sum_tokens"),
-            davg("quality", 9).alias("avg_quality"),
+            # fquant-snap before the decimal cast: quality is an
+            # arbitrary computed double, and a raw double→decimal
+            # cast rounds half-boundary (dyadic) values differently
+            # across engines — the sim_centroids_by_label lesson
+            davg(fquant(F.col("quality")), 9).alias("avg_quality"),
             F.min("mean_bigram_prob_e9").alias("min_lm_score_e9"),
             F.max("mean_bigram_prob_e9").alias("max_lm_score_e9"),
         )
