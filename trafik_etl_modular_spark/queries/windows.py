@@ -55,11 +55,19 @@ def window_top3(spark, sf_dir):
 # cumulative sums hash-match a sequential engine at every prefix.
 # ---------------------------------------------------------------------------
 
+# ORDER BY must be a TOTAL order for a ROWS cumulative frame: the
+# synthetic lineitem does NOT have a unique (l_orderkey, l_linenumber)
+# (the sf0.1 sweep found one supplier with two rows tied on
+# shipdate+orderkey+linenumber but different prices — the engines
+# ordered the tie differently and every prefix after it diverged).
+# l_extendedprice as the final key totalizes the order; rows tied on
+# ALL four keys are identical in every emitted column, so their
+# cumulative multiset is order-invariant.
 _RUNNING_SQL = """
 SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) OVER (
          PARTITION BY l_suppkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS DOUBLE) AS running_revenue
 FROM lineitem
@@ -75,7 +83,7 @@ def window_running(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(
