@@ -35,11 +35,26 @@ def test_driver_window_manifest_pins_first_50():
 
 def test_window_covers_stale_stamps():
     """Rotation discipline, enforced mechanically (verdict r07 ask
-    #2): every query whose newest driver-green stamp is ≥3 rounds old
-    at HEAD — or which has never been driver-sampled — must sit in
-    the CURRENT DRIVER_WINDOW, so a forgotten rotation fails pytest
-    instead of surfacing in a verdict after the stamps breach the
-    "no stamp older than 3 rounds" discipline."""
+    #2): every query whose newest driver-green stamp is STRICTLY more
+    than 3 rounds old at HEAD — or which has never been
+    driver-sampled — must sit in the CURRENT DRIVER_WINDOW, so a
+    forgotten rotation fails pytest instead of surfacing in a verdict
+    after the stamps breach the "no stamp older than 3 rounds"
+    discipline.
+
+    ADVICE r08 (medium): two levels.  The HARD check is strict
+    (`< latest - 3`): a stamp strictly older than 3 rounds is an
+    actual discipline breach and is always red.  The FORCING check
+    (`== latest - 3`: the cohort that would breach the moment the
+    NEXT ledger lands) is suspended ONLY during the interregnum —
+    when DRIVER_WINDOW still equals the newest ledger's exact key
+    set, i.e. the driver just stamped this window and the next
+    round's rotation has not happened yet.  The moment the window is
+    rotated (it always is — new queries enter every round), the
+    forcing check activates and an insufficient rotation fails
+    pytest.  Net effect: no red build at HEAD merely because a
+    ledger landed, but a rotation that forgets the age-3 cohort is
+    still caught one full round before any stamp can breach."""
     import importlib.util
     import pathlib
 
@@ -53,13 +68,70 @@ def test_window_covers_stale_stamps():
 
     stamps, latest = stamps_mod.newest_stamps()
     names = list(E.queries())
-    must_rotate = [
-        n for n in names if stamps.get(n, -(10**6)) <= latest - 3
+    breached = [
+        n for n in names if stamps.get(n, -(10**6)) < latest - 3
     ]
-    missing = [n for n in must_rotate if n not in DRIVER_WINDOW]
+    missing = [n for n in breached if n not in DRIVER_WINDOW]
     assert missing == [], (
-        f"stale/never-stamped queries not in DRIVER_WINDOW "
+        f"BREACH: stale/never-stamped queries not in DRIVER_WINDOW "
         f"(latest driver round r{latest:02d}): {missing}"
+    )
+
+    # forcing level: the age-3 cohort must be rotated in, unless we
+    # are in the interregnum (window == the newest ledger's key set,
+    # i.e. the driver just stamped exactly this window and round
+    # N+1's rotation has not landed yet)
+    import json
+
+    newest_ledger = pathlib.Path(__file__).parent.parent / f"CORRECTNESS_r{latest:02d}.json"
+    interregnum = False
+    if newest_ledger.exists():
+        with open(newest_ledger) as fh:
+            interregnum = set(json.load(fh)) == set(DRIVER_WINDOW)
+    if not interregnum:
+        at_edge = [n for n in names if stamps.get(n, -(10**6)) == latest - 3]
+        missing_edge = [n for n in at_edge if n not in DRIVER_WINDOW]
+        assert missing_edge == [], (
+            f"FORCING: age-3 cohort (r{latest - 3:02d} stamps) would breach "
+            f"when the r{latest + 1:02d} ledger lands; rotate into "
+            f"DRIVER_WINDOW: {missing_edge}"
+        )
+
+
+def test_nonwindow_queries_unchanged_since_stamp():
+    """Changed-since-stamp rule (ADVICE r08 item 4): the age-based
+    rotation alone let round 8 modify four queries' behavior without
+    a fresh driver stamp.  Now every registered query NOT in the
+    current DRIVER_WINDOW must have function source (AST, docstring-
+    stripped — comments/formatting don't count) and oracle SQL
+    identical to ``tools/stamped_hashes.json``, the fingerprint it
+    carried when last placed in a stamp-bound window.  Editing a
+    query therefore forces it into the next window (run
+    ``python tools/query_hashes.py --update`` after rotating) or
+    fails pytest."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "query_hashes",
+        pathlib.Path(__file__).parent.parent / "tools" / "query_hashes.py",
+    )
+    qh = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(qh)
+
+    from trafik_etl_modular_spark.registry import DRIVER_WINDOW
+
+    cur = qh.current_fingerprints()
+    manifest = qh.load_manifest()
+    offenders = [
+        n
+        for n in cur
+        if n not in DRIVER_WINDOW and manifest.get(n) != cur[n]
+    ]
+    assert offenders == [], (
+        "queries modified since their newest stamp but not in "
+        f"DRIVER_WINDOW (rotate them in, then run "
+        f"`python tools/query_hashes.py --update`): {offenders}"
     )
 
 

@@ -80,74 +80,72 @@ _QUERY_MODULES = [
 # window (a pytest asserts registry[0:50] == DRIVER_WINDOW).  Every
 # name here is oracle-bearing.
 #
-# Round-8 rotation (verdict r07 asks #1/#3/#4).  Slots 1–7: the seven
-# queries ADDED this round, never driver-sampled — the IVF index
-# maintenance lifecycle (incremental frozen-centroid append + retrain
-# reassignment churn, the similarity-side analog of
-# dedup_incremental_batch), the two sketch calibration reports
-# (MinHash-LSH thresholds, SimHash radii), the int8 quantization
-# recall certificate, the composed two-stage quantized probe, and the
-# embedding-column DQ profile.
-# Slots 8–43: the ENTIRE r04 cohort (36 queries), whose stamps would
-# breach the "no stamp older than 3 rounds" discipline after this
-# round.  Slots 44–50: the seven oldest r05 stamps (tools/stamps.py
-# --window order) so the r05 cohort starts rotating before IT goes
-# stale.  test_window_covers_stale_stamps enforces the staleness
-# discipline mechanically from the CORRECTNESS_r*.json ledger.
+# Round-9 rotation (verdict r08 ask #1; ADVICE r08 item 4).  Slots
+# 1–38: the ENTIRE r05-stamped cohort (tools/stamps.py --window),
+# which becomes stale the moment CORRECTNESS_r09.json lands.  Slots
+# 39–45: queries whose FUNCTION OR ORACLE changed since their newest
+# stamp (r8 diff: curation_pipeline_v5 decimal snap, running-revenue
+# window-order totalization, trimmed-mean oracle rewrite; r9 diff:
+# pagerank decimal hardening, probe qvec row-filtered fetch, _QDOT
+# dim derivation) — the changed-since-stamp rule is now enforced by
+# tests/test_contract.py::test_nonwindow_queries_unchanged_since_stamp
+# against tools/stamped_hashes.json.  Slots 46–50: the five oldest
+# r06 stamps so that cohort starts rotating before it ages out
+# (new round-9 queries swap into these filler slots when they land).
 DRIVER_WINDOW: list[str] = [
-    # --- new this round, never sampled -----------------------------------
-    "sim_ivf_incremental_append",
-    "sim_ivf_retrain_reassignment",
-    "dedup_lsh_calibration",
-    "dedup_simhash_calibration",
-    "sim_quantized_recall",
-    "sim_ann_ivf_quantized_probe",
-    "dq_embedding_profile",
-    # --- newest stamp r04 (entire cohort) ---------------------------------
-    "dedup_clusters",
-    "dedup_composite_key",
-    "dedup_distinct_projection",
-    "dedup_incremental_batch",
-    "dedup_latest_wins",
-    "dedup_ngram_jaccard_prefix",
-    "filter_quality_quantile",
-    "inc_table_view",
-    "multimodal_frame_sample",
-    "multimodal_payload_stats",
-    "pack_materialize_sequences",
-    "pack_training_bins",
-    "pergroup_percent_rank",
-    "sample_per_source_cap",
-    "sample_shuffle_shard",
-    "sample_split_manifest",
-    "sample_stratified_by_lang",
-    "sample_token_budget_mix",
-    "sample_weighted_by_quality",
-    "setop_union_pages_dedup",
-    "sim_ann_hyperplane_lsh",
+    # --- entire r05-stamped cohort (stale once r09 ledger lands) ------
+    "dedup_simhash_candidates",
+    "dedup_snapshot_diff",
+    "dq_histogram_value",
+    "dq_outlier_report",
+    "dq_table_fingerprint",
+    "events_cohort_retention",
+    "events_funnel_stages",
+    "filter_dashboard_pipeline",
+    "inc_daily_trend_gapfill",
+    "inc_geo_imputation",
+    "inc_kpi_counts",
+    "inc_normalize",
+    "join_anti_customers_no_urgent_orders",
+    "join_bucketed_colocated",
+    "join_interval_overlap",
+    "join_scd2_asof_lookup",
+    "join_semi_customers_with_big_orders",
+    "multimodal_dedup_exact",
+    "multimodal_extract_features",
+    "sample_contrastive_triples",
+    "sample_curriculum_phases",
+    "sample_exact_quota_split",
+    "sample_temperature_mix",
+    "scd2_history",
+    "scd2_incremental_merge",
+    "sim_ann_ivf_build",
+    "sim_centroids_by_label",
+    "sim_hard_negatives",
+    "source_schema_evolution_scan",
+    "streaming_incremental_dedup",
+    "streaming_interval_join_full_outer",
+    "streaming_scd2_enrich",
+    "text_gopher_rules",
+    "text_quality_classifier",
+    "tpch_q1_pricing_summary",
+    "vocab_bpe_merge_candidates",
+    "vocab_coverage_curve",
+    "window_time_rolling_1h",
+    # --- changed since newest stamp (r8/r9 diffs) ---------------------
+    "curation_pipeline_v5",
+    "window_running_revenue_per_supplier",
+    "text_trimmed_mean_tokens",
+    "graph_pagerank_3iter",
     "sim_ann_ivf_probe",
-    "sim_knn_join",
-    "sim_topk_cosine_bruteforce",
-    "streaming_interval_join",
-    "streaming_interval_join_outer",
-    "streaming_join_then_window",
-    "streaming_session_window_native",
-    "streaming_sessionize_stateful",
-    "text_bpe_token_stats",
-    "text_length_buckets",
-    "text_pii_redact",
-    "text_repetition_signals",
-    "text_token_stats",
-    "vocab_top_terms",
-    "window_sessionize_users",
-    # --- oldest r05 stamps (rotate before they age out) --------------------
-    "agg_grouping_sets_flag_status",
-    "agg_incremental_rollup",
-    "curation_pipeline_v4",
-    "dedup_chunk_remove",
-    "dedup_fuzzy_name_pairs",
-    "dedup_minhash_lsh",
-    "dedup_semantic_embeddings",
+    "sim_ann_ivf_quantized_probe",
+    "sim_quantized_recall",
+    # --- oldest r06 stamps / round-9 new-query slots -------------------
+    "agg_approx_distinct_users",
+    "agg_approx_percentile_value",
+    "agg_cube_flag_status",
+    "agg_distinct_overlap_matrix",
+    "agg_exact_median_iqr",
 ]
 
 
