@@ -148,7 +148,7 @@ def pagerank(
     """Fixed-round damped PageRank over an edge frame (u, v); returns
     (u, deg, rank) with DECIMAL(38,18)-exact per-round contribution
     sums (see graph_pagerank_3iter)."""
-    from trafik_etl_modular_spark.functions.scalars import dsum
+    from trafik_etl_modular_spark.functions.scalars import dsum, fquant
 
     if n_vertices is None:
         # Same lazy-count rule as bfs_hops: no edge scan when the gate
@@ -191,7 +191,19 @@ def pagerank(
             ),
             "u",
         ).select("v", "c")
-        summed = contrib.groupBy("v").agg(dsum("c", 18).alias("s"))
+        # fquant-snap the contribution BEFORE the decimal cast, at the
+        # SAME scale the sum uses (15): the cast then recovers exactly
+        # the snapped integer k on both engines (|d·10^15 − k| ≤
+        # ulp(d)·10^15 ≪ 0.5), so — unlike a raw double→decimal cast,
+        # which rounds half-boundary dyadics (odd·2⁻¹⁹-shaped doubles)
+        # differently across engines (the sim_centroids_by_label
+        # lesson, ecd4c6e) — a boundary is provably unreachable.
+        # Scale 15 is the largest whose ×10^s round stays inside the
+        # 2^53-exact integer range for contributions ≤ 1; the 1e-15
+        # snap is invisible at the output's 1e-9 quantization.
+        summed = contrib.groupBy("v").agg(
+            dsum(fquant(F.col("c"), 15), 15).alias("s")
+        )
         r = (
             deg.join(
                 _vertex_gate(summed, n_vertices, broadcast_vertex_limit),
@@ -336,8 +348,13 @@ def graph_bfs_3hop(spark, sf_dir):
     )
 
 
+# mirrors the Spark side's dsum(fquant(c, 15), 15): snap the
+# contribution to the 1e-15 grid through the exact integer round-trip,
+# THEN cast to DECIMAL(38,15) — both engines recover the identical
+# snapped integer, so the decimal cast can never face a half boundary
 _PR_DSUM = (
-    "CAST(SUM(CAST((r.rank / r.deg) AS DECIMAL(38,18))) AS DOUBLE)"
+    "CAST(SUM(CAST((CAST(ROUND((r.rank / r.deg) * 1e15) AS BIGINT) / 1e15)"
+    " AS DECIMAL(38,15))) AS DOUBLE)"
 )
 
 _PR_ITER = """
@@ -375,10 +392,13 @@ def graph_pagerank_3iter(spark, sf_dir):
     undirected purchase graph — vertex-importance scoring (influencer
     suppliers / hub customers).  Each iteration is ONE equi-join (rank
     frame × edges on the source key) plus ONE hash aggregation on the
-    target key; contributions are summed as DECIMAL(38,18) (`dsum`),
-    so partition-parallel summation is bit-identical to the oracle's
-    sequential sum — the only way an iterative float algorithm stays
-    cross-engine exact.  Three unrolled iterations stay one shallow
+    target key; contributions are fquant-snapped to the 1e-15 grid
+    and summed as DECIMAL(38,15) (`dsum`), so partition-parallel
+    summation is bit-identical to the oracle's sequential sum AND the
+    double→decimal cast provably never faces a half boundary (the
+    snap scale equals the sum scale, so the cast recovers the exact
+    snapped integer on both engines — closing the last arbitrary-
+    double decimal site left latent after ecd4c6e).  Three unrolled iterations stay one shallow
     Catalyst plan (no per-round materialization stall); on a cluster
     with many iterations each round becomes a persisted rank table
     and successive jobs.  The vertex count N is a 1-row broadcast

@@ -1946,11 +1946,16 @@ def sim_ann_ivf_probe(spark, sf_dir):
 
     import pyarrow.parquet as pq
 
+    # row-group-filtered fetch of ONE row (ADVICE r08): the predicate
+    # reaches the parquet reader, so the driver never materializes the
+    # embedding column — the "driver-tiny" claim holds at any fixture
+    # size, not just sf0.01
     tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
     )
-    idx = tbl["vec_id"].to_pylist().index(0)
-    qvec = tbl["embedding"].to_pylist()[idx]
+    qvec = tbl["embedding"].to_pylist()[0]
     return ivf_topk(
         assigned, centroids, None, k=10, nprobe=4,
         centroid_rows=rows, query_point=(0, qvec),
@@ -2264,7 +2269,12 @@ def _embedding_maxabs(sf_dir: str) -> float:
     pyarrow.  Exact and order-independent (it's a max), so it equals
     the engine-side distributed aggregate (:func:`_spark_maxabs`) the
     query paths use — the oracle may read the sf0.01 fixture on one
-    machine; the engine must not read 100 TB on the driver."""
+    machine; the engine must not read 100 TB on the driver.  Non-
+    finite guard mirrors :func:`_spark_maxabs` exactly (ADVICE r08):
+    a NaN/inf max falls back to scale 1.0 on BOTH sides, so a corpus
+    with non-finite components (dq_embedding_profile is the upstream
+    gate that should catch them) cannot diverge the engines."""
+    import math
     import os
 
     import numpy as np
@@ -2272,7 +2282,25 @@ def _embedding_maxabs(sf_dir: str) -> float:
 
     tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
     m = float(np.abs(np.array(tbl["embedding"].to_pylist(), dtype=np.float64)).max())
-    return m if m > 0 else 1.0
+    return m if m > 0 and math.isfinite(m) else 1.0
+
+
+def _embedding_dims(sf_dir: str) -> int:
+    """Embedding dimensionality for the ORACLE builders, derived from
+    the fixture itself (first row's array length — one row-group
+    metadata read, not a column scan) instead of a hardcoded 64
+    (ADVICE r08: a fixture with a different dim must fail loudly in
+    the builder, not silently truncate the oracle's quantized dot)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dims = len(first["embedding"][0])
+    if dims <= 0:
+        raise ValueError(f"embeddings fixture has empty vectors: {sf_dir}")
+    return dims
 
 
 def _spark_maxabs(emb) -> float:
@@ -2289,12 +2317,20 @@ def _spark_maxabs(emb) -> float:
             F.array_max(F.transform(to_double_array("embedding"), F.abs))
         )
     ).collect()[0][0]
-    return float(m) if m else 1.0
+    # non-finite guard, mirrored verbatim in _embedding_maxabs
+    # (ADVICE r08): Spark's max orders NaN greatest, numpy propagates
+    # it — without the isfinite check the engine would quantize with a
+    # NaN scale while the oracle (NaN > 0 is False) used 1.0
+    import math
+
+    return float(m) if m is not None and m > 0 and math.isfinite(m) else 1.0
 
 
+# dims derived per-fixture by the oracle builders (_embedding_dims),
+# never hardcoded — a non-64-dim fixture must not silently truncate
 _QDOT = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(range(1, 65), i -> CAST({a}[i] AS BIGINT) * {b}[i])), "
+    "list_transform(range(1, {dims} + 1), i -> CAST({a}[i] AS BIGINT) * {b}[i])), "
     "(x, y) -> x + y)"
 )
 
@@ -2305,6 +2341,7 @@ def _quantized_recall_oracle_sql(sf_dir: str) -> str:
     the exact-int64 quantized dots, the exact cosine ranking, and the
     per-probe overlap itself."""
     scale = _embedding_maxabs(sf_dir)
+    dims = _embedding_dims(sf_dir)
     qexpr = (
         "list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0, "
         f"round(x / {scale!r} * 127))) AS INTEGER))"
@@ -2315,7 +2352,7 @@ p AS (SELECT vec_id AS qid, qv AS pqv, embedding AS pvec
       FROM q WHERE vec_id % 50 = 0),
 scored AS (
   SELECT p.qid, e.vec_id,
-         {_QDOT.format(a='e.qv', b='p.pqv')} AS dq,
+         {_QDOT.format(a='e.qv', b='p.pqv', dims=dims)} AS dq,
          {_cos_sql('e.embedding', 'p.pvec')} AS cx
   FROM q e JOIN p ON e.vec_id <> p.qid
 ),
@@ -2354,8 +2391,9 @@ def sim_quantized_recall(spark, sf_dir):
     50th vec_id, the recall-report panel), recall@10 of the
     quantized-integer-dot ranking vs the exact-cosine ranking, with a
     per-probe certificate (≥ 7 of 10).  Quantization is symmetric
-    max-abs/127 with the scale derived driver-side (index metadata,
-    one pyarrow pass, frozen into the plan); the quantized dot is an
+    max-abs/127 with the scale computed IN the engine as one
+    distributed map-side-partial max (:func:`_spark_maxabs` — one
+    scalar to the driver, never a corpus read); the quantized dot is an
     EXACT int64 fold — bit-identical in any engine and any summation
     order, which is the cross-engine determinism win of integer
     scoring (the float cosine needs the strict-fold discipline; the
@@ -2442,6 +2480,7 @@ def _ivf_qprobe_oracle_sql(sf_dir: str) -> str:
     )
     in_list = ",".join(map(str, cands))
     scale = _embedding_maxabs(sf_dir)
+    dims = _embedding_dims(sf_dir)
     qexpr = (
         "list_transform({col}, x -> CAST(greatest(-127.0, least(127.0, "
         f"round(x / {scale!r} * 127))) AS INTEGER))"
@@ -2454,7 +2493,7 @@ e AS (
   FROM embeddings WHERE vec_id IN ({in_list})
 ),
 short AS (
-  SELECT e.vec_id, e.embedding, {_QDOT.format(a='e.qv', b='qq.pqv')} AS dq
+  SELECT e.vec_id, e.embedding, {_QDOT.format(a='e.qv', b='qq.pqv', dims=dims)} AS dq
   FROM e, qq
   ORDER BY dq DESC, vec_id
   LIMIT 100
@@ -2500,11 +2539,15 @@ def sim_ann_ivf_quantized_probe(spark, sf_dir):
     )
 
     assigned, _, rows = _ivf_ensure_index(spark, sf_dir)
+    # row-group-filtered fetch of ONE row (ADVICE r08) — see
+    # sim_ann_ivf_probe: predicate pushdown keeps the driver read tiny
+    # at any fixture size
     tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
     )
-    idx = tbl["vec_id"].to_pylist().index(0)
-    qvec = [float(v) for v in tbl["embedding"].to_pylist()[idx]]
+    qvec = [float(v) for v in tbl["embedding"].to_pylist()[0]]
     buckets = rank_probe_buckets(rows, qvec, 4)
     # Scale is index metadata computed ONCE at build time in a real
     # deployment; deriving it per probe as a distributed agg keeps the
