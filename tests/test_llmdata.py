@@ -883,6 +883,69 @@ def test_ivf_incremental_append_roundtrip(spark, tmp_path, sf_dir):
     assert full == exact
 
 
+def test_ivf_compact_preserves_probes(spark, tmp_path, sf_dir):
+    """Compaction end to end against a PERSISTED index: build on the
+    old corpus, append the held-out batch in two slices (touched
+    buckets now hold up to 3 files), compact IN PLACE, then (a) every
+    over-threshold bucket collapsed to one file and no bucket grew,
+    (b) the corpus row set is byte-identical (vec_id→bucket mapping
+    unchanged), (c) a full-nprobe probe returns the IDENTICAL top-k —
+    compaction is a layout op, invisible to queries, and (d) a second
+    compact is a no-op (idempotent maintenance cadence)."""
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        ivf_append,
+        ivf_assign,
+        ivf_bucket_files,
+        ivf_compact,
+        ivf_index,
+        ivf_read_index,
+        ivf_topk,
+        ivf_train,
+        ivf_write_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % 10 == 7
+    old, batch = emb.filter(~is_batch), emb.filter(is_batch)
+    path = str(tmp_path / "ivf")
+    assigned_old, centroids = ivf_index(old, n_centroids=8)
+    ivf_write_index(assigned_old, centroids, path)
+    centers = ivf_train(old, n_centroids=8)
+    for rem in (7, 17):
+        ivf_append(
+            ivf_assign(batch.filter(F.col("vec_id") % 20 == rem), centers), path
+        )
+
+    before = ivf_bucket_files(path)
+    assert max(before.values()) > 2, "fixture must have over-threshold buckets"
+    a0, c0 = ivf_read_index(spark, path)
+    mapping0 = {r["vec_id"]: r["ivf_bucket"] for r in a0.collect()}
+    probe_id = batch.select(F.min("vec_id")).collect()[0][0]
+    probe = emb.filter(F.col("vec_id") == probe_id)
+    top0 = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(a0, c0, probe, k=10, nprobe=8).collect()
+    ]
+
+    report = ivf_compact(spark, path, max_files_per_bucket=2)
+    after = ivf_bucket_files(path)
+    assert set(after) == set(before)
+    for b, fb, fa in report:
+        assert fb == before[b] and fa == after[b]
+        assert fa == (1 if fb > 2 else fb)
+    a1, c1 = ivf_read_index(spark, path)
+    assert {r["vec_id"]: r["ivf_bucket"] for r in a1.collect()} == mapping0
+    top1 = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(a1, c1, probe, k=10, nprobe=8).collect()
+    ]
+    assert top1 == top0
+
+    report2 = ivf_compact(spark, path, max_files_per_bucket=2)
+    assert all(fb == fa for _, fb, fa in report2)
+    assert ivf_bucket_files(path) == after
+
+
 def test_simhash_calibration_invariants(spark, sf_dir):
     """Radius-sweep structure: candidates and hits are non-decreasing
     in the radius, hits ≤ min(candidates, truth), truth constant

@@ -385,6 +385,89 @@ def ivf_append(assigned_batch: DataFrame, path: str) -> None:
     ).partitionBy("ivf_bucket").parquet(f"{path}/assigned")
 
 
+def ivf_bucket_files(path: str) -> dict[int, int]:
+    """Per-bucket data-file count of a persisted index — the metadata
+    a compaction planner reads (at lake scale this is the table
+    catalog / manifest listing, not a recursive filesystem walk)."""
+    import glob
+    import os
+
+    counts: dict[int, int] = {}
+    for d in glob.glob(os.path.join(path, "assigned", "ivf_bucket=*")):
+        b = int(os.path.basename(d).split("=", 1)[1])
+        counts[b] = len(
+            [f for f in os.listdir(d) if f.endswith(".parquet") or f.startswith("part-")]
+        )
+    return counts
+
+
+def ivf_compact(
+    spark,
+    path: str,
+    max_files_per_bucket: int = 2,
+    out_path: str | None = None,
+) -> list[tuple[int, int, int]]:
+    """Compact an appended IVF index's small files — the maintenance
+    op that closes :func:`ivf_append`'s lifecycle (each append adds up
+    to one file per touched bucket; without a compaction cadence the
+    probes' pruned listing degrades into a metadata scan).
+
+    Plan shape, and why it scales: the planner reads ONLY bucket-level
+    file counts (:func:`ivf_bucket_files`, catalog metadata); buckets
+    at or under ``max_files_per_bucket`` are never read or rewritten.
+    The over-threshold buckets are read with an ``ivf_bucket IN (…)``
+    filter — partition-pruned to exactly those directories — then
+    repartitioned one-shuffle-partition-per-bucket and rewritten as
+    one file each, so the rewrite I/O is proportional to the
+    COMPACTED buckets' bytes, never the index.  Vectors are copied
+    verbatim (no re-encoding), so probe results are bit-identical
+    pre/post (pytest-asserted).
+
+    ``out_path=None`` compacts IN PLACE: the rewritten bucket
+    directories atomically replace the originals one rename at a
+    time, so a concurrent probe sees either the old files or the new
+    single file, never a partial mix.  With ``out_path`` the
+    compacted buckets are materialized side-by-side (used by the
+    registered report query so the shared fixture index stays
+    immutable).
+
+    Returns [(bucket, files_before, files_after)] sorted by bucket,
+    covering every bucket (untouched ones report unchanged counts).
+    """
+    import os
+    import shutil
+    import uuid
+
+    before = ivf_bucket_files(path)
+    over = sorted(b for b, n in before.items() if n > max_files_per_bucket)
+    dest = out_path if out_path is not None else path
+    if over:
+        src = spark.read.parquet(f"{path}/assigned")
+        tmp = f"{dest}/.compact-{uuid.uuid4().hex[:8]}"
+        (
+            src.filter(F.col("ivf_bucket").isin([int(b) for b in over]))
+            .repartition(len(over), "ivf_bucket")
+            .write.mode("overwrite")
+            .partitionBy("ivf_bucket")
+            .parquet(f"{tmp}/assigned")
+        )
+        os.makedirs(f"{dest}/assigned", exist_ok=True)
+        for b in over:
+            new_dir = f"{tmp}/assigned/ivf_bucket={b}"
+            cur_dir = f"{dest}/assigned/ivf_bucket={b}"
+            if os.path.exists(cur_dir):  # in-place: swap old dir out
+                trash = f"{tmp}/old-{b}"
+                os.rename(cur_dir, trash)
+            os.rename(new_dir, cur_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+    after_dest = ivf_bucket_files(dest) if over else {}
+    report = []
+    for b in sorted(before):
+        fa = after_dest.get(b, before[b]) if b in over else before[b]
+        report.append((int(b), int(before[b]), int(fa)))
+    return report
+
+
 def ivf_write_index(
     assigned: DataFrame,
     centroids: DataFrame,

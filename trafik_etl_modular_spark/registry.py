@@ -144,7 +144,7 @@ DRIVER_WINDOW: list[str] = [
     "agg_approx_distinct_users",
     "agg_approx_percentile_value",
     "agg_cube_flag_status",
-    "agg_distinct_overlap_matrix",
+    "sim_ivf_compact",
     "agg_exact_median_iqr",
 ]
 
