@@ -946,6 +946,44 @@ def test_ivf_compact_preserves_probes(spark, tmp_path, sf_dir):
     assert ivf_bucket_files(path) == after
 
 
+def test_perceptual_dedup_catches_reencoded_duplicates(spark, sf_dir):
+    """The planted re-encoded-duplicate case (verdict r08 ask #6),
+    end to end through the registered query: every image group
+    (doc_ids 10k / 10k+1 / 10k+3 present in the corpus) must surface
+    the re-encode pair (10k, 10k+1) with Hamming distance EXACTLY 0
+    and same_bytes=False — identical pixels, different bytes, i.e.
+    the row exact binary dedup misses — and the near-variant pair
+    (10k, 10k+3) within the radius-3 pigeonhole bound.  Also pins the
+    decode tier: every corpus payload must take the REAL grayscale-
+    PNG path, none the labeled fake."""
+    from trafik_etl_modular_spark.llmdata.multimodal import (
+        perceptual_hash,
+        with_perceptual_corpus,
+    )
+    from trafik_etl_modular_spark.queries.llmdata import multimodal_dedup_perceptual
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_perceptual_corpus(docs)
+    modes = {r["decode_mode"] for r in perceptual_hash(media).collect()}
+    assert modes == {"png"}
+
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["hamming"], r["same_bytes"])
+        for r in multimodal_dedup_perceptual(spark, sf_dir).collect()
+    }
+    groups = [b for b in ids if b % 10 == 0 and b + 1 in ids and b + 3 in ids]
+    assert groups, "fixture must contain full image groups"
+    for b in groups:
+        ham, same = pairs[(b, b + 1)]
+        assert ham == 0 and same is False  # re-encode: pixels ==, bytes !=
+        ham3, same3 = pairs[(b, b + 3)]
+        assert 0 <= ham3 <= 3 and same3 is False  # planted near edit
+    # no cross-group noise: every reported pair is within one group
+    for a, b in pairs:
+        assert b - a in (1, 2, 3) and a // 10 == b // 10
+
+
 def test_simhash_calibration_invariants(spark, sf_dir):
     """Radius-sweep structure: candidates and hits are non-decreasing
     in the radius, hits ≤ min(candidates, truth), truth constant

@@ -321,3 +321,248 @@ def sample_frames(
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (dHash) over the DECODED tier — the image analog
+# of the text SimHash sketch (verdict r08 ask #6): exact binary dedup
+# (multimodal_dedup_exact) only catches byte-identical payloads, but
+# re-encoded duplicates (same pixels, different compression level or
+# extra ancillary chunks) are the common case in a crawled multimodal
+# corpus.  dHash (difference hash, public domain / Krawetz 2013):
+# box-average the grayscale raster to a 9×8 grid, emit one bit per
+# horizontal neighbor comparison — 64 bits, Hamming-comparable, and
+# INVARIANT under re-encoding because it reads pixels, not bytes.
+#
+# The decode tier here is REAL, not Pillow-dependent: our spec-valid
+# synthetic PNGs are 8-bit grayscale with filter-0 rows, which a pure
+# zlib + numpy parse decodes exactly (decode_png_gray).  Payloads that
+# aren't decodable PNGs fall through to a labeled deterministic fake
+# (the established tier contract).
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = "doc_id bigint, dhash bigint, payload_md5 string, decode_mode string"
+
+# 9×8 dHash grid; the fixture rasters are 72×64 so every grid cell is
+# an exact 8×8 pixel block (integer box averages, no boundary slop)
+PHASH_GRID_W, PHASH_GRID_H = 9, 8
+PHASH_IMG_W, PHASH_IMG_H = 72, 64
+
+
+def image_pattern(width: int, height: int, seed: int, bright_cells=()):
+    """Deterministic pseudo-random grayscale raster (uint8 ndarray,
+    height×width): an integer hash mix over (x, y, seed), so every
+    seed yields a visually-distinct pattern whose dHash bits are
+    ~Bernoulli(1/2) — distinct seeds land ~32 Hamming apart, far
+    outside any near-dup radius.  ``bright_cells`` forces whole dHash
+    grid cells to 255, perturbing a bounded number of neighbor
+    comparisons — the controlled "small edit" used to plant NEAR
+    duplicates (≤ 2 bit flips per forced cell)."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.uint32)[None, :]
+    y = np.arange(height, dtype=np.uint32)[:, None]
+    with np.errstate(over="ignore"):
+        v = (
+            x * np.uint32(2654435761)
+            + y * np.uint32(1013904223)
+            + np.uint32(seed % (2**32)) * np.uint32(2246822519)
+        )
+        v ^= v >> np.uint32(13)
+        v = v * np.uint32(2654435761)
+    arr = ((v >> np.uint32(8)) & np.uint32(0xFF)).astype(np.uint8)
+    for r, c in bright_cells:
+        y0, y1 = r * height // PHASH_GRID_H, (r + 1) * height // PHASH_GRID_H
+        x0, x1 = c * width // PHASH_GRID_W, (c + 1) * width // PHASH_GRID_W
+        arr[y0:y1, x0:x1] = 255
+    return arr
+
+
+def encode_png_gray(arr, level: int = 9, comment: bytes | None = None) -> bytes:
+    """Spec-valid 8-bit grayscale PNG of an ndarray raster — the same
+    chunk machinery as :func:`synthetic_png`, plus the two RE-ENCODING
+    degrees of freedom a crawler actually sees: the zlib compression
+    level and an optional ancillary tEXt chunk.  Different (level,
+    comment) choices change the BYTES but never the PIXELS — the
+    planted re-encoded-duplicate case."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    height, width = arr.shape
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(arr[y].tobytes()) for y in range(height))
+    parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+    if comment is not None:
+        parts.append(chunk(b"tEXt", b"Comment\x00" + comment))
+    parts.append(chunk(b"IDAT", zlib.compress(raw, level)))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def decode_png_gray(payload: bytes):
+    """REAL pure-Python decode of an 8-bit grayscale, filter-0 PNG
+    (the exact class :func:`encode_png_gray` emits): chunk walk, IDAT
+    concat, zlib inflate, filter-byte strip — returns the uint8
+    raster ndarray, or None for anything outside that class (other
+    color types / filters / non-PNG bytes), so callers fall through
+    to the labeled fake tier instead of silently mis-decoding."""
+    import numpy as np
+
+    if payload is None or not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos, width, height, idat = 8, None, None, b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            width, height, depth, color = struct.unpack(">IIBB", data[:10])
+            if depth != 8 or color != 0:
+                return None
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if not width or not height or not idat:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if len(raw) != height * (width + 1):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
+    if rows[:, 0].any():  # only filter type 0 in this class
+        return None
+    return rows[:, 1:]
+
+
+def dhash64(arr) -> int:
+    """64-bit difference hash: integer box-average the raster to the
+    9×8 grid (floor-division cell sums — exact, no float rounding to
+    diverge an oracle re-derivation), then bit r·8+c = 1 iff
+    cell[r][c+1] > cell[r][c].  Returned as the SIGNED 64-bit value
+    (bit 63 set → negative), matching Spark/DuckDB BIGINT."""
+    import numpy as np
+
+    h, w = arr.shape
+    sums = np.zeros((PHASH_GRID_H, PHASH_GRID_W), dtype=np.int64)
+    for r in range(PHASH_GRID_H):
+        y0, y1 = r * h // PHASH_GRID_H, (r + 1) * h // PHASH_GRID_H
+        for c in range(PHASH_GRID_W):
+            x0, x1 = c * w // PHASH_GRID_W, (c + 1) * w // PHASH_GRID_W
+            block = arr[y0:y1, x0:x1]
+            sums[r, c] = int(block.sum(dtype=np.int64)) // max(block.size, 1)
+    v = 0
+    for r in range(PHASH_GRID_H):
+        for c in range(PHASH_GRID_W - 1):
+            if sums[r, c + 1] > sums[r, c]:
+                v |= 1 << (r * 8 + c)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def fake_dhash(payload: bytes) -> int:
+    """Labeled deterministic fallback for non-decodable payloads:
+    signed 64-bit from the payload's md5 — byte-keyed (so only exact
+    copies collide), clearly NOT perceptual."""
+    import hashlib
+
+    v = int.from_bytes(hashlib.md5(payload or b"").digest()[:8], "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """Arrow-batched dHash over binary payloads — mapInPandas, map-only
+    (the payload bytes never shuffle; only 8-byte signatures and ids
+    leave the stage, which is the point at image scale).  Decode tier
+    per payload: the real grayscale-PNG parse (``decode_mode='png'``),
+    else the labeled byte-keyed fake.  Also emits the payload md5 so
+    downstream near-dup reports can flag which candidate pairs exact
+    binary dedup would have MISSED (same pixels, different bytes)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes, modes = [], []
+            for b in pdf["payload"]:
+                arr = decode_png_gray(b)
+                if arr is not None:
+                    hashes.append(dhash64(arr))
+                    modes.append("png")
+                else:
+                    hashes.append(fake_dhash(b))
+                    modes.append("fake")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dhash": pd.Series(hashes, index=pdf.index, dtype="int64"),
+                    "payload_md5": [
+                        hashlib.md5(b or b"").hexdigest() for b in pdf["payload"]
+                    ],
+                    "decode_mode": modes,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+# Fixture classes for the perceptual near-dup corpus, keyed on
+# doc_id % 10 (documents carrying other residues are not images):
+#   0 — base image, pattern seed = doc_id, zlib level 9
+#   1 — RE-ENCODE of doc (doc_id-1)'s image: same pixels, level 1 +
+#       tEXt chunk → dHash identical, bytes different (the case exact
+#       dedup misses)
+#   3 — NEAR variant of doc (doc_id-3)'s image: ONE dHash grid cell
+#       forced bright → ≤ 2 neighbor-comparison flips, keeping every
+#       planted near pair inside the radius-3 pigeonhole guarantee
+#   5 — unique image, pattern seed = doc_id (no partner)
+_PHASH_NEAR_CELLS = ((2, 3),)
+
+
+def perceptual_payload_for(doc_id: int) -> bytes | None:
+    """The deterministic image payload for one corpus doc (None for
+    non-image residues).  Shared by the Spark fixture builder AND the
+    oracle's outside-the-engine re-derivation — pure Python/numpy on
+    both sides, so freezing its dHash output as oracle VALUES is the
+    established DERIVED pattern."""
+    m = doc_id % 10
+    if m == 0 or m == 5:
+        arr = image_pattern(PHASH_IMG_W, PHASH_IMG_H, doc_id)
+        return encode_png_gray(arr, level=9)
+    if m == 1:
+        arr = image_pattern(PHASH_IMG_W, PHASH_IMG_H, doc_id - 1)
+        return encode_png_gray(arr, level=1, comment=b"reencoded")
+    if m == 3:
+        arr = image_pattern(
+            PHASH_IMG_W, PHASH_IMG_H, doc_id - 3, bright_cells=_PHASH_NEAR_CELLS
+        )
+        return encode_png_gray(arr, level=9)
+    return None
+
+
+def with_perceptual_corpus(docs: DataFrame) -> DataFrame:
+    """Materialize the perceptual-dedup image corpus: one genuine PNG
+    payload per image-residue doc (mapInPandas — the payload is
+    per-doc unique, so it cannot be a plan literal like
+    with_binary_payload's three shared images).  In production this
+    frame IS the crawled media table; the generator stands in for the
+    storage read, and everything downstream of it is the real
+    pipeline."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [perceptual_payload_for(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return (
+        docs.select("doc_id")
+        .filter((F.col("doc_id") % 10).isin(0, 1, 3, 5))
+        .mapInPandas(batches, schema="doc_id bigint, payload binary")
+    )

@@ -4326,6 +4326,120 @@ def multimodal_dedup_exact(spark, sf_dir):
     )
 
 
+def _phash_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for the perceptual near-dup report: only the
+    64-bit dHash signatures and payload md5s are engine-specific —
+    re-derived outside the engine through the SAME pure-Python path
+    the executors run (generate payload → real grayscale-PNG decode →
+    integer box-average dHash; llmdata/multimodal.py) and frozen as
+    VALUES; DuckDB does the pigeonhole 16-bit chunk self-join, the
+    Hamming computation (bit_count over xor), the ≤ 3 filter, the
+    pair dedup, and the byte-identity flag itself."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.llmdata.multimodal import (
+        decode_png_gray,
+        dhash64,
+        perceptual_payload_for,
+    )
+    import hashlib
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    rows = []
+    for d in ids:
+        payload = perceptual_payload_for(int(d))
+        if payload is None:
+            continue
+        arr = decode_png_gray(payload)
+        rows.append((int(d), dhash64(arr), hashlib.md5(payload).hexdigest()))
+    values = ",".join(f"({d},{h},'{m}')" for d, h, m in rows)
+    return f"""
+WITH s(doc_id, dhash, md5) AS (VALUES {values}),
+chunks AS (
+  SELECT s.doc_id, s.dhash, s.md5, i.i AS chunk_idx,
+         (s.dhash >> (16 * CAST(i.i AS INTEGER))) & 65535 AS chunk_val
+  FROM s, (SELECT unnest(range(4)) AS i) i
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming,
+       a.md5 = b.md5 AS same_bytes
+FROM chunks a
+JOIN chunks b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "multimodal_dedup_perceptual",
+    sql=_phash_oracle_sql,
+    tags=("llmdata", "multimodal", "dedup"),
+)
+def multimodal_dedup_perceptual(spark, sf_dir):
+    """PERCEPTUAL near-dup over the DECODED image tier (verdict r08
+    ask #6) — the image analog of the text SimHash sketch, catching
+    what multimodal_dedup_exact structurally cannot: RE-ENCODED
+    duplicates (same pixels, different zlib level / extra ancillary
+    chunk → different bytes, the common case in a crawled corpus) and
+    small edits.  Pipeline: per-doc-unique genuine PNGs
+    (with_perceptual_corpus; residues 1/3 mod 10 are planted
+    re-encodes/near-variants of their residue-0 partner), REAL
+    pure-Python grayscale-PNG decode + 64-bit dHash in ONE Arrow
+    batch pass (perceptual_hash — map-only; payload bytes never
+    shuffle, only 8-byte signatures and ids leave the stage), then
+    the SAME pigeonhole machinery as the text sketch
+    (simhash_candidate_pairs: 4×16-bit chunk equi-join, never
+    all-pairs; radius 3 is the 4-chunk pigeonhole-complete bound, and
+    the planted near edit flips ≤ 2 bits by construction).  Output:
+    candidate pairs with Hamming distance and a same_bytes flag —
+    every planted pair shows same_bytes=false, i.e. rows exact binary
+    dedup MISSES.  Oracle: DERIVED — signatures/md5s re-derived
+    outside the engine via the same pure-Python decode path and
+    frozen; DuckDB runs the chunk join, Hamming filter, dedup, and
+    byte-identity flag itself."""
+    from trafik_etl_modular_spark.llmdata.dedup import simhash_candidate_pairs
+    from trafik_etl_modular_spark.llmdata.multimodal import (
+        perceptual_hash,
+        with_perceptual_corpus,
+    )
+
+    media = with_perceptual_corpus(t(spark, sf_dir, "documents"))
+    # one Arrow pass feeds three plan legs (pair-join left/right +
+    # two md5 lookups) — pin it per CALL (multi-leg rule, PINNED.md)
+    sig = perceptual_hash(media).localCheckpoint(eager=False)
+    pairs = simhash_candidate_pairs(
+        sig.select("doc_id", F.col("dhash").alias("simhash")), max_hamming=3
+    )
+    md5s = sig.select("doc_id", "payload_md5")
+    return (
+        pairs.join(
+            md5s.select(
+                F.col("doc_id").alias("id_a"), F.col("payload_md5").alias("__m_a")
+            ),
+            "id_a",
+        )
+        .join(
+            md5s.select(
+                F.col("doc_id").alias("id_b"), F.col("payload_md5").alias("__m_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("hamming").cast("int").alias("hamming"),
+            (F.col("__m_a") == F.col("__m_b")).alias("same_bytes"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer training: one BPE merge iteration's counting core.
 # BPE training (Sennrich et al. 2016) loops: count adjacent-pair

@@ -145,7 +145,7 @@ DRIVER_WINDOW: list[str] = [
     "agg_approx_percentile_value",
     "agg_cube_flag_status",
     "sim_ivf_compact",
-    "agg_exact_median_iqr",
+    "multimodal_dedup_perceptual",
 ]
 
 
