@@ -984,6 +984,35 @@ def test_perceptual_dedup_catches_reencoded_duplicates(spark, sf_dir):
         assert b - a in (1, 2, 3) and a // 10 == b // 10
 
 
+def test_incremental_media_dedup_verdicts(spark, sf_dir):
+    """Planted batch-vs-corpus structure, end to end through the
+    registered query: every batch doc 20k+7 (a re-encode of corpus
+    doc 20k) must come back verdict='reencoded_dup' matched to
+    EXACTLY doc 20k with best_hamming=0 — never 'exact_dup' (the
+    bytes differ) and never 'novel' (the pixels don't); every batch
+    doc 20k+17 (fresh unique pattern) must be 'novel' with NULL
+    match.  One verdict row per batch doc, no extras."""
+    from trafik_etl_modular_spark.queries.llmdata import multimodal_dedup_incremental
+
+    ids = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    rows = {
+        r["doc_id"]: r for r in multimodal_dedup_incremental(spark, sf_dir).collect()
+    }
+    batch = {d for d in ids if d % 10 == 7}
+    assert set(rows) == batch and batch
+    for d in batch:
+        r = rows[d]
+        if d % 20 == 7:
+            assert r["verdict"] == "reencoded_dup"
+            assert r["matched_id"] == d - 7 and r["best_hamming"] == 0
+        else:
+            assert r["verdict"] == "novel"
+            assert r["matched_id"] is None and r["best_hamming"] is None
+
+
 def test_simhash_calibration_invariants(spark, sf_dir):
     """Radius-sweep structure: candidates and hits are non-decreasing
     in the radius, hits ≤ min(candidates, truth), truth constant

@@ -437,6 +437,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "multimodal_frame_sample": {"MapInPandas"},  # Python frame sampler
         # Python PNG decode + dHash (fixture gen + perceptual pass)
         "multimodal_dedup_perceptual": {"MapInPandas"},
+        # same decode path, batch + index sides
+        "multimodal_dedup_incremental": {"MapInPandas"},
         "pergroup_percent_rank": {"FlatMapGroupsInPandas"},  # applyInPandas demo
         # GROUPED_AGG pandas UDAF (trimmed mean) — §2.10's fourth UDF
         # shape; node name differs by Spark major version

@@ -1000,6 +1000,55 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _simhash_chunks(signed: DataFrame, id_col: str) -> DataFrame:
+    """Explode a 64-bit signature into its four 16-bit pigeonhole
+    chunks — shared by the self-join (:func:`simhash_candidate_pairs`)
+    and the batch-vs-index cross join
+    (:func:`simhash_cross_candidates`)."""
+    return signed.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                for i in range(4)
+            ])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+
+
+def simhash_cross_candidates(
+    batch_signed: DataFrame,
+    index_signed: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Pigeonhole candidate join of a NEW batch's signatures against
+    a persisted signature INDEX — the incremental form of
+    :func:`simhash_candidate_pairs`: no self-join, no batch-internal
+    pairs; every candidate has one side in the batch and one in the
+    index, so pair volume is proportional to the BATCH (times bucket
+    occupancy), never index².  Same completeness bound: with four
+    16-bit chunks, every pair within Hamming ≤ 3 shares a chunk.
+    Output: (batch_id, index_id, hamming), deduped."""
+    b = _simhash_chunks(batch_signed, id_col).alias("b")
+    x = _simhash_chunks(index_signed, id_col).alias("x")
+    pairs = b.join(
+        x,
+        (F.col("b.chunk_idx") == F.col("x.chunk_idx"))
+        & (F.col("b.chunk_val") == F.col("x.chunk_val")),
+    ).select(
+        F.col(f"b.{id_col}").alias("batch_id"),
+        F.col(f"x.{id_col}").alias("index_id"),
+        F.bit_count(
+            F.col("b.simhash").bitwiseXOR(F.col("x.simhash"))
+        ).alias("hamming"),
+    )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs.distinct()
+
+
 def simhash_candidate_pairs(
     signed: DataFrame, id_col: str = "doc_id", max_hamming: int | None = None
 ) -> DataFrame:
@@ -1015,16 +1064,7 @@ def simhash_candidate_pairs(
     # (explode + 64 vote lanes) is the expensive stage — materialize
     # it once instead of once per leg.
     signed = signed.localCheckpoint(eager=False)
-    chunked = signed.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                for i in range(4)
-            ])
-        ).alias("chunk_idx", "chunk_val"),
-    )
+    chunked = _simhash_chunks(signed, id_col)
     l, r = chunked.alias("l"), chunked.alias("r")
     pairs = l.join(
         r,

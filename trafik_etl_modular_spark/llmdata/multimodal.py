@@ -547,6 +547,43 @@ def perceptual_payload_for(doc_id: int) -> bytes | None:
     return None
 
 
+# The NEW CRAWL batch for incremental media dedup: residue-7 docs
+# (disjoint from the corpus residues 0/1/3/5), half planted dups:
+#   doc_id % 20 ==  7 — RE-ENCODE of corpus doc (doc_id-7)'s image
+#                       (residue 0): pixel-identical, bytes differ
+#   doc_id % 20 == 17 — genuinely new capture (unique pattern seed)
+def incremental_payload_for(doc_id: int) -> bytes | None:
+    """Deterministic payload for one NEW-batch doc (None for
+    non-batch residues) — shared by the Spark builder and the
+    oracle's outside-the-engine re-derivation, like
+    :func:`perceptual_payload_for`."""
+    m = doc_id % 20
+    if m == 7:
+        arr = image_pattern(PHASH_IMG_W, PHASH_IMG_H, doc_id - 7)
+        return encode_png_gray(arr, level=1, comment=b"crawl-dup")
+    if m == 17:
+        arr = image_pattern(PHASH_IMG_W, PHASH_IMG_H, doc_id)
+        return encode_png_gray(arr, level=9)
+    return None
+
+
+def with_perceptual_batch(docs: DataFrame) -> DataFrame:
+    """Materialize the incremental crawl batch
+    (:func:`incremental_payload_for` over residue-7 docs) — same
+    mapInPandas shape as :func:`with_perceptual_corpus`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [incremental_payload_for(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") % 10 == 7)
+        .mapInPandas(batches, schema="doc_id bigint, payload binary")
+    )
+
+
 def with_perceptual_corpus(docs: DataFrame) -> DataFrame:
     """Materialize the perceptual-dedup image corpus: one genuine PNG
     payload per image-residue doc (mapInPandas — the payload is

@@ -4440,6 +4440,157 @@ def multimodal_dedup_perceptual(spark, sf_dir):
     )
 
 
+def _phash_incremental_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for incremental media dedup: corpus-index AND
+    batch signatures/md5s re-derived outside the engine through the
+    same pure-Python decode path and frozen as VALUES; DuckDB runs
+    the batch×index chunk join, the Hamming filter, the best-match
+    window, the exact-byte lookup, and the verdict CASE itself."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.llmdata.multimodal import (
+        decode_png_gray,
+        dhash64,
+        incremental_payload_for,
+        perceptual_payload_for,
+    )
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+
+    def sig_rows(payload_for):
+        rows = []
+        for d in ids:
+            payload = payload_for(int(d))
+            if payload is None:
+                continue
+            rows.append(
+                (
+                    int(d),
+                    dhash64(decode_png_gray(payload)),
+                    hashlib.md5(payload).hexdigest(),
+                )
+            )
+        return ",".join(f"({d},{h},'{m}')" for d, h, m in rows)
+
+    return f"""
+WITH x(doc_id, dhash, md5) AS (VALUES {sig_rows(perceptual_payload_for)}),
+b(doc_id, dhash, md5) AS (VALUES {sig_rows(incremental_payload_for)}),
+xc AS (
+  SELECT x.doc_id, x.dhash, i.i AS chunk_idx,
+         (x.dhash >> (16 * CAST(i.i AS INTEGER))) & 65535 AS chunk_val
+  FROM x, (SELECT unnest(range(4)) AS i) i
+),
+bc AS (
+  SELECT b.doc_id, b.dhash, i.i AS chunk_idx,
+         (b.dhash >> (16 * CAST(i.i AS INTEGER))) & 65535 AS chunk_val
+  FROM b, (SELECT unnest(range(4)) AS i) i
+),
+cand AS (
+  SELECT DISTINCT bc.doc_id AS batch_id, xc.doc_id AS index_id,
+         CAST(bit_count(xor(bc.dhash, xc.dhash)) AS INTEGER) AS hamming
+  FROM bc JOIN xc
+    ON bc.chunk_idx = xc.chunk_idx AND bc.chunk_val = xc.chunk_val
+  WHERE bit_count(xor(bc.dhash, xc.dhash)) <= 3
+),
+best AS (
+  SELECT batch_id, index_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY batch_id
+                            ORDER BY hamming, index_id) AS rn
+  FROM cand
+),
+xmd5 AS (SELECT md5, MIN(doc_id) AS exact_id FROM x GROUP BY md5)
+SELECT b.doc_id,
+       CASE WHEN xmd5.exact_id IS NOT NULL THEN 'exact_dup'
+            WHEN best.hamming = 0 THEN 'reencoded_dup'
+            WHEN best.hamming IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS verdict,
+       CAST(COALESCE(xmd5.exact_id, best.index_id) AS BIGINT) AS matched_id,
+       CAST(best.hamming AS INTEGER) AS best_hamming
+FROM b
+LEFT JOIN xmd5 ON b.md5 = xmd5.md5
+LEFT JOIN best ON b.doc_id = best.batch_id AND best.rn = 1
+ORDER BY b.doc_id
+"""
+
+
+@query(
+    "multimodal_dedup_incremental",
+    sql=_phash_incremental_oracle_sql,
+    tags=("llmdata", "multimodal", "dedup", "index-maintenance"),
+)
+def multimodal_dedup_incremental(spark, sf_dir):
+    """INCREMENTAL media dedup — a NEW crawl batch checked against
+    the EXISTING corpus's perceptual-signature index, the media
+    analog of dedup_incremental_batch (text) and the admission gate a
+    continuous multimodal crawl actually runs: per batch item, is it
+    byte-identical to something we have (md5 lookup), a RE-ENCODE of
+    it (dHash Hamming 0, bytes differ — the planted doc_id%20==7
+    case), a near variant (Hamming ≤ 3), or novel?  Work ∝ batch:
+    the candidate join is batch-chunks × index-chunks
+    (llmdata/dedup.py::simhash_cross_candidates — no self-join, no
+    batch-internal pairs, never index²), and the index side is the
+    16-byte-per-image signature table a production system PERSISTS
+    (here rebuilt in-query from the fixture corpus; at lake scale the
+    decode+dHash pass is paid once at ingest, exactly like the IVF
+    assignment).  Output: one verdict row per batch doc with its
+    best match (min Hamming, min id tiebreak).  Oracle: DERIVED —
+    both signature sets re-derived outside the engine and frozen;
+    DuckDB runs the chunk join, best-match window, md5 lookup, and
+    verdict CASE itself."""
+    from pyspark.sql import Window
+
+    from trafik_etl_modular_spark.llmdata.dedup import simhash_cross_candidates
+    from trafik_etl_modular_spark.llmdata.multimodal import (
+        perceptual_hash,
+        with_perceptual_batch,
+        with_perceptual_corpus,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    # at scale: spark.read.parquet(signature_index) — 16 B/image
+    index_sig = perceptual_hash(with_perceptual_corpus(docs)).localCheckpoint(
+        eager=False
+    )
+    batch_sig = perceptual_hash(with_perceptual_batch(docs)).localCheckpoint(
+        eager=False
+    )
+    cand = simhash_cross_candidates(
+        batch_sig.select("doc_id", F.col("dhash").alias("simhash")),
+        index_sig.select("doc_id", F.col("dhash").alias("simhash")),
+        max_hamming=3,
+    )
+    w = Window.partitionBy("batch_id").orderBy("hamming", "index_id")
+    best = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("batch_id", "index_id", "hamming")
+    )
+    exact = index_sig.groupBy("payload_md5").agg(
+        F.min("doc_id").alias("exact_id")
+    )
+    return (
+        batch_sig.select("doc_id", "payload_md5")
+        .join(exact, "payload_md5", "left")
+        .join(best, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("hamming") == 0, F.lit("reencoded_dup"))
+            .when(F.col("hamming").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce("exact_id", "index_id").cast("bigint").alias("matched_id"),
+            F.col("hamming").cast("int").alias("best_hamming"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer training: one BPE merge iteration's counting core.
 # BPE training (Sennrich et al. 2016) loops: count adjacent-pair

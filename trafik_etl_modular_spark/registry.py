@@ -143,7 +143,7 @@ DRIVER_WINDOW: list[str] = [
     # --- oldest r06 stamps / round-9 new-query slots -------------------
     "agg_approx_distinct_users",
     "agg_approx_percentile_value",
-    "agg_cube_flag_status",
+    "multimodal_dedup_incremental",
     "sim_ivf_compact",
     "multimodal_dedup_perceptual",
 ]
