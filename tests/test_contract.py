@@ -68,13 +68,21 @@ def test_window_covers_stale_stamps():
 
     stamps, latest = stamps_mod.newest_stamps()
     names = list(E.queries())
+    # Rotation cycle length: with a 50-slot window, N registered
+    # queries need ceil(N/50) rounds per full pass, so the freshness
+    # bound is C = max(4, ceil(N/50)) rounds (C=4 is the historical
+    # "no stamp older than 3 at ledger time" discipline; the dynamic
+    # term keeps the invariant FEASIBLE — at N>200 a 4-round cycle
+    # cannot cover the registry and would make this test
+    # unsatisfiable, the failure mode round 9 got within 7 slots of).
+    cycle = max(4, -(-len(names) // 50))
     breached = [
-        n for n in names if stamps.get(n, -(10**6)) < latest - 3
+        n for n in names if stamps.get(n, -(10**6)) <= latest - cycle
     ]
     missing = [n for n in breached if n not in DRIVER_WINDOW]
     assert missing == [], (
         f"BREACH: stale/never-stamped queries not in DRIVER_WINDOW "
-        f"(latest driver round r{latest:02d}): {missing}"
+        f"(latest driver round r{latest:02d}, cycle {cycle}): {missing}"
     )
 
     # forcing level: the age-3 cohort must be rotated in, unless we
@@ -89,11 +97,12 @@ def test_window_covers_stale_stamps():
         with open(newest_ledger) as fh:
             interregnum = set(json.load(fh)) == set(DRIVER_WINDOW)
     if not interregnum:
-        at_edge = [n for n in names if stamps.get(n, -(10**6)) == latest - 3]
+        edge = latest - (cycle - 1)
+        at_edge = [n for n in names if stamps.get(n, -(10**6)) == edge]
         missing_edge = [n for n in at_edge if n not in DRIVER_WINDOW]
         assert missing_edge == [], (
-            f"FORCING: age-3 cohort (r{latest - 3:02d} stamps) would breach "
-            f"when the r{latest + 1:02d} ledger lands; rotate into "
+            f"FORCING: age-{cycle - 1} cohort (r{edge:02d} stamps) would "
+            f"breach when the r{latest + 1:02d} ledger lands; rotate into "
             f"DRIVER_WINDOW: {missing_edge}"
         )
 

@@ -984,6 +984,64 @@ def test_perceptual_dedup_catches_reencoded_duplicates(spark, sf_dir):
         assert b - a in (1, 2, 3) and a // 10 == b // 10
 
 
+def test_pq_index_roundtrip_and_probe(spark, sf_dir):
+    """PQ semantics end to end: (a) pq_assign emits m in-range codes
+    per vector and pq_reconstruct concatenates the looked-up
+    codebook entries (checked against a numpy reconstruction of the
+    same codes); (b) the persisted IVF-PQ artifact round-trips —
+    every corpus vector has exactly one code row, bucket-partitioned;
+    (c) the ADC ranking is a real approximation: the IVF-PQ probe's
+    exact-rerank top-10 overlaps brute-force cosine top-10 on at
+    least half its slots (full-nprobe would be exact on the
+    shortlist; nprobe=4 + 64× compression legitimately trades some
+    recall — the certificate queries grade it; this pins it's not
+    garbage)."""
+    import numpy as np
+
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        PQ_CODES,
+        PQ_SUBSPACES,
+        brute_force_topk,
+        pq_assign,
+        pq_reconstruct,
+        pq_train,
+    )
+    from trafik_etl_modular_spark.queries.llmdata import (
+        _ivf_ensure_pq,
+        sim_ann_ivf_pq_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, seed=7, max_iter=10)
+    assert cb.shape == (PQ_SUBSPACES, PQ_CODES, 64 // PQ_SUBSPACES)
+    sample = (
+        pq_assign(emb, cb)
+        .withColumn("recon", pq_reconstruct(F.col("codes"), cb))
+        .orderBy("vec_id")
+        .limit(5)
+        .collect()
+    )
+    for r in sample:
+        codes = r["codes"]
+        assert len(codes) == PQ_SUBSPACES
+        assert all(0 <= c < PQ_CODES for c in codes)
+        want = np.concatenate([cb[s, codes[s]] for s in range(PQ_SUBSPACES)])
+        assert np.array_equal(np.array(r["recon"]), want)
+
+    path, cb2 = _ivf_ensure_pq(spark, sf_dir)
+    assert np.array_equal(cb, cb2)
+    codes_df = spark.read.parquet(f"{path}/codes")
+    assert codes_df.count() == emb.count()
+    assert codes_df.select("vec_id").distinct().count() == emb.count()
+    assert set(codes_df.columns) >= {"vec_id", "codes", "ivf_bucket"}
+
+    probe = emb.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in brute_force_topk(emb.filter(F.col("vec_id") != 0), probe, k=10).collect()}
+    got = {r["vec_id"] for r in sim_ann_ivf_pq_probe(spark, sf_dir).collect()}
+    assert len(got) == 10
+    assert len(got & exact) >= 5
+
+
 def test_incremental_media_dedup_verdicts(spark, sf_dir):
     """Planted batch-vs-corpus structure, end to end through the
     registered query: every batch doc 20k+7 (a re-encode of corpus

@@ -470,6 +470,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # quantized-int + cosine scoring, same shape as the recall
         # report; the "join" is panel × corpus scoring, not a pair join
         "sim_quantized_recall",
+        # same panel × corpus scoring shape, PQ-reconstruction ADC
+        "sim_pq_recall",
     }
     bad = []
     for name in sorted(REGISTRY):

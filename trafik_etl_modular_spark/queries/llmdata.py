@@ -4326,6 +4326,380 @@ def multimodal_dedup_exact(spark, sf_dir):
     )
 
 
+# --- Product quantization (IVF-PQ, round 9) -------------------------------
+_PQ_SEED, _PQ_ITER = 7, 10
+
+
+def _pq_cb_literal(cb) -> str:
+    """Nested DuckDB list literal for the (m, k, dsub) codebook —
+    repr round-trips each double exactly, so both engines index the
+    identical values."""
+    return (
+        "["
+        + ",".join(
+            "["
+            + ",".join(
+                "[" + ",".join(repr(float(v)) for v in cb[s, j]) + "]"
+                for j in range(cb.shape[1])
+            )
+            + "]"
+            for s in range(cb.shape[0])
+        )
+        + "]"
+    )
+
+
+_PQ_RECON = (
+    "flatten(list_transform(range(1, {m} + 1), "
+    "s -> cb.cb[s][{codes}[s] + 1]))"
+)
+
+
+def _derive_pq(sf_dir: str):
+    """Re-derive the PQ index OUTSIDE the engine: md5-ordered
+    training sample, the same seeded per-subspace Lloyd
+    (:func:`train_pq_codebooks` — shared numpy, bit-identical by
+    construction), and code assignment replicating the engine's exact
+    op sequence (column-ascending fold of the subvector dot, then one
+    subtraction of the same half-norm literal, argmax first-max).
+    Returns (ids, codes (n, m) int, codebooks (m, k, dsub))."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        PQ_CODES,
+        PQ_SUBSPACES,
+        train_pq_codebooks,
+    )
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_pylist()
+    vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )
+    cb = train_pq_codebooks(
+        vecs[order[:65536]], PQ_SUBSPACES, PQ_CODES, _PQ_SEED, _PQ_ITER
+    )
+    m, k, dsub = cb.shape
+    codes = np.zeros((len(ids), m), dtype=np.int64)
+    for s in range(m):
+        scores = np.zeros((len(ids), k))
+        for j in range(k):
+            acc = np.zeros(len(ids))
+            for d in range(dsub):
+                acc = acc + vecs[:, s * dsub + d] * float(cb[s, j, d])
+            scores[:, j] = acc - float((cb[s, j] ** 2).sum() / 2.0)
+        codes[:, s] = scores.argmax(axis=1)
+    return ids, codes, cb
+
+
+def _ivf_ensure_pq(spark, sf_dir: str):
+    """Build-and-persist (once, immutably) the PQ side of the IVF-PQ
+    layout: per-vector codes PARTITIONED BY ivf_bucket next to the
+    coarse index (so the probe's pruned scan reads nprobe buckets of
+    8-byte codes, never raw vectors) plus the tiny codebook table —
+    same content-keyed tmp-then-atomic-rename pattern as
+    :func:`_ivf_ensure_index`.  Returns (path, codebooks ndarray)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.llmdata.similarity import pq_assign, pq_train
+
+    from trafik_etl_modular_spark.llmdata.similarity import PQ_CODES, PQ_SUBSPACES
+
+    # config-keyed so a PQ retune can never silently reuse a stale layout
+    path = f"{_ivf_index_path(spark, sf_dir)}-pq-m{PQ_SUBSPACES}k{PQ_CODES}"
+    if not os.path.exists(os.path.join(path, "codebooks", "_SUCCESS")):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        assigned, _, rows = _ivf_ensure_index(spark, sf_dir)
+        emb = t(spark, sf_dir, "embeddings")
+        cb = pq_train(emb, seed=_PQ_SEED, max_iter=_PQ_ITER)
+        codes = pq_assign(emb, cb).select("vec_id", "codes")
+        (
+            codes.join(assigned.select("vec_id", "ivf_bucket"), "vec_id")
+            .repartition(len(rows), "ivf_bucket")
+            .write.mode("overwrite")
+            .partitionBy("ivf_bucket")
+            .parquet(f"{tmp}/codes")
+        )
+        m, k, dsub = cb.shape
+        table = pa.table(
+            {
+                "subspace": pa.array(
+                    [s for s in range(m) for _ in range(k)], pa.int32()
+                ),
+                "code": pa.array(list(range(k)) * m, pa.int32()),
+                "centroid": pa.array(
+                    [[float(v) for v in cb[s, j]] for s in range(m) for j in range(k)],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        os.makedirs(f"{tmp}/codebooks", exist_ok=True)
+        pq.write_table(table, f"{tmp}/codebooks/part-00000.parquet")
+        open(f"{tmp}/codebooks/_SUCCESS", "w").close()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost the build race — the winner's artifact is identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    ctbl = pq.read_table(f"{path}/codebooks")
+    m = max(ctbl["subspace"].to_pylist()) + 1
+    k = max(ctbl["code"].to_pylist()) + 1
+    cb = np.zeros((m, k, len(ctbl["centroid"][0])), dtype=np.float64)
+    for s, j, c in zip(
+        ctbl["subspace"].to_pylist(),
+        ctbl["code"].to_pylist(),
+        ctbl["centroid"].to_pylist(),
+    ):
+        cb[s, j] = c
+    return path, cb
+
+
+def _ivf_pq_probe_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for the IVF-PQ probe: training + code
+    assignment re-run outside the engine (shared numpy, exact op
+    mirror), the nprobe-bucket candidate CODES frozen as VALUES and
+    the codebooks as a nested list literal; DuckDB then runs BOTH
+    scoring stages itself — reconstruction + strict-fold ADC
+    shortlist, then the exact-cosine rerank."""
+    from trafik_etl_modular_spark.llmdata.similarity import rank_probe_buckets
+
+    ids, vecs, assign, centers = _derive_ivf_assignment(sf_dir)
+    pids, codes, cb = _derive_pq(sf_dir)
+    assert list(pids) == list(ids)
+    idx0 = ids.index(0)
+    qvec = [float(v) for v in vecs[idx0]]
+    centroid_rows = [(j, [float(v) for v in centers[j]]) for j in range(len(centers))]
+    probe_buckets = set(rank_probe_buckets(centroid_rows, qvec, 4))
+    values = ",".join(
+        f"({int(ids[i])},[{','.join(str(int(c)) for c in codes[i])}])"
+        for i in range(len(ids))
+        if int(assign[i]) in probe_buckets and ids[i] != 0
+    )
+    m = cb.shape[0]
+    recon = _PQ_RECON.format(m=m, codes="c.codes")
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+cb AS (SELECT {_pq_cb_literal(cb)} AS cb),
+c(vec_id, codes) AS (VALUES {values}),
+r AS (SELECT c.vec_id, {recon} AS recon FROM c, cb),
+short AS (
+  SELECT r.vec_id, {_DOT.format(a='q.qvec', b='r.recon')} AS adc
+  FROM r, q
+  ORDER BY adc DESC, vec_id
+  LIMIT 100
+)
+SELECT e.vec_id, {_cos_sql('e.embedding', 'q.qvec')} AS cosine
+FROM short s, embeddings e, q
+WHERE e.vec_id = s.vec_id
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@query(
+    "sim_ann_ivf_pq_probe",
+    sql=_ivf_pq_probe_oracle_sql,
+    tags=("llmdata", "similarity", "index-probe"),
+)
+def sim_ann_ivf_pq_probe(spark, sf_dir):
+    """IVF-PQ two-stage probe — the canonical 100 TB vector-serving
+    layout (FAISS IVF-PQ; Jégou et al. 2011): coarse-quantizer
+    pruning to nprobe buckets, an ADC scan over the PERSISTED 8-byte
+    PQ codes (64× smaller than the raw float64 vectors — the int8
+    probe's 8× taken to the product-quantization point of the same
+    curve), top-100 shortlist, exact-cosine rerank of the shortlist
+    only.  ADC is computed as a strict-fold dot against the PQ
+    reconstruction (mathematically identical to the per-subspace LUT
+    sum; the fold form keeps the op order byte-identical to the
+    oracle's list_reduce mirror).  Plan: metadata-only bucket
+    ranking, partition-pruned codes scan, map-only scoring, two
+    TakeOrdered stages, one id-join to fetch raw vectors for the
+    rerank — the bytes touched are nprobe/k of the CODES plus 100
+    raw vectors.  Oracle: DERIVED — training + assignment re-run
+    outside the engine, candidate codes + codebooks frozen; DuckDB
+    runs reconstruction, ADC shortlist, and rerank itself."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        cosine,
+        dot,
+        pq_reconstruct,
+        rank_probe_buckets,
+        to_double_array,
+    )
+
+    pq_path, cb = _ivf_ensure_pq(spark, sf_dir)
+    _, _, rows = _ivf_ensure_index(spark, sf_dir)
+    # row-group-filtered probe fetch — request input, driver-tiny
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    qvec = [float(v) for v in tbl["embedding"].to_pylist()[0]]
+    buckets = rank_probe_buckets(rows, qvec, 4)
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    codes = (
+        spark.read.parquet(f"{pq_path}/codes")
+        .filter(F.col("ivf_bucket").isin([int(b) for b in buckets]))
+        .filter(F.col("vec_id") != 0)
+    )
+    short = (
+        codes.select(
+            "vec_id", dot(qlit, pq_reconstruct(F.col("codes"), cb)).alias("adc")
+        )
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(100)
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        short.join(emb, "vec_id")
+        .select(
+            "vec_id", cosine(to_double_array("embedding"), qlit).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _pq_recall_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for the PQ recall certificate: codes + codebooks
+    frozen (shared-numpy derivation); DuckDB recomputes the
+    reconstructions, both rankings (strict-fold ADC, exact cosine),
+    and the per-probe overlap itself."""
+    ids, codes, cb = _derive_pq(sf_dir)
+    values = ",".join(
+        f"({int(ids[i])},[{','.join(str(int(c)) for c in codes[i])}])"
+        for i in range(len(ids))
+    )
+    recon = _PQ_RECON.format(m=cb.shape[0], codes="c.codes")
+    return f"""
+WITH cb AS (SELECT {_pq_cb_literal(cb)} AS cb),
+c(vec_id, codes) AS (VALUES {values}),
+r AS (SELECT c.vec_id, {recon} AS recon FROM c, cb),
+p AS (SELECT vec_id AS qid, embedding AS pvec FROM embeddings
+      WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT p.qid, e.vec_id,
+         {_DOT.format(a='p.pvec', b='r.recon')} AS adc,
+         {_cos_sql('e.embedding', 'p.pvec')} AS cx
+  FROM embeddings e JOIN r ON r.vec_id = e.vec_id
+  JOIN p ON e.vec_id <> p.qid
+),
+rq AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn
+  FROM scored
+),
+rx AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cx DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT rx.qid AS query_id,
+       CAST(COUNT(rq.vec_id) AS BIGINT) AS n_overlap10,
+       {oracle_fquant('CAST(COUNT(rq.vec_id) AS DOUBLE) / 10')} AS recall10,
+       COUNT(rq.vec_id) >= 5 AS recall10_ok
+FROM rx
+LEFT JOIN rq ON rq.qid = rx.qid AND rq.vec_id = rx.vec_id AND rq.rn <= 10
+WHERE rx.rn <= 10
+GROUP BY rx.qid
+ORDER BY rx.qid
+"""
+
+
+@query(
+    "sim_pq_recall",
+    sql=_pq_recall_oracle_sql,
+    tags=("llmdata", "similarity", "eval"),
+)
+def sim_pq_recall(spark, sf_dir):
+    """PRODUCT-QUANTIZATION recall certificate — the eval that
+    justifies (or vetoes) the 64× storage cut before a vector lake
+    adopts the IVF-PQ layout: per probe (every 50th vec_id, the same
+    panel as the int8 report so the two quantizers are comparable),
+    recall@10 of the ADC ranking (strict-fold dot of the probe
+    against each vector's PQ RECONSTRUCTION — codes read from the
+    PERSISTED IVF-PQ index, so the report grades the index actually
+    being served, codebooks as plan literals) vs the exact-cosine
+    ranking, with a per-probe certificate (≥ 5 of 10 — a coarser
+    quantizer than int8's ≥ 7, which is exactly the trade the two
+    reports exist to expose).  Same plan shape as
+    sim_quantized_recall: panel broadcast × corpus map-only scoring,
+    both rank windows share ONE exchange (plus one id-join to pair
+    codes with their raw vectors for the exact side).  Oracle:
+    DERIVED — codes + codebooks frozen from the shared-numpy
+    derivation; DuckDB recomputes reconstructions, both rankings,
+    and the overlap."""
+    from pyspark.sql import Window
+
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        cosine,
+        dot,
+        pq_reconstruct,
+        to_double_array,
+    )
+
+    pq_path, cb = _ivf_ensure_pq(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    # pin the reconstructed frame BEFORE the panel join: Catalyst
+    # otherwise inlines the 32-lookup reconstruction into the
+    # post-join projection and recomputes it per (probe, vector) PAIR
+    # instead of per vector — measured 6.3 s → ~4 s at sf0.1 (interleaved warm runs)
+    q = (
+        spark.read.parquet(f"{pq_path}/codes")
+        .select("vec_id", "codes")
+        .join(emb.select("vec_id", to_double_array("embedding").alias("__vec")), "vec_id")
+        .withColumn("recon", pq_reconstruct(F.col("codes"), cb))
+        .localCheckpoint(eager=False)
+    )
+    p = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), to_double_array("embedding").alias("pvec")
+    )
+    scored = q.join(F.broadcast(p), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        dot(F.col("pvec"), F.col("recon")).alias("adc"),
+        cosine(F.col("__vec"), F.col("pvec")).alias("cx"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("vec_id"))
+    wx = Window.partitionBy("qid").orderBy(F.desc("cx"), F.asc("vec_id"))
+    ranked = scored.withColumn("rn_q", F.row_number().over(wq)).withColumn(
+        "rn_x", F.row_number().over(wx)
+    )
+    n_overlap = F.count(
+        F.when((F.col("rn_q") <= 10) & (F.col("rn_x") <= 10), 1)
+    ).cast("bigint")
+    return (
+        ranked.groupBy(F.col("qid").alias("query_id"))
+        .agg(n_overlap.alias("n_overlap10"))
+        .select(
+            "query_id",
+            "n_overlap10",
+            fquant(F.col("n_overlap10").cast("double") / F.lit(10.0)).alias(
+                "recall10"
+            ),
+            (F.col("n_overlap10") >= 5).alias("recall10_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _phash_oracle_sql(sf_dir: str) -> str:
     """DERIVED oracle for the perceptual near-dup report: only the
     64-bit dHash signatures and payload md5s are engine-specific —

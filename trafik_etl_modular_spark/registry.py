@@ -89,9 +89,14 @@ _QUERY_MODULES = [
 # pagerank decimal hardening, probe qvec row-filtered fetch, _QDOT
 # dim derivation) — the changed-since-stamp rule is now enforced by
 # tests/test_contract.py::test_nonwindow_queries_unchanged_since_stamp
-# against tools/stamped_hashes.json.  Slots 46–50: the five oldest
-# r06 stamps so that cohort starts rotating before it ages out
-# (new round-9 queries swap into these filler slots when they land).
+# against tools/stamped_hashes.json.  Slots 46–50: the five queries
+# ADDED this round (IVF compaction, perceptual + incremental media
+# dedup, the IVF-PQ probe + recall pair) — never-stamped queries
+# must enter the window the round they are added.  NOTE for round
+# 10: the remaining 49-query r06 cohort is the mandatory rotation
+# (age-3 forcing), leaving ONE free slot; the staleness cycle is
+# now dynamic (max(4, ceil(N/50)) rounds) so the discipline relaxes
+# automatically if the registry crosses 200.
 DRIVER_WINDOW: list[str] = [
     # --- entire r05-stamped cohort (stale once r09 ledger lands) ------
     "dedup_simhash_candidates",
@@ -141,8 +146,8 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_ivf_quantized_probe",
     "sim_quantized_recall",
     # --- oldest r06 stamps / round-9 new-query slots -------------------
-    "agg_approx_distinct_users",
-    "agg_approx_percentile_value",
+    "sim_ann_ivf_pq_probe",
+    "sim_pq_recall",
     "multimodal_dedup_incremental",
     "sim_ivf_compact",
     "multimodal_dedup_perceptual",
