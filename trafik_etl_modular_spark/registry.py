@@ -70,6 +70,10 @@ _QUERY_MODULES = [
     "trafik_etl_modular_spark.queries.temporal",
     "trafik_etl_modular_spark.queries.dq",
     "trafik_etl_modular_spark.queries.graph",
+    "trafik_etl_modular_spark.queries.web",
+    "trafik_etl_modular_spark.queries.sketches",
+    "trafik_etl_modular_spark.queries.spatial",
+    "trafik_etl_modular_spark.queries.incremental_views",
 ]
 
 # The driver's correctness pass checks exactly the FIRST 50 queries in
@@ -80,23 +84,33 @@ _QUERY_MODULES = [
 # window (a pytest asserts registry[0:50] == DRIVER_WINDOW).  Every
 # name here is oracle-bearing.
 #
-# Round-9 rotation (verdict r08 ask #1; ADVICE r08 item 4).  Slots
-# 1–38: the ENTIRE r05-stamped cohort (tools/stamps.py --window),
-# which becomes stale the moment CORRECTNESS_r09.json lands.  Slots
-# 39–45: queries whose FUNCTION OR ORACLE changed since their newest
-# stamp (r8 diff: curation_pipeline_v5 decimal snap, running-revenue
-# window-order totalization, trimmed-mean oracle rewrite; r9 diff:
-# pagerank decimal hardening, probe qvec row-filtered fetch, _QDOT
-# dim derivation) — the changed-since-stamp rule is now enforced by
-# tests/test_contract.py::test_nonwindow_queries_unchanged_since_stamp
-# against tools/stamped_hashes.json.  Slots 46–50: the five queries
-# ADDED this round (IVF compaction, perceptual + incremental media
-# dedup, the IVF-PQ probe + recall pair) — never-stamped queries
-# must enter the window the round they are added.  NOTE for round
-# 10: the remaining 49-query r06 cohort is the mandatory rotation
-# (age-3 forcing), leaving ONE free slot; the staleness cycle is
-# now dynamic (max(4, ceil(N/50)) rounds) so the discipline relaxes
-# automatically if the registry crosses 200.
+# Round-9 rotation (verdict r08 ask #1; ADVICE r08 item 4), revised
+# mid-round when the second round-9 batch landed 8 more queries.
+# With N=201 registered, the dynamic staleness cycle is now
+# max(4, ceil(201/50)) = 5 rounds — the exact relaxation the cycle
+# formula exists for (a 50-slot window cannot cover >200 queries on
+# a 4-round cadence).  Slots:
+#   * 28 of the 38 r05-stamped queries (the other 10 — the sample_*
+#     quartet, the scd2 pair, the vocab pair, the events_* cohort
+#     pair — stay r05-stamped, which the 5-round cycle permits; they
+#     are round 10's FORCED rotation, see NOTE below);
+#   * 7 queries whose FUNCTION OR ORACLE changed since their newest
+#     stamp (r8 diff: curation_pipeline_v5 decimal snap,
+#     running-revenue window-order totalization, trimmed-mean oracle
+#     rewrite; r9 diff: pagerank decimal hardening, probe qvec
+#     row-filtered fetch, _QDOT dim derivation) — enforced by
+#     tests/test_contract.py::test_nonwindow_queries_unchanged_since_stamp
+#     against tools/stamped_hashes.json;
+#   * all 15 never-stamped queries: the five from the first round-9
+#     batch (IVF compaction, perceptual + incremental media dedup,
+#     IVF-PQ probe + recall), the eight from the second (URL
+#     canonical dedup, host policy, Benford, spatial grid join,
+#     triangle count, Bloom prefilter, CMS, KMV), and the two from
+#     the third (join IVM, CDC tombstones).
+# NOTE for round 10 (latest=r09, cycle 5 ⇒ forcing edge r05): the 10
+# deferred r05 queries above are mandatory; begin pre-rotating the
+# 49-query r06 cohort with the remaining slots so round 11 (when r06
+# hits the forcing edge) still has room for its own new queries.
 DRIVER_WINDOW: list[str] = [
     # --- entire r05-stamped cohort (stale once r09 ledger lands) ------
     "dedup_simhash_candidates",
@@ -104,8 +118,6 @@ DRIVER_WINDOW: list[str] = [
     "dq_histogram_value",
     "dq_outlier_report",
     "dq_table_fingerprint",
-    "events_cohort_retention",
-    "events_funnel_stages",
     "filter_dashboard_pipeline",
     "inc_daily_trend_gapfill",
     "inc_geo_imputation",
@@ -118,12 +130,6 @@ DRIVER_WINDOW: list[str] = [
     "join_semi_customers_with_big_orders",
     "multimodal_dedup_exact",
     "multimodal_extract_features",
-    "sample_contrastive_triples",
-    "sample_curriculum_phases",
-    "sample_exact_quota_split",
-    "sample_temperature_mix",
-    "scd2_history",
-    "scd2_incremental_merge",
     "sim_ann_ivf_build",
     "sim_centroids_by_label",
     "sim_hard_negatives",
@@ -134,8 +140,6 @@ DRIVER_WINDOW: list[str] = [
     "text_gopher_rules",
     "text_quality_classifier",
     "tpch_q1_pricing_summary",
-    "vocab_bpe_merge_candidates",
-    "vocab_coverage_curve",
     "window_time_rolling_1h",
     # --- changed since newest stamp (r8/r9 diffs) ---------------------
     "curation_pipeline_v5",
@@ -145,12 +149,24 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_ivf_probe",
     "sim_ann_ivf_quantized_probe",
     "sim_quantized_recall",
-    # --- oldest r06 stamps / round-9 new-query slots -------------------
+    # --- never-stamped: round-9 first batch ----------------------------
     "sim_ann_ivf_pq_probe",
     "sim_pq_recall",
     "multimodal_dedup_incremental",
     "sim_ivf_compact",
     "multimodal_dedup_perceptual",
+    # --- never-stamped: round-9 second batch ---------------------------
+    "dedup_url_canonical",
+    "text_host_quality_policy",
+    "dq_benford_digit_test",
+    "join_spatial_neighbor_pairs",
+    "graph_triangle_count",
+    "dedup_bloom_prefilter",
+    "agg_cms_heavy_hitters",
+    "agg_kmv_distinct_jaccard",
+    # --- never-stamped: round-9 third batch (join IVM + CDC deletes) ---
+    "merge_join_ivm",
+    "merge_cdc_apply_tombstones",
 ]
 
 
