@@ -472,6 +472,15 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "sim_quantized_recall",
         # same panel × corpus scoring shape, PQ-reconstruction ADC
         "sim_pq_recall",
+        # 1-row N scalar (expected counts) + 1-row chi2 total
+        "dq_benford_digit_test",
+        # three 1-row certificate legs (stats × edge count × triangles)
+        "graph_triangle_count",
+        # 1-row total-pair count joined onto the top-100 leg
+        "join_spatial_neighbor_pairs",
+        # 5×5 type-pair build + 10-row pair panel against the k·|types|
+        # sketch rows — sketch-sized sides only, never raw events
+        "agg_kmv_distinct_jaccard",
     }
     bad = []
     for name in sorted(REGISTRY):

@@ -1,0 +1,55 @@
+"""Engine-neutral 60-bit hash for cross-engine-verifiable sketches.
+
+The MinHash/SimHash family freezes its xxhash64 sketches into oracle
+SQL via a Python re-derivation (llmdata/xxh64.py) because DuckDB has
+no Spark-parity xxhash64.  The sketch operators in
+``queries/sketches.py`` (Bloom, Count-Min, KMV) take the other route:
+a hash BOTH engines can evaluate natively, so the ENTIRE sketch —
+build, merge, probe — lives in each engine's own SQL and the oracle
+exercises the full pipeline instead of a frozen candidate set.
+
+Construction: md5 of the UTF-8 key (identical lowercase-hex output in
+Spark and DuckDB), first 15 hex digits parsed as an integer — a
+uniform value in [0, 2^60), safely inside a signed 64-bit range.
+Salting appends ``'#' || salt`` to the key, so one key yields as many
+independent hash lanes as needed (Kirsch–Mitzenmacher double hashing
+builds k Bloom lanes from two).
+
+At 100 TB you would swap md5 for xxhash64 (cheaper, same plan shape —
+one map-side projection inside codegen); md5 is the notarization
+choice, not the production one, and the swap is a one-line change on
+the engine side only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 60-bit hash space: 15 hex digits.
+HASH_BITS = 60
+HASH_SPACE = 1 << HASH_BITS
+
+
+def nhash(col: Column | str, salt: str) -> Column:
+    """Engine-neutral hash of a column (any type castable to string)
+    into [0, 2^60).  Mirrored by :func:`oracle_nhash`."""
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = F.concat(c.cast("string"), F.lit("#" + salt))
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("bigint")
+
+
+def oracle_nhash(expr: str, salt: str) -> str:
+    """DuckDB SQL mirror of :func:`nhash`."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST(({expr}) AS VARCHAR) || '#{salt}'), 1, 15))"
+        " AS BIGINT)"
+    )
+
+
+def py_nhash(value, salt: str) -> int:
+    """Reference implementation (tests / fixture planning)."""
+    import hashlib
+
+    digest = hashlib.md5(f"{value}#{salt}".encode()).hexdigest()
+    return int(digest[:15], 16)

@@ -661,3 +661,139 @@ def dq_embedding_profile(spark, sf_dir):
             )
         ).alias("norm_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance (fraud / synthetic-data screen)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) on the e9 integer grid — identical literals on both
+# engines, so expected counts are pure BIGINT arithmetic.
+_BENFORD_E9 = [
+    (1, 301029996),
+    (2, 176091259),
+    (3, 124938737),
+    (4, 96910013),
+    (5, 79181246),
+    (6, 66946790),
+    (7, 57991947),
+    (8, 51152522),
+    (9, 45757491),
+]
+
+_BENFORD_SQL = f"""
+WITH expect(digit, p_e9) AS (
+  VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD_E9)}
+),
+cents AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE o_totalprice > 0
+),
+obs AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM cents GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+rows_ AS (
+  SELECT e.digit,
+         COALESCE(o.n_obs, 0) AS n_obs,
+         t.n * e.p_e9 AS expected_e9
+  FROM expect e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN tot t
+),
+contrib AS (
+  SELECT digit, n_obs, expected_e9,
+         {{fq_contrib}} AS chi2_contrib
+  FROM rows_
+),
+total AS (
+  SELECT CAST(SUM(CAST(chi2_contrib AS DECIMAL(38,9))) AS DOUBLE) AS chi2_total
+  FROM contrib
+)
+SELECT digit, n_obs, expected_e9, chi2_contrib,
+       t2.chi2_total,
+       (t2.chi2_total > CAST(15.507 AS DOUBLE)) AS benford_reject
+FROM contrib CROSS JOIN total t2
+ORDER BY digit
+"""
+
+# dev and exp reconstructed from exact BIGINTs (all < 2^53, so the
+# double casts are exact); the division and square are single IEEE
+# ops — identical on both engines — and the emitted value is
+# fquant-snapped so its decimal cast (for the windowed total) can
+# never face a half boundary.
+_FQ_CONTRIB = (
+    "(CAST(ROUND(((CAST(n_obs * 1000000000 - expected_e9 AS DOUBLE) / 1e9)"
+    " * (CAST(n_obs * 1000000000 - expected_e9 AS DOUBLE) / 1e9)"
+    " / (CAST(expected_e9 AS DOUBLE) / 1e9)) * 1e9) AS BIGINT) / 1e9)"
+)
+_BENFORD_SQL = _BENFORD_SQL.replace("{fq_contrib}", _FQ_CONTRIB)
+
+
+@query("dq_benford_digit_test", sql=_BENFORD_SQL, tags=("quality", "agg"))
+def dq_benford_digit_test(spark, sf_dir):
+    """Benford first-significant-digit conformance over order totals:
+    observed digit counts vs log10(1+1/d) expectation plus the
+    chi-square statistic and a reject verdict at the 0.05 / df=8
+    critical value (15.507) — the standard screen for fabricated or
+    truncated financial populations (Benford 1938; Nigrini 1996,
+    public literature).  TPC-H totals are sums of uniformly priced
+    parts, NOT Benford-distributed, so the verdict is expected to
+    REJECT — the operator's value is the statistic, not a pass.
+
+    Determinism: first digits come from an exact integer-cents
+    round-trip (prices are 2-dp doubles, the dsum(…,2) premise), the
+    expectation is BIGINT arithmetic on e9-grid literals, each
+    chi-square contribution is built from exact-in-double integers
+    with two IEEE ops then fquant-snapped, and the total is an exact
+    decimal sum of snapped values — no cross-engine float hazard
+    anywhere.  Scale: one map-side digit projection + a 9-group
+    aggregate; the digit table is a 9-row broadcast and the total a
+    1-row broadcast cross join."""
+    from trafik_etl_modular_spark.functions.scalars import fquant
+
+    orders = t(spark, sf_dir, "orders")
+    cents = orders.where(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    obs = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    ).groupBy("digit").agg(F.count("*").cast("bigint").alias("n_obs"))
+    expect = spark.createDataFrame(_BENFORD_E9, "digit int, p_e9 bigint")
+    tot = cents.agg(F.count("*").cast("bigint").alias("n"))
+    rows = (
+        expect.join(obs, "digit", "left")
+        .crossJoin(tot)
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0).cast("bigint")).alias("n_obs"),
+            (F.col("n") * F.col("p_e9")).alias("expected_e9"),
+        )
+    )
+    dev = (F.col("n_obs") * F.lit(1000000000) - F.col("expected_e9")).cast("double") / F.lit(1e9)
+    exp_d = F.col("expected_e9").cast("double") / F.lit(1e9)
+    contrib = rows.select(
+        "digit", "n_obs", "expected_e9", fquant(dev * dev / exp_d).alias("chi2_contrib")
+    )
+    from pyspark.sql import types as T
+
+    # exact decimal total via a parallel aggregate + 1-row cross join
+    # (a global window would violate the registry-wide plan invariant,
+    # even over 9 rows)
+    total = contrib.agg(
+        F.sum(F.col("chi2_contrib").cast(T.DecimalType(38, 9)))
+        .cast("double")
+        .alias("chi2_total")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            "expected_e9",
+            "chi2_contrib",
+            "chi2_total",
+            (F.col("chi2_total") > F.lit(15.507)).alias("benford_reject"),
+        )
+        .orderBy("digit")
+    )

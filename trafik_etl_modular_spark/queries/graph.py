@@ -421,3 +421,172 @@ def graph_pagerank_3iter(spark, sf_dir):
             ).alias("rank_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented) over the co-supplier graph
+# ---------------------------------------------------------------------------
+
+# closing-edge broadcast gate (bytes-bounded analog of
+# BROADCAST_VERTEX_LIMIT): 5M edges × 16 B ≈ 80 MB, comfortably
+# inside a 1-2 GiB executor broadcast budget
+_EDGE_BROADCAST_LIMIT = 5_000_000
+# (degree, id) packing radix — vertex ids must stay below this
+_PACK = 1 << 20
+
+_TRIANGLE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+p AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+e AS (SELECT u, v FROM p GROUP BY u, v HAVING COUNT(*) >= 3),
+deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+  GROUP BY x
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT st.n_vertices,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       st.n_wedges,
+       tri.n AS n_triangles,
+       CAST(CASE WHEN st.n_wedges > 0
+                 THEN (3 * tri.n * 1000000000) // st.n_wedges
+                 ELSE 0 END AS BIGINT) AS transitivity_e9
+FROM st CROSS JOIN tri
+"""
+
+
+@query("graph_triangle_count", sql=_TRIANGLE_SQL, tags=("graph",))
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count + global transitivity over the CO-SUPPLIER
+    graph (suppliers adjacent iff they co-occur in ≥ 3 orders — the
+    market-basket projection; the purchase graph itself is bipartite
+    and triangle-free).  The engine counts by DEGREE ORIENTATION
+    (Chiba–Nishizeki / Schank–Wagner, public literature): orient each
+    edge from its (degree, id)-smaller endpoint to the larger, pair
+    out-neighbors, and close each wedge with one equi-join — work is
+    O(Σ out_deg²) = O(m·α) where α is the arboricity, instead of the
+    Σ deg² blowup a hub vertex causes under naive wedge generation.
+    The count is strategy-independent, so the oracle verifies it with
+    the simpler id-ordered triple join (a<b<c).
+
+    Scale: edge building explodes per-order supplier pairs (bounded
+    by order width, never corpus²); the wedge join shuffles on the
+    wedge pivot and AQE splits skewed pivots.  All arithmetic is
+    integer; transitivity is e9 integer division."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+    edges = (
+        pairs.groupBy("u", "v").agg(F.count("*").alias("supp"))
+        .where(F.col("supp") >= 3)
+        .select("u", "v")
+    )
+    # the edge frame feeds FOUR consumers (degrees, orientation,
+    # wedge closing, the edge count) — pin it once or Catalyst
+    # re-derives the distinct + self-join per consumer (the PageRank
+    # degree-frame lesson, PINNED.md); on a cluster this is the
+    # persisted edge table ensure_edge_table builds
+    edges = edges.localCheckpoint(eager=True)
+    ecnt = edges.count()
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    # orient by (degree, id): src = smaller endpoint under that
+    # order.  The (degree, id) order PACKS into one long — kt =
+    # dt·2^20 + t (vertex ids < 2^20, the suppkey range by orders of
+    # magnitude) — so the hot wedge comparison is a single long
+    # compare instead of a struct compare, and the closing-edge join
+    # key packs the same way.
+    ed = (
+        edges.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("s"),
+                    (F.col("dv") * F.lit(_PACK) + F.col("v")).alias("kt"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("s"),
+                    (F.col("du") * F.lit(_PACK) + F.col("u")).alias("kt"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.s", "o.kt")
+    )
+    # explicit width for the wedge expansion: the oriented edge table
+    # is SMALL (≲MBs), so AQE coalesces its shuffle to one partition —
+    # and then the Σ out_deg² wedge blow-up runs single-threaded.  An
+    # explicit repartition pins the expansion across the executor
+    # width (the graph edge-table 32-file lesson, PINNED.md), and
+    # both self-join sides share the partitioning, so no further
+    # exchange is inserted.
+    ed = ed.repartition(32, "s")
+    w1, w2 = ed.alias("w1"), ed.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.s") == F.col("w2.s")) & (F.col("w1.kt") < F.col("w2.kt")),
+    ).select(
+        ((F.col("w1.kt") % _PACK) * F.lit(_PACK) + (F.col("w2.kt") % _PACK)).alias("bc")
+    )
+    closing = ed.select(
+        ((F.col("s") * F.lit(_PACK)) + (F.col("kt") % _PACK)).alias("bc")
+    )
+    # the wedge set is the big intermediate (Σ out_deg² rows);
+    # broadcasting the EDGE side keeps it map-side — wedges stream
+    # through the closing join and into the partial count without
+    # ever being exchanged.  Size-gated like BROADCAST_VERTEX_LIMIT:
+    # past the gate it falls back to a shuffle join on bc.
+    if ecnt <= _EDGE_BROADCAST_LIMIT:
+        closing = F.broadcast(closing)
+    tri = wedges.join(closing, "bc").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count("*").cast("bigint").alias("n_vertices"),
+        # d·(d−1) is even; shiftright halves it in exact long math
+        F.sum(F.shiftright(F.col("d") * (F.col("d") - 1), 1)).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    out = stats.crossJoin(n_edges).crossJoin(tri)
+    # `div` is exact 64-bit integer division — the numerator can pass
+    # 2^53 at scale, where a double floor(x/y) would lose ULPs against
+    # the oracle's BIGINT `//`
+    return out.withColumn(
+        "__num", F.lit(3) * F.col("n_triangles") * F.lit(1000000000)
+    ).select(
+        "n_vertices",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") > 0, F.expr("__num div n_wedges"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("transitivity_e9"),
+    )

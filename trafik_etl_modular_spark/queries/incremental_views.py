@@ -1,0 +1,210 @@
+"""Incremental view maintenance and CDC changelog application.
+
+The MERGE family (queries/dedup.py::merge_upsert_latest_wins,
+pipelines/sink.py) covers keyed upserts, and agg_incremental_rollup
+proves single-table rollup merging.  Two gaps remained for a real
+lakehouse maintenance story:
+
+* **IVM across a JOIN** — the standard delta-join identity
+  Δ(F ⋈ D) = ΔF ⋈ D for a static dimension (Blakeley et al. 1986;
+  the incremental-materialization rule every streaming-SQL engine
+  implements).  At 100 TB the view over fact⋈dim is refreshed by
+  joining ONLY the fact delta against the dim and merging aggregate
+  state — never re-joining history — and the certificate here proves
+  that merge lossless against a full recompute.
+* **CDC apply with DELETE tombstones** — latest-wins upsert handles
+  I/U but a changelog also carries deletes; a key whose newest
+  operation is a tombstone must vanish from the applied state, while
+  earlier deletes are survivable history (re-insert after delete is
+  legal).  This is the Debezium/Delta `MERGE WHEN MATCHED AND op='D'
+  THEN DELETE` shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trafik_etl_modular_spark.queries.common import t
+from trafik_etl_modular_spark.registry import query
+
+# fact-stream split point (orders span 1995-01-01 .. 2001-08-01)
+_IVM_CURSOR = "2000-01-01 00:00:00"
+
+_JOIN_IVM_SQL = f"""
+WITH enriched AS (
+  SELECT c.c_mktsegment AS segment, o.o_totalprice,
+         (o.o_orderdate < TIMESTAMP '{_IVM_CURSOR}') AS is_old
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+old_state AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS s
+  FROM enriched WHERE is_old GROUP BY segment
+),
+delta_state AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS s
+  FROM enriched WHERE NOT is_old GROUP BY segment
+),
+merged AS (
+  SELECT segment, CAST(SUM(n) AS BIGINT) AS n_total, SUM(s) AS s_total
+  FROM (SELECT * FROM old_state UNION ALL SELECT * FROM delta_state)
+  GROUP BY segment
+),
+full_recompute AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS s
+  FROM enriched GROUP BY segment
+)
+SELECT m.segment,
+       COALESCE(o.n, 0) AS n_old,
+       COALESCE(d.n, 0) AS n_delta,
+       m.n_total,
+       CAST(m.s_total AS DOUBLE) AS total_price,
+       (m.n_total = f.n AND m.s_total = f.s) AS ivm_matches_full
+FROM merged m
+JOIN full_recompute f ON f.segment = m.segment
+LEFT JOIN old_state o ON o.segment = m.segment
+LEFT JOIN delta_state d ON d.segment = m.segment
+ORDER BY m.segment
+"""
+
+
+@query("merge_join_ivm", sql=_JOIN_IVM_SQL, tags=("merge", "incremental", "join"))
+def merge_join_ivm(spark, sf_dir) -> DataFrame:
+    """Incremental maintenance of a JOIN view: the per-segment order
+    rollup over orders ⋈ customer is maintained as
+    merge(state(old ⋈ dim), state(Δfact ⋈ dim)) — the Δ(F⋈D) = ΔF⋈D
+    identity for a static dimension — and certified per group against
+    a full recompute (`ivm_matches_full` literal TRUE).  Aggregate
+    state is (count, exact decimal sum), so the merge is a union +
+    groupBy-sum and associativity is exact, not float-approximate.
+
+    Scale: the refresh path joins ONLY the delta against the
+    (broadcastable) dimension and touches |segments| state rows; the
+    full-recompute leg exists to notarize the identity, exactly like
+    agg_incremental_rollup's oracle.  One fact scan feeds both halves
+    via an is_old flag — the split is a predicate, not two reads."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    cursor = F.lit(_IVM_CURSOR).cast("timestamp")
+    enriched = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").cast("decimal(38,2)").alias("p"),
+        (F.col("o_orderdate") < cursor).alias("is_old"),
+    )
+
+    def state(df):
+        return df.groupBy("segment").agg(
+            F.count("*").cast("bigint").alias("n"), F.sum("p").alias("s")
+        )
+
+    old_state = state(enriched.where("is_old"))
+    delta_state = state(enriched.where("NOT is_old"))
+    merged = (
+        old_state.unionAll(delta_state)
+        .groupBy("segment")
+        .agg(F.sum("n").cast("bigint").alias("n_total"), F.sum("s").alias("s_total"))
+    )
+    full = state(enriched).select(
+        "segment", F.col("n").alias("fn"), F.col("s").alias("fs")
+    )
+    out = (
+        merged.join(full, "segment")
+        .join(old_state.select("segment", F.col("n").alias("n_old")), "segment", "left")
+        .join(
+            delta_state.select("segment", F.col("n").alias("n_delta")),
+            "segment",
+            "left",
+        )
+    )
+    return out.select(
+        "segment",
+        F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+        F.coalesce("n_delta", F.lit(0)).cast("bigint").alias("n_delta"),
+        "n_total",
+        F.col("s_total").cast("double").alias("total_price"),
+        ((F.col("n_total") == F.col("fn")) & (F.col("s_total") == F.col("fs"))).alias(
+            "ivm_matches_full"
+        ),
+    ).orderBy("segment")
+
+
+# CDC op derivation from the event stream: signups insert, errors are
+# tombstones, everything else updates the key's value.
+_CDC_OP = """
+CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END
+"""
+
+_CDC_SQL = f"""
+WITH log_ AS (
+  SELECT user_id, ts, event_id, value, {_CDC_OP} AS op FROM events
+),
+ordered AS (
+  SELECT user_id, op, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn
+  FROM log_
+),
+hist AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_ops,
+         CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes_seen
+  FROM log_ GROUP BY user_id
+)
+SELECT o.user_id, h.n_ops, h.n_deletes_seen, o.op AS last_op, o.value AS last_value
+FROM ordered o JOIN hist h ON h.user_id = o.user_id
+WHERE o.rn = 1 AND o.op <> 'D'
+ORDER BY o.user_id
+"""
+
+
+@query("merge_cdc_apply_tombstones", sql=_CDC_SQL, tags=("merge", "dedup"))
+def merge_cdc_apply_tombstones(spark, sf_dir) -> DataFrame:
+    """Apply a CDC changelog WITH delete tombstones: per key, the
+    newest operation under the total (ts, event_id) order decides
+    liveness — a trailing 'D' removes the key from the applied state
+    entirely (it appears in no output row), while earlier deletes are
+    survivable history (re-insert after delete is legal, counted in
+    `n_deletes_seen`).  This is the `MERGE … WHEN MATCHED AND op='D'
+    THEN DELETE` shape a latest-wins upsert cannot express.
+
+    Scale: one window pass keyed by the entity (the same shuffle a
+    MERGE shuffles anyway) + one count aggregate on the same key —
+    and in a foreachBatch the window runs per-batch against only the
+    batch's keys.  The carried `last_value` is selected, never
+    computed, so no float arithmetic enters the surface."""
+    ev = t(spark, sf_dir, "events")
+    log_ = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ordered = log_.withColumn("rn", F.row_number().over(w))
+    hist = log_.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_ops"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deletes_seen"),
+    )
+    return (
+        ordered.where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .join(hist, "user_id")
+        .select(
+            "user_id",
+            "n_ops",
+            "n_deletes_seen",
+            F.col("op").alias("last_op"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
