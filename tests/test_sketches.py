@@ -117,3 +117,19 @@ def test_kmv_estimator_branch_on_larger_domain(spark):
     assert any(
         r["exact_distinct_a"] > KMV_K or r["exact_distinct_b"] > KMV_K for r in rows
     )
+
+
+def test_bloom_append_equals_rebuild(spark, sf_dir):
+    from trafik_etl_modular_spark.queries.sketches import dedup_bloom_append
+
+    rows = dedup_bloom_append(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["merge_matches"] is True
+        assert r["bits_merged"] == r["bits_full"]
+        # merged bits are the union of the two builds' bits
+        assert max(r["bits_base"], r["bits_delta"]) <= r["bits_full"]
+        assert r["bits_full"] <= r["bits_base"] + r["bits_delta"]
+    # both halves must contribute somewhere
+    assert any(r["bits_base"] > 0 for r in rows)
+    assert any(r["bits_delta"] > 0 for r in rows)

@@ -555,3 +555,114 @@ def agg_kmv_distinct_jaccard(spark, sf_dir) -> DataFrame:
         F.expr("(n_inter * 1000000000) div n_union").cast("bigint").alias("exact_jaccard_e9"),
         F.expr("(n_shared * 1000000000) div k_used").cast("bigint").alias("kmv_jaccard_e9"),
     ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter incremental append (mergeability certificate)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_append_oracle_sql(sf_dir: str) -> str:
+    """Oracle rebuilds base, delta, merged, and one-shot-full word
+    tables independently and asserts the merge identity per word."""
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet' WHERE doc_id % 10 <> 0"
+    ).fetchone()[0]
+    m = _bloom_m(int(n))
+    h1 = oracle_nhash("text", "b1")
+    h2 = oracle_nhash("text", "b2")
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+lanes(i) AS (VALUES (0), (1), (2), (3), (4)),
+pos AS (
+  SELECT doc_id, ({h1} + i * {h2}) % {m} AS p
+  FROM corpus CROSS JOIN lanes
+),
+words_base AS (
+  SELECT p // 32 AS word_idx, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS w
+  FROM pos WHERE doc_id % 10 <= 4 GROUP BY 1
+),
+words_delta AS (
+  SELECT p // 32 AS word_idx, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS w
+  FROM pos WHERE doc_id % 10 >= 5 GROUP BY 1
+),
+merged AS (
+  SELECT word_idx, bit_or(w) AS w
+  FROM (SELECT * FROM words_base UNION ALL SELECT * FROM words_delta)
+  GROUP BY word_idx
+),
+full_build AS (
+  SELECT p // 32 AS word_idx, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS w
+  FROM pos GROUP BY 1
+)
+SELECT f.word_idx,
+       CAST(bit_count(COALESCE(b.w, 0)) AS INTEGER) AS bits_base,
+       CAST(bit_count(COALESCE(d.w, 0)) AS INTEGER) AS bits_delta,
+       CAST(bit_count(COALESCE(m2.w, 0)) AS INTEGER) AS bits_merged,
+       CAST(bit_count(f.w) AS INTEGER) AS bits_full,
+       (COALESCE(m2.w, 0) = f.w) AS merge_matches
+FROM full_build f
+LEFT JOIN merged m2 ON m2.word_idx = f.word_idx
+LEFT JOIN words_base b ON b.word_idx = f.word_idx
+LEFT JOIN words_delta d ON d.word_idx = f.word_idx
+ORDER BY f.word_idx
+"""
+
+
+@query("dedup_bloom_append", sql=_bloom_append_oracle_sql, tags=("sketch", "dedup", "incremental"))
+def dedup_bloom_append(spark, sf_dir) -> DataFrame:
+    """Incremental Bloom-filter maintenance — the append lifecycle the
+    prefilter's docstring promises: the corpus filter built as
+    merge(build(base), build(delta)) must be WORD-IDENTICAL to the
+    one-shot full build, because bit_or is associative and commutative
+    (the same argument as the HLL/CMS partial merges, here at the
+    bit level).  Emits one row per filter word with popcounts from
+    all four builds and the per-word `merge_matches` certificate the
+    oracle recomputes independently.
+
+    Scale: appending a batch to a persisted filter is ONE reduce over
+    the batch's positions followed by a bit_or merge against m/32
+    stored words — never a rebuild over history; this query notarizes
+    exactly that equivalence.  The same m (sized from the full corpus
+    count) frames both paths, mirroring a production filter whose
+    capacity is provisioned ahead of appends."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    m = _bloom_m(corpus.count())
+    h1, h2 = nhash("text", "b1"), nhash("text", "b2")
+    lanes = F.array(*[((h1 + F.lit(i) * h2) % m) for i in range(BLOOM_K)])
+    pos = corpus.select("doc_id", F.explode(lanes).alias("p"))
+
+    def build(df):
+        return (
+            df.select(
+                (F.col("p") / 32).cast("bigint").alias("word_idx"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("mask"),
+            )
+            .groupBy("word_idx")
+            .agg(F.bit_or("mask").alias("w"))
+        )
+
+    words_base = build(pos.where(F.col("doc_id") % 10 <= 4))
+    words_delta = build(pos.where(F.col("doc_id") % 10 >= 5))
+    merged = (
+        words_base.unionAll(words_delta).groupBy("word_idx").agg(F.bit_or("w").alias("w"))
+    )
+    full_build = build(pos)
+    out = (
+        full_build.withColumnRenamed("w", "fw")
+        .join(merged.withColumnRenamed("w", "mw"), "word_idx", "left")
+        .join(words_base.withColumnRenamed("w", "bw"), "word_idx", "left")
+        .join(words_delta.withColumnRenamed("w", "dw"), "word_idx", "left")
+    )
+    z = F.lit(0).cast("bigint")
+    return out.select(
+        "word_idx",
+        F.bit_count(F.coalesce(F.col("bw"), z)).cast("int").alias("bits_base"),
+        F.bit_count(F.coalesce(F.col("dw"), z)).cast("int").alias("bits_delta"),
+        F.bit_count(F.coalesce(F.col("mw"), z)).cast("int").alias("bits_merged"),
+        F.bit_count(F.col("fw")).cast("int").alias("bits_full"),
+        (F.coalesce(F.col("mw"), z) == F.col("fw")).alias("merge_matches"),
+    ).orderBy("word_idx")

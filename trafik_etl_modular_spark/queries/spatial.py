@@ -137,6 +137,10 @@ def join_spatial_neighbor_pairs(spark, sf_dir) -> DataFrame:
         .where((F.col("id_a") < F.col("id_b")) & (d2 <= _R2))
         .select("id_a", "id_b", d2.alias("dist2"))
     )
+    # the pair frame feeds TWO legs (total count + top-100); pin it
+    # lazily so the candidate join runs once, not per leg (interleaved
+    # A/B at sf0.1: 5.0 s two-pass vs 3.3 s pinned — PINNED.md)
+    pairs = pairs.localCheckpoint(eager=False)
     # total via a parallel aggregate + 1-row cross join — a global
     # window would move every pair to one partition just to count
     total = pairs.agg(F.count("*").cast("bigint").alias("n_pairs_total"))
