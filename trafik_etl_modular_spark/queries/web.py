@@ -51,7 +51,11 @@ from trafik_etl_modular_spark.registry import query
 
 def derive_url(doc_id: Column) -> Column:
     """The deterministic raw-URL fixture column (see module doc)."""
-    g_i = F.floor(doc_id / F.lit(5)).cast("bigint")
+    # exact integer division via decimal — floor(doc_id / 5.0) would
+    # pass through a rounded double and can diverge from the oracle's
+    # integer `//` for ids beyond 2^52; the numerator is divisible by
+    # 5, so the decimal quotient is the exact integer
+    g_i = ((doc_id - doc_id % 5).cast("decimal(38,0)") / F.lit(5)).cast("bigint")
     g = g_i.cast("string")
     s = (g_i % 20).cast("string")
     v = doc_id % 5
