@@ -74,3 +74,30 @@ def test_host_policy_thresholds(spark, sf_dir):
         )
         assert r["policy"] == want
         assert r["n_low_quality"] <= r["n_docs"]
+
+
+def test_canonicalization_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u): the fixed-point
+    property a dedup key MUST have (or re-canonicalizing a stored key
+    would change it).  Checked over the planted cases, the derived
+    fixture URLs, and a battery of adversarial shapes."""
+    adversarial = [
+        "https://a.example.org/p?utm_a=1&utm_b=2&page=2&utm_c=3",
+        "https://a.example.org/p?page=2",
+        "https://a.example.org:443/",
+        "HTTP://A.ORG:443/X",          # :443 stripped regardless of scheme (documented)
+        "https://a.org/p?utm_x=&y=1",
+        "https://a.org/p#",
+        "https://a.org/p?utm_only=v#f",
+        "ftp://Mixed.Case.Host/Path/",
+    ]
+    base = [r for r, _ in CASES] + adversarial
+    df = spark.createDataFrame([(u,) for u in base], ["url"])
+    once = [
+        r["c"] for r in df.select(_canonical_url_steps(F.col("url")).alias("c")).collect()
+    ]
+    df2 = spark.createDataFrame([(u,) for u in once], ["url"])
+    twice = [
+        r["c"] for r in df2.select(_canonical_url_steps(F.col("url")).alias("c")).collect()
+    ]
+    assert twice == once
