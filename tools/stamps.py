@@ -7,8 +7,12 @@ introduced the discipline "no stamp older than 3 rounds"; this tool
 makes the rotation mechanical instead of a per-round archaeology dig
 through CORRECTNESS_r*.json.
 
-Usage:  python tools/stamps.py            # full ledger + staleness buckets
-        python tools/stamps.py --window   # suggested next-window candidates
+Usage:  python tools/stamps.py              # full ledger + staleness buckets
+        python tools/stamps.py --window     # suggested next-window candidates
+        python tools/stamps.py --plan-next  # simulate the next ledger landing
+                                            # and print the window the round
+                                            # AFTER it must ship (mandatory +
+                                            # suggested pre-rotation fill)
 
 A query is GREEN in a round when rows/schema match and the hash
 matches (or the record is rows-only, hash None).
@@ -56,6 +60,39 @@ def main() -> int:
     for n in names:
         if n in stamps:
             by_round.setdefault(stamps[n], []).append(n)
+
+    if "--plan-next" in sys.argv:
+        # Simulate: the driver stamps the CURRENT window at round
+        # latest+1; what must the round-(latest+2) window contain?
+        nxt = latest + 1
+        cycle = max(4, -(-len(names) // 50))
+        sim = dict(stamps)
+        for n in DRIVER_WINDOW:
+            sim[n] = nxt
+        hard = [n for n in names if sim.get(n, -(10**6)) <= nxt - cycle]
+        edge = [n for n in names if sim.get(n) == nxt - (cycle - 1)]
+        mandatory = sorted(set(hard) | set(edge))
+        print(
+            f"simulated ledger: r{nxt:02d} stamps the current window; "
+            f"N={len(names)}, cycle={cycle}"
+        )
+        print(f"MANDATORY for the r{nxt + 1:02d}-window ({len(mandatory)}):")
+        for n in mandatory:
+            print(f"  {n} (r{sim.get(n, 0):02d})")
+        print(
+            "plus: every query ADDED next round (never-stamped rule) and "
+            "every query whose function/oracle CHANGES (hash-manifest rule)."
+        )
+        free = 50 - len(mandatory)
+        pool = sorted(
+            (n for n in names if n not in mandatory),
+            key=lambda n: (sim.get(n, -(10**6)), n),
+        )
+        print(f"suggested pre-rotation fill for the ~{free} free slots "
+              "(oldest simulated stamps first):")
+        for n in pool[:free]:
+            print(f"  {n} (r{sim.get(n, 0):02d})")
+        return 0
 
     if "--window" in sys.argv:
         # Rotation suggestion: never-stamped first, then oldest stamps,
