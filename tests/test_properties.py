@@ -728,3 +728,103 @@ def test_trimmed_mean_udaf_matches_model_property(spark, groups):
         return float(sum(core)) / float(len(core))
 
     assert got == {g: model(vs) for g, vs in groups.items()}
+
+
+# ---------------------------------------------------------------------------
+# Round-9 primitives: neutral hash and URL canonicalization
+# ---------------------------------------------------------------------------
+
+import re
+
+import duckdb
+
+from trafik_etl_modular_spark.functions.neutral_hash import oracle_nhash, py_nhash
+from trafik_etl_modular_spark.queries.web import _canon_sql, _canonical_url_steps
+
+_text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters=["'"]),
+    max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(v=_text, salt=st.sampled_from(["b1", "b2", "kmv", "sx", "c0"]))
+def test_nhash_duckdb_python_parity(v, salt):
+    """The engine-neutral hash's DuckDB rendering equals the Python
+    reference on arbitrary unicode (Spark parity is pinned separately
+    on fixed vectors — one JVM round-trip per example is too slow for
+    a 200-example sweep, and all three legs share the md5 core)."""
+    con = duckdb.connect()
+    got = con.execute(f"SELECT {oracle_nhash('?', salt)}", [v]).fetchone()[0]
+    assert got == py_nhash(v, salt)
+
+
+def _py_canonical(u: str) -> str:
+    """Python reference of the canonicalization chain — mirrors
+    queries/web.py step for step."""
+    u = re.sub(r"#.*", "", u)
+    u = re.sub(r"[?&]utm_[A-Za-z_]*=[^&#]*", "", u)
+    if "&" in u and "?" not in u:
+        first = u.split("&", 1)[0]
+        u = first + "?" + u[len(first) + 1:]
+    u = re.sub(r"\?$", "", u)
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", u)
+    prefix = m.group(0) if m else ""
+    rest = u[len(prefix):]
+    prefix = re.sub(r":443$", "", prefix.lower())
+    u = prefix + rest
+    if u.endswith("/") and u != prefix + "/":
+        u = re.sub(r"/$", "", u)
+    return u
+
+
+_scheme = st.sampled_from(["http", "https", "HTTPS", "HtTp"])
+_word = st.text(alphabet="abcdefgXYZ", min_size=1, max_size=6)
+_param = st.tuples(
+    st.sampled_from(["utm_a", "utm_campaign", "utm_", "page", "q", "ref"]),
+    st.text(alphabet="abc123", max_size=4),
+)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(_scheme)
+    host = ".".join(draw(st.lists(_word, min_size=1, max_size=3)))
+    port = draw(st.sampled_from(["", ":443", ":8080"]))
+    path = "/".join(draw(st.lists(_word, max_size=3)))
+    slash = draw(st.sampled_from(["", "/"]))
+    params = draw(st.lists(_param, max_size=4))
+    query = "&".join(f"{k}={v}" for k, v in params)
+    frag = draw(st.sampled_from(["", "#f", "#sec-2"]))
+    u = f"{scheme}://{host}{port}/{path}{slash}"
+    if query:
+        u += "?" + query
+    return u + frag
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(urls=st.lists(_urls(), min_size=1, max_size=25))
+def test_canonicalization_three_way_parity(spark, urls):
+    """Spark, DuckDB, and the Python reference canonicalize any
+    generated URL identically, and the result is a fixed point on
+    all three — the property that makes the canonical key a safe
+    cross-run dedup key."""
+    want = [_py_canonical(u) for u in urls]
+    # Spark leg (one DataFrame pass per example batch)
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got_spark = [
+        r["c"] for r in df.select(_canonical_url_steps(F.col("url")).alias("c")).collect()
+    ]
+    assert got_spark == want
+    # DuckDB leg (the oracle's rendering)
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {_canon_sql('u')} FROM (SELECT ? AS u) t", [u]
+        ).fetchone()[0]
+        for u in urls
+    ]
+    assert got_duck == want
+    # fixed point
+    assert [_py_canonical(c) for c in want] == want
