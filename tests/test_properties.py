@@ -828,3 +828,54 @@ def test_canonicalization_three_way_parity(spark, urls):
     assert got_duck == want
     # fixed point
     assert [_py_canonical(c) for c in want] == want
+
+
+from trafik_etl_modular_spark.functions.scalars import fquant, oracle_fquant
+
+
+@st.composite
+def _nasty_doubles(draw):
+    """Doubles biased toward the e9-grid boundaries fquant must
+    survive: exact half-grid points, near-half offsets, and plain
+    randoms."""
+    kind = draw(st.sampled_from(["half", "near", "random"]))
+    if kind == "half":
+        k = draw(st.integers(-10**15, 10**15))
+        return (k + 0.5) / 1e9
+    if kind == "near":
+        k = draw(st.integers(-10**15, 10**15))
+        ulp = draw(st.sampled_from([-1e-12, 1e-12, -1e-10, 1e-10]))
+        return (k + 0.5) / 1e9 + ulp
+    return draw(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        )
+    )
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(xs=st.lists(_nasty_doubles(), min_size=1, max_size=50))
+def test_fquant_spark_duckdb_parity(spark, xs):
+    """fquant is the boundary-proofing primitive under dozens of
+    oracles: Spark's round(x·1e9)::bigint::double/1e9 must equal
+    DuckDB's rendering BIT-EXACTLY even on exact half-grid inputs
+    (both engines convert the double's exact value and round ties
+    away from zero)."""
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    got_spark = [r["q"] for r in df.select(fquant(F.col("x")).alias("q")).collect()]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {oracle_fquant('x')} FROM (SELECT ?::DOUBLE AS x) t", [x]
+        ).fetchone()[0]
+        for x in xs
+    ]
+    import struct
+
+    def bits(v):
+        return struct.pack("<d", v)
+
+    assert [bits(a) for a in got_spark] == [bits(b) for b in got_duck], (
+        list(zip(xs, got_spark, got_duck))
+    )
