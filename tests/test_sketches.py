@@ -112,7 +112,6 @@ def test_kmv_estimator_branch_on_larger_domain(spark):
             (r["kmv_est_b"], r["exact_distinct_b"]),
         ):
             if exact > KMV_K:
-                assert est != exact or True  # estimator may coincide
                 assert abs(est - exact) <= exact // 2
     assert any(
         r["exact_distinct_a"] > KMV_K or r["exact_distinct_b"] > KMV_K for r in rows
