@@ -174,3 +174,41 @@ def test_join_ivm_certificate(spark, sf_dir):
     # the cursor must split the stream non-trivially
     assert sum(r["n_old"] for r in rows) > 0
     assert sum(r["n_delta"] for r in rows) > 0
+
+
+def test_spatial_knn_exact_bruteforce(spark):
+    """Probe-panel kNN equals the O(|panel|·N) brute force at
+    sf0.001 — completeness at cell boundaries, the self-exclusion,
+    and the (dist2, id) tiebreak."""
+    from trafik_etl_modular_spark.functions.neutral_hash import py_nhash
+    from trafik_etl_modular_spark.queries.spatial import (
+        _KNN_K,
+        _KNN_R2,
+        join_spatial_knn_probes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = join_spatial_knn_probes(spark, sf).collect()
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("event_id").collect()
+    pts = {
+        r["event_id"]: (
+            py_nhash(r["event_id"], "sx") % _GRID,
+            py_nhash(r["event_id"], "sy") % _GRID,
+        )
+        for r in ev
+    }
+    expect = []
+    for pid in sorted(pts):
+        if pid % 97 != 0:
+            continue
+        px, py_ = pts[pid]
+        cand = sorted(
+            ((px - x) ** 2 + (py_ - y) ** 2, nid)
+            for nid, (x, y) in pts.items()
+            if nid != pid and (px - x) ** 2 + (py_ - y) ** 2 <= _KNN_R2
+        )
+        for rk, (d2, nid) in enumerate(cand[:_KNN_K], start=1):
+            expect.append((pid, rk, nid, d2))
+    got = [(r["probe_id"], r["rk"], r["neighbor_id"], r["dist2"]) for r in rows]
+    assert got == expect
+    assert expect, "panel must have at least one neighbor at sf0.001"

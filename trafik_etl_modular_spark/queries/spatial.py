@@ -22,7 +22,7 @@ all integers, no floating point anywhere."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from trafik_etl_modular_spark.functions.neutral_hash import nhash, oracle_nhash
@@ -146,3 +146,106 @@ def join_spatial_neighbor_pairs(spark, sf_dir) -> DataFrame:
     total = pairs.agg(F.count("*").cast("bigint").alias("n_pairs_total"))
     top = pairs.orderBy("dist2", "id_a", "id_b").limit(100)
     return top.crossJoin(F.broadcast(total)).orderBy("dist2", "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Radius-bounded k-NN for a probe panel (the query-workload shape)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+_KNN_R = 25          # probe radius (its own grid: cell size = radius)
+_KNN_R2 = _KNN_R * _KNN_R
+
+_KNN_SQL = f"""
+WITH pts AS ({_POINTS_SQL}),
+cells AS (
+  SELECT id, x, y, (x // {_KNN_R}) * {_GRID} + (y // {_KNN_R}) AS k FROM pts
+),
+offsets(dx, dy) AS (
+  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+),
+probes AS (
+  SELECT id, x, y,
+         ((x // {_KNN_R}) + dx) * {_GRID} + ((y // {_KNN_R}) + dy) AS k
+  FROM pts CROSS JOIN offsets
+  WHERE id % 97 = 0
+),
+cand AS (
+  SELECT p.id AS probe_id, b.id AS neighbor_id,
+         (p.x - b.x) * (p.x - b.x) + (p.y - b.y) * (p.y - b.y) AS dist2
+  FROM probes p JOIN cells b ON p.k = b.k
+  WHERE p.id <> b.id
+    AND (p.x - b.x) * (p.x - b.x) + (p.y - b.y) * (p.y - b.y) <= {_KNN_R2}
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist2, neighbor_id) AS rk
+  FROM cand
+)
+SELECT probe_id, CAST(rk AS INTEGER) AS rk, neighbor_id, dist2
+FROM ranked WHERE rk <= {_KNN_K}
+ORDER BY probe_id, rk
+"""
+
+
+@query("join_spatial_knn_probes", sql=_KNN_SQL, tags=("join", "spatial"))
+def join_spatial_knn_probes(spark, sf_dir) -> DataFrame:
+    """Radius-bounded k-NN (k=3 within r=25) for a ~1% probe panel —
+    the spatial QUERY-WORKLOAD shape, paired with the all-pairs self
+    join the way the sim family pairs brute-force scoring with probe
+    panels.  Same grid technique at the probe radius (cell = r, 3×3
+    packed-key equi-join, exact BIGINT distances), then one
+    per-probe window rank keeps the 3 closest with a total
+    (dist2, neighbor_id) tiebreak.  Probes with fewer than k
+    neighbors inside r return fewer rows — radius-bounded semantics,
+    the ST_DWithin + rank idiom.
+
+    Scale: candidate volume is |probes| · |3×3 neighborhood|, never
+    |probes|·N; the rank window shuffles on probe_id (panel-sized).
+    At sf0.001 the panel sees ~2 neighbors per probe (under-filled
+    ranks exercised), at sf0.1 ~200 (the cut exercised)."""
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        (nhash("event_id", "sx") % _GRID).alias("x"),
+        (nhash("event_id", "sy") % _GRID).alias("y"),
+    )
+    cells = pts.select(
+        "id", "x", "y",
+        (F.floor(F.col("x") / _KNN_R) * _GRID + F.floor(F.col("y") / _KNN_R)).alias("k"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = (
+        pts.where(F.col("id") % 97 == 0)
+        .select("id", "x", "y", F.explode(offsets).alias("o"))
+        .select(
+            F.col("id").alias("probe_id"),
+            F.col("x").alias("px"),
+            F.col("y").alias("py"),
+            (
+                (F.floor(F.col("x") / _KNN_R) + F.col("o.dx")) * _GRID
+                + (F.floor(F.col("y") / _KNN_R) + F.col("o.dy"))
+            ).alias("k"),
+        )
+    )
+    d2 = (F.col("px") - F.col("x")) * (F.col("px") - F.col("x")) + (
+        F.col("py") - F.col("y")
+    ) * (F.col("py") - F.col("y"))
+    cand = (
+        probes.join(cells, "k")
+        .where((F.col("probe_id") != F.col("id")) & (d2 <= _KNN_R2))
+        .select("probe_id", F.col("id").alias("neighbor_id"), d2.alias("dist2"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist2", "neighbor_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KNN_K)
+        .select("probe_id", F.col("rk").cast("int").alias("rk"), "neighbor_id", "dist2")
+        .orderBy("probe_id", "rk")
+    )

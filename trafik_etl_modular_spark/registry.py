@@ -90,11 +90,12 @@ _QUERY_MODULES = [
 # max(4, ceil(201/50)) = 5 rounds — the exact relaxation the cycle
 # formula exists for (a 50-slot window cannot cover >200 queries on
 # a 4-round cadence).  Slots:
-#   * 27 of the 38 r05-stamped queries (the other 11 — the sample_*
+#   * 26 of the 38 r05-stamped queries (the other 12 — the sample_*
 #     quartet, the scd2 pair, the vocab pair, the events_* cohort
-#     pair, dq_histogram_value — stay r05-stamped, which the 5-round
-#     cycle permits; they are round 10's FORCED rotation, see NOTE
-#     below);
+#     pair, dq_histogram_value, inc_daily_trend_gapfill — stay
+#     r05-stamped, which the 5-round cycle permits; they are round
+#     10's FORCED rotation: `python tools/stamps.py --plan-next`
+#     prints the exact obligation);
 #   * 7 queries whose FUNCTION OR ORACLE changed since their newest
 #     stamp (r8 diff: curation_pipeline_v5 decimal snap,
 #     running-revenue window-order totalization, trimmed-mean oracle
@@ -102,13 +103,14 @@ _QUERY_MODULES = [
 #     row-filtered fetch, _QDOT dim derivation) — enforced by
 #     tests/test_contract.py::test_nonwindow_queries_unchanged_since_stamp
 #     against tools/stamped_hashes.json;
-#   * all 16 never-stamped queries: the five from the first round-9
+#   * all 17 never-stamped queries: the five from the first round-9
 #     batch (IVF compaction, perceptual + incremental media dedup,
 #     IVF-PQ probe + recall), the eight from the second (URL
 #     canonical dedup, host policy, Benford, spatial grid join,
-#     triangle count, Bloom prefilter, CMS, KMV), and the three from
-#     the third (join IVM, CDC tombstones, Bloom append).
-# NOTE for round 10 (latest=r09, cycle 5 ⇒ forcing edge r05): the 11
+#     triangle count, Bloom prefilter, CMS, KMV), and the four from
+#     the third (join IVM, CDC tombstones, Bloom append, spatial
+#     probe-panel kNN).
+# NOTE for round 10 (latest=r09, cycle 5 ⇒ forcing edge r05): the 12
 # deferred r05 queries above are mandatory; begin pre-rotating the
 # 49-query r06 cohort with the remaining slots so round 11 (when r06
 # hits the forcing edge) still has room for its own new queries.
@@ -119,7 +121,6 @@ DRIVER_WINDOW: list[str] = [
     "dq_outlier_report",
     "dq_table_fingerprint",
     "filter_dashboard_pipeline",
-    "inc_daily_trend_gapfill",
     "inc_geo_imputation",
     "inc_kpi_counts",
     "inc_normalize",
@@ -169,6 +170,7 @@ DRIVER_WINDOW: list[str] = [
     "merge_join_ivm",
     "merge_cdc_apply_tombstones",
     "dedup_bloom_append",
+    "join_spatial_knn_probes",
 ]
 
 
