@@ -771,7 +771,11 @@ def _py_canonical(u: str) -> str:
     m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", u)
     prefix = m.group(0) if m else ""
     rest = u[len(prefix):]
-    prefix = re.sub(r":443$", "", prefix.lower())
+    prefix = prefix.lower()
+    if prefix.startswith("https://"):
+        prefix = re.sub(r":443$", "", prefix)
+    elif prefix.startswith("http://"):
+        prefix = re.sub(r":80$", "", prefix)
     u = prefix + rest
     if u.endswith("/") and u != prefix + "/":
         u = re.sub(r"/$", "", u)
@@ -790,7 +794,7 @@ _param = st.tuples(
 def _urls(draw):
     scheme = draw(_scheme)
     host = ".".join(draw(st.lists(_word, min_size=1, max_size=3)))
-    port = draw(st.sampled_from(["", ":443", ":8080"]))
+    port = draw(st.sampled_from(["", ":443", ":80", ":8080"]))
     path = "/".join(draw(st.lists(_word, max_size=3)))
     slash = draw(st.sampled_from(["", "/"]))
     params = draw(st.lists(_param, max_size=4))

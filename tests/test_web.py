@@ -24,6 +24,10 @@ CASES = [
     ("https://a.example.org:443/docs/1", "https://a.example.org/docs/1"),
     # non-default port survives
     ("https://a.example.org:8443/docs/1", "https://a.example.org:8443/docs/1"),
+    # default ports are scheme-specific
+    ("http://a.example.org:80/docs/1", "http://a.example.org/docs/1"),
+    ("http://a.example.org:443/docs/1", "http://a.example.org:443/docs/1"),
+    ("https://a.example.org:80/docs/1", "https://a.example.org:80/docs/1"),
     # trailing slash stripped on non-root
     ("https://a.example.org/docs/1/", "https://a.example.org/docs/1"),
     # root slash preserved
@@ -85,7 +89,7 @@ def test_canonicalization_idempotent(spark):
         "https://a.example.org/p?utm_a=1&utm_b=2&page=2&utm_c=3",
         "https://a.example.org/p?page=2",
         "https://a.example.org:443/",
-        "HTTP://A.ORG:443/X",          # :443 stripped regardless of scheme (documented)
+        "HTTP://A.ORG:443/X",          # :443 NOT default for http — must survive
         "https://a.org/p?utm_x=&y=1",
         "https://a.org/p#",
         "https://a.org/p?utm_only=v#f",

@@ -96,9 +96,11 @@ _HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
 def _canonical_url_steps(url: Column) -> Column:
     """Canonicalize a URL: drop the fragment, strip ``utm_*`` tracking
     parameters (repairing a dangling ``&`` left where the ``?`` was
-    removed), lowercase the scheme+host+port prefix, remove the https
-    default port ``:443``, and strip a non-root trailing slash.  Pure
-    Catalyst string expressions — whole-stage codegen, no UDF."""
+    removed), lowercase the scheme+host+port prefix, remove the
+    SCHEME-SPECIFIC default port (``:443`` for https, ``:80`` for
+    http — never across schemes, where it would merge two origins),
+    and strip a non-root trailing slash.  Pure Catalyst string
+    expressions — whole-stage codegen, no UDF."""
     u = F.regexp_replace(url, "#.*", "")
     u = F.regexp_replace(u, _UTM_RE, "")
     first = F.substring_index(u, "&", 1)
@@ -107,7 +109,15 @@ def _canonical_url_steps(url: Column) -> Column:
     u = F.regexp_replace(u, "\\?$", "")            # dangling '?'
     prefix = F.regexp_extract(u, _PREFIX_RE, 0)
     rest = F.substring(u, F.length(prefix) + F.lit(1), F.length(u))
-    prefix = F.regexp_replace(F.lower(prefix), ":443$", "")
+    low = F.lower(prefix)
+    # default ports are scheme-specific: :443 is default ONLY for
+    # https, :80 only for http — stripping :443 from an http URL
+    # would merge two different origins
+    prefix = (
+        F.when(low.startswith("https://"), F.regexp_replace(low, ":443$", ""))
+        .when(low.startswith("http://"), F.regexp_replace(low, ":80$", ""))
+        .otherwise(low)
+    )
     u = F.concat(prefix, rest)
     # non-root trailing slash (root form is exactly prefix + '/')
     return F.when(
@@ -129,7 +139,14 @@ def _canon_sql(expr: str) -> str:
         f"THEN {first} || '?' || {tail} ELSE {u} END"
     )
     u = f"regexp_replace({u}, '\\?$', '')"
-    prefix = f"regexp_replace(lower(regexp_extract({u}, '{_PREFIX_RE}', 0)), ':443$', '')"
+    low = f"lower(regexp_extract({u}, '{_PREFIX_RE}', 0))"
+    prefix = (
+        f"CASE WHEN starts_with({low}, 'https://')"
+        f" THEN regexp_replace({low}, ':443$', '')"
+        f" WHEN starts_with({low}, 'http://')"
+        f" THEN regexp_replace({low}, ':80$', '')"
+        f" ELSE {low} END"
+    )
     rest = f"substr({u}, len(regexp_extract({u}, '{_PREFIX_RE}', 0)) + 1)"
     u = f"({prefix} || {rest})"
     return (
