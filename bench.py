@@ -101,6 +101,31 @@ def _write_local_artifact(
             f.write("\n")
     except Exception:  # noqa: BLE001
         pass
+    # Per-ROUND artifact with the complete per-query map (verdict r09
+    # ask #7): the driver's BENCH_rNN.json keeps only the tail of
+    # stdout, so at 200+ queries the official round record truncates
+    # the per-query dict and cross-round weather normalization had to
+    # lean on the working-tree BENCH_LOCAL.json.  The round number is
+    # derived from the newest correctness ledger (bench runs during
+    # round N, after ledger N-1 landed).  Best-effort, never fails the
+    # bench.
+    try:
+        import glob as _glob
+
+        # anchored to the BENCH_LOCAL.json directory so tests that
+        # redirect `path` to a tmp dir don't write round artifacts
+        # into the repo root
+        repo = os.path.dirname(os.path.abspath(path))
+        rounds = [
+            int(p.rsplit("_r", 1)[1].split(".")[0])
+            for p in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        ]
+        rnd = (max(rounds) if rounds else 0) + 1
+        with open(os.path.join(repo, f"BENCH_FULL_r{rnd:02d}.json"), "w") as f:
+            json.dump({key: record}, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def _calibrate() -> float:

@@ -35,27 +35,27 @@ def test_driver_window_manifest_pins_first_50():
 
 def test_window_covers_stale_stamps():
     """Rotation discipline, enforced mechanically (verdict r07 ask
-    #2): every query whose newest driver-green stamp is STRICTLY more
-    than 3 rounds old at HEAD — or which has never been
-    driver-sampled — must sit in the CURRENT DRIVER_WINDOW, so a
-    forgotten rotation fails pytest instead of surfacing in a verdict
-    after the stamps breach the "no stamp older than 3 rounds"
-    discipline.
+    #2; tiered per verdict r09 ask #2): every query whose newest
+    driver-green stamp is stale under its TIER-AWARE cycle — or which
+    has never been driver-sampled — must sit in the CURRENT
+    DRIVER_WINDOW, so a forgotten rotation fails pytest instead of
+    surfacing in a verdict.
 
-    ADVICE r08 (medium): two levels.  The HARD check is strict
-    (`< latest - 3`): a stamp strictly older than 3 rounds is an
-    actual discipline breach and is always red.  The FORCING check
-    (`== latest - 3`: the cohort that would breach the moment the
-    NEXT ledger lands) is suspended ONLY during the interregnum —
-    when DRIVER_WINDOW still equals the newest ledger's exact key
-    set, i.e. the driver just stamped this window and the next
-    round's rotation has not happened yet.  The moment the window is
-    rotated (it always is — new queries enter every round), the
-    forcing check activates and an insufficient rotation fails
-    pytest.  Net effect: no red build at HEAD merely because a
-    ledger landed, but a rotation that forgets the age-3 cohort is
-    still caught one full round before any stamp can breach."""
+    The tier math lives in ``tools/stamps.py`` (single source of
+    truth): ACTIVE queries (<= 1 lifetime stamp) rotate on the base
+    cycle max(4, ceil(N/50)); MATURE queries (>= 2 lifetime stamps in
+    distinct rounds, semantically unchanged per the hash-manifest
+    test below) rotate on 2x base.  ``must_window`` covers both the
+    HARD level (stamp already stale at HEAD) and the FORCING level
+    (stamp breaches the moment the NEXT ledger lands).  The forcing
+    level is suspended ONLY during the interregnum — when
+    DRIVER_WINDOW still equals the newest ledger's exact key set,
+    i.e. the driver just stamped this window and the next round's
+    rotation has not happened yet.  Net effect: no red build at HEAD
+    merely because a ledger landed, but a rotation that forgets a
+    due cohort is caught one full round before any stamp breaches."""
     import importlib.util
+    import json
     import pathlib
 
     spec = importlib.util.spec_from_file_location(
@@ -66,44 +66,40 @@ def test_window_covers_stale_stamps():
 
     from trafik_etl_modular_spark.registry import DRIVER_WINDOW
 
-    stamps, latest = stamps_mod.newest_stamps()
+    hist, latest = stamps_mod.stamp_history()
     names = list(E.queries())
-    # Rotation cycle length: with a 50-slot window, N registered
-    # queries need ceil(N/50) rounds per full pass, so the freshness
-    # bound is C = max(4, ceil(N/50)) rounds (C=4 is the historical
-    # "no stamp older than 3 at ledger time" discipline; the dynamic
-    # term keeps the invariant FEASIBLE — at N>200 a 4-round cycle
-    # cannot cover the registry and would make this test
-    # unsatisfiable, the failure mode round 9 got within 7 slots of).
-    cycle = max(4, -(-len(names) // 50))
-    breached = [
-        n for n in names if stamps.get(n, -(10**6)) <= latest - cycle
+
+    # HARD level: already stale at HEAD (always red, interregnum or not).
+    hard = [
+        n
+        for n in names
+        if n not in hist
+        or hist[n][-1]
+        <= latest - stamps_mod.query_cycle(n, hist, len(names))
     ]
-    missing = [n for n in breached if n not in DRIVER_WINDOW]
+    missing = [n for n in hard if n not in DRIVER_WINDOW]
     assert missing == [], (
         f"BREACH: stale/never-stamped queries not in DRIVER_WINDOW "
-        f"(latest driver round r{latest:02d}, cycle {cycle}): {missing}"
+        f"(latest driver round r{latest:02d}, base cycle "
+        f"{stamps_mod.base_cycle(len(names))}): {missing}"
     )
 
-    # forcing level: the age-3 cohort must be rotated in, unless we
-    # are in the interregnum (window == the newest ledger's key set,
-    # i.e. the driver just stamped exactly this window and round
-    # N+1's rotation has not landed yet)
-    import json
-
+    # FORCING level: would breach when the next ledger lands —
+    # suspended only in the interregnum.
     newest_ledger = pathlib.Path(__file__).parent.parent / f"CORRECTNESS_r{latest:02d}.json"
     interregnum = False
     if newest_ledger.exists():
         with open(newest_ledger) as fh:
             interregnum = set(json.load(fh)) == set(DRIVER_WINDOW)
     if not interregnum:
-        edge = latest - (cycle - 1)
-        at_edge = [n for n in names if stamps.get(n, -(10**6)) == edge]
-        missing_edge = [n for n in at_edge if n not in DRIVER_WINDOW]
+        due = [
+            n for n in names if stamps_mod.must_window(n, hist, len(names), latest)
+        ]
+        missing_edge = [n for n in due if n not in DRIVER_WINDOW]
         assert missing_edge == [], (
-            f"FORCING: age-{cycle - 1} cohort (r{edge:02d} stamps) would "
-            f"breach when the r{latest + 1:02d} ledger lands; rotate into "
-            f"DRIVER_WINDOW: {missing_edge}"
+            f"FORCING: tier-aware due cohort would breach when the "
+            f"r{latest + 1:02d} ledger lands; rotate into DRIVER_WINDOW: "
+            f"{missing_edge}"
         )
 
 

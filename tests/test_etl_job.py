@@ -127,3 +127,36 @@ def test_metrics_listener_and_notifier(spark, tmp_path):
     assert prog[0]["warning"].startswith("row volume 10 below")
     # the flaky transport was retried through, every event delivered
     assert len(sent) == len(listener.events)
+
+
+def test_upsert_sink_listener_flags_out_of_band_batch(spark):
+    """Verdict r09 ask #6: the volume guard wired INTO the foreachBatch
+    upsert fires per micro-batch.  The sf0.001 events stream delivers
+    one 1000-row micro-batch; a 999-row cap plants it out of band and
+    the listener must record the warning on that batch's progress
+    event.  An in-band run of the same query must record none."""
+    from trafik_etl_modular_spark.streaming.observability import MetricsListener
+    from trafik_etl_modular_spark.streaming.pipeline import upsert_sink_run
+
+    sf = "/root/testdata/sf0.001"
+
+    tight = MetricsListener(expect_min=1, expect_max=999)
+    out = upsert_sink_run(spark, sf, listener=tight)
+    n_entities = out.count()
+    assert n_entities > 0
+    prog = [
+        e for e in tight.events if e["stage"] == "progress" and e["num_input_rows"]
+    ]
+    assert prog, "no progress events captured for the upsert query"
+    warned = [e for e in prog if e["warning"]]
+    assert warned and warned[0]["num_input_rows"] == 1000
+    assert warned[0]["warning"].startswith("row volume 1000 above")
+    assert warned[0]["batch_id"] is not None
+
+    wide = MetricsListener(expect_min=1, expect_max=10_000)
+    out2 = upsert_sink_run(spark, sf, listener=wide)
+    assert out2.count() == n_entities
+    prog2 = [
+        e for e in wide.events if e["stage"] == "progress" and e["num_input_rows"]
+    ]
+    assert prog2 and all(e["warning"] is None for e in prog2)

@@ -1,0 +1,154 @@
+"""Growth-curve convergence for the incremental paths (verdict r09
+ask #3): drive ~10 batches through (a) the incremental corpus-dedup
+state loop and (b) the IVF append path, and assert that index SIZE
+grows by exactly the batch's contribution each step (linear in
+batches, never a corpus rewrite) and that per-batch WALL TIME stays
+flat — the signature of work ∝ batch.  A per-batch cost proportional
+to the accumulated corpus would make the second half of the run
+clearly slower than the first; the median-ratio bound catches that
+while staying robust to single-batch machine-weather spikes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from trafik_etl_modular_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+N_BATCHES = 10
+# per-batch time bound: median(second half) vs median(first half).
+# Linear-in-corpus per-batch work over 10 equal batches would put
+# this ratio at ~3; flat per-batch work keeps it near 1.  2.5 leaves
+# room for noisy-neighbor bursts without accepting a corpus-
+# proportional trend.
+MEDIAN_RATIO_BOUND = 2.5
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
+def test_incremental_dedup_growth_linear_in_batch(spark):
+    """10 batches through the exact state-update step the streaming
+    foreachBatch body runs (shingle → verdict probe → index append):
+    postings-index increments equal each batch's own postings count,
+    and per-batch time does not trend with the accumulated corpus."""
+    from trafik_etl_modular_spark.llmdata.dedup import (
+        content_hashes,
+        incremental_verdicts,
+        shingle_postings,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    cinv = chash = None
+    index_sizes: list[int] = []
+    increments: list[int] = []
+    times: list[float] = []
+    for i in range(N_BATCHES):
+        bdf = docs.where(F.col("doc_id") % N_BATCHES == i).localCheckpoint(
+            eager=True
+        )
+        t0 = time.perf_counter()
+        binv = shingle_postings(bdf, k=3).localCheckpoint(eager=False)
+        if cinv is not None:
+            # probe work is batch ⨝ index on the shingle hash — force it
+            incremental_verdicts(
+                bdf, binv, cinv, chash, threshold=0.6
+            ).count()
+        nb = binv.count()
+        cinv = (
+            (binv if cinv is None else cinv.unionByName(binv))
+            .coalesce(8)
+            .localCheckpoint(eager=True)
+        )
+        chash = (
+            (content_hashes(bdf) if chash is None else chash.unionByName(content_hashes(bdf)))
+            .coalesce(8)
+            .localCheckpoint(eager=True)
+        )
+        times.append(time.perf_counter() - t0)
+        sz = cinv.count()
+        increments.append(sz - (index_sizes[-1] if index_sizes else 0))
+        index_sizes.append(sz)
+        # the index grew by EXACTLY this batch's postings — an append,
+        # never a corpus rewrite or re-shingle
+        assert increments[-1] == nb
+
+    # equal-sized batches contribute near-equal increments: no
+    # corpus-correlated term in the growth
+    assert max(increments) <= 2 * max(1, min(increments))
+    # per-batch time flat (batch 0 excluded: it has no probe)
+    half = 1 + (N_BATCHES - 1) // 2
+    ratio = _median(times[half:]) / max(_median(times[1:half]), 1e-9)
+    assert ratio < MEDIAN_RATIO_BOUND, (times, ratio)
+
+
+def test_ivf_append_growth_linear_in_batch(spark, tmp_path):
+    """10 appends against a frozen quantizer: each append adds exactly
+    the batch's rows and at most one file per touched bucket; the
+    existing corpus is never rewritten (file count for old appends is
+    unchanged) and per-append time stays flat."""
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        ivf_append,
+        ivf_assign,
+        ivf_train,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    centers = ivf_train(emb, n_centroids=8)
+    path = str(tmp_path / "ivf")
+
+    def data_files() -> set[str]:
+        return {
+            p
+            for p in glob.glob(f"{path}/assigned/**/*.parquet", recursive=True)
+        }
+
+    sizes: list[int] = []
+    times: list[float] = []
+    prev_files: set[str] = set()
+    for i in range(N_BATCHES):
+        batch = emb.where(F.col("vec_id") % N_BATCHES == i)
+        n_batch = batch.count()
+        t0 = time.perf_counter()
+        assigned = ivf_assign(batch, centers)
+        n_buckets = assigned.select("ivf_bucket").distinct().count()
+        ivf_append(assigned, path)
+        times.append(time.perf_counter() - t0)
+        now_files = data_files()
+        # old files untouched (append, not rewrite) …
+        assert prev_files <= now_files
+        # … and ≤ one new file per touched bucket
+        assert len(now_files - prev_files) <= n_buckets
+        prev_files = now_files
+        total = spark.read.parquet(f"{path}/assigned").count()
+        sizes.append(total)
+        # index grows by exactly the batch size
+        expected = (sizes[-2] if len(sizes) > 1 else 0) + n_batch
+        assert total == expected
+
+    half = N_BATCHES // 2
+    ratio = _median(times[half:]) / max(_median(times[:half]), 1e-9)
+    assert ratio < MEDIAN_RATIO_BOUND, (times, ratio)
+
+
+def test_streaming_incremental_dedup_runs_at_ten_batches(spark):
+    """The real streaming entry point stays correct at 10 micro-
+    batches: every document classified exactly once, batch composition
+    as declared, first batch all novel."""
+    from trafik_etl_modular_spark.streaming.incremental_dedup import (
+        incremental_dedup_stream_run,
+    )
+
+    out = incremental_dedup_stream_run(spark, SF, n_batches=10).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert len(out) == n_docs
+    assert {r["batch_id"] for r in out} == set(range(10))
+    first = [r for r in out if r["batch_id"] == 0]
+    assert first and all(r["verdict"] == "novel" for r in first)

@@ -431,8 +431,13 @@ def graph_pagerank_3iter(spark, sf_dir):
 # BROADCAST_VERTEX_LIMIT): 5M edges × 16 B ≈ 80 MB, comfortably
 # inside a 1-2 GiB executor broadcast budget
 _EDGE_BROADCAST_LIMIT = 5_000_000
-# (degree, id) packing radix — vertex ids must stay below this
-_PACK = 1 << 20
+# (degree, id) packing radix — vertex ids must stay below this.
+# 1<<32 (ADVICE r09: 1<<20 silently collided just past SF100's 1M
+# suppkeys): ids < 2^31 and degrees < 2^31 keep every packed key —
+# d·2^32 + id and id1·2^32 + id2 — inside a signed 64-bit long, and
+# the query RAISES if the materialized edge set ever exceeds the
+# radix instead of corrupting counts.
+_PACK = 1 << 32
 
 _TRIANGLE_SQL = """
 WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
@@ -505,7 +510,18 @@ def graph_triangle_count(spark, sf_dir):
     # degree-frame lesson, PINNED.md); on a cluster this is the
     # persisted edge table ensure_edge_table builds
     edges = edges.localCheckpoint(eager=True)
-    ecnt = edges.count()
+    # one job yields BOTH the broadcast-gate count and the radix
+    # guard: ids at/above _PACK would silently collide packed keys,
+    # so fail loudly instead (ADVICE r09)
+    _e = edges.agg(
+        F.count("*").alias("n"), F.max(F.greatest("u", "v")).alias("maxid")
+    ).first()
+    ecnt = _e["n"]
+    if _e["maxid"] is not None and _e["maxid"] >= _PACK:
+        raise ValueError(
+            f"graph_triangle_count: vertex id {_e['maxid']} exceeds the "
+            f"(degree,id) packing radix {_PACK}; widen _PACK"
+        )
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
@@ -514,10 +530,9 @@ def graph_triangle_count(spark, sf_dir):
     )
     # orient by (degree, id): src = smaller endpoint under that
     # order.  The (degree, id) order PACKS into one long — kt =
-    # dt·2^20 + t (vertex ids < 2^20, the suppkey range by orders of
-    # magnitude) — so the hot wedge comparison is a single long
-    # compare instead of a struct compare, and the closing-edge join
-    # key packs the same way.
+    # dt·_PACK + t (vertex ids < _PACK, guarded above) — so the hot
+    # wedge comparison is a single long compare instead of a struct
+    # compare, and the closing-edge join key packs the same way.
     ed = (
         edges.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
         .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")

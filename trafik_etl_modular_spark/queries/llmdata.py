@@ -3299,8 +3299,12 @@ def curation_pipeline_v3(spark, sf_dir):
     # corpus ONCE instead of re-running the fold on every plan leg
     # that reads `kept` (the sketch side and the dedup side both do).
     # At lake scale this is the persisted post-gate corpus between
-    # pipeline stages.
-    kept = fan_out(docs).filter(quality_keep("text")).localCheckpoint(eager=False)
+    # pipeline stages.  pin() upgrades to a reliable-storage
+    # checkpoint when spark.graft.checkpoint.dir is set
+    # (operators/pinning.py, verdict r09 ask #5).
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    kept = pin(fan_out(docs).filter(quality_keep("text")), eager=False)
     pairs = minhash_near_dups(kept, threshold=0.6, max_bucket_size=1000)
     cc = connected_components(pairs, "id_a", "id_b", n_partitions=8)
     dupes = cc.filter(F.col("id") != F.col("label")).select(

@@ -57,6 +57,49 @@ def _bloom_m(n_corpus: int) -> int:
     return max(64, BLOOM_BITS_PER_KEY * n_corpus)
 
 
+# Lane-parameterized builders (verdict r09 ask #4): the registered
+# queries below call these with the default neutral (md5) lane so the
+# DuckDB oracle can rebuild the whole sketch; production pipelines
+# pass lane="xxhash64" for the cheaper Spark-native hash — SAME plan
+# shape, certified by tests/test_hash_lanes.py across all three
+# sketch families.
+
+
+def bloom_lanes(m: int, lane: str = "neutral", text_col: str = "text"):
+    """k=BLOOM_K double-hashed bit positions (Kirsch–Mitzenmacher)."""
+    h1, h2 = nhash(text_col, "b1", lane), nhash(text_col, "b2", lane)
+    return F.array(*[((h1 + F.lit(i) * h2) % m) for i in range(BLOOM_K)])
+
+
+def bloom_word_table(pos_df: DataFrame, pos_col: str = "p") -> DataFrame:
+    """Pack exploded bit positions into the bit_or-mergeable word
+    table (m/32 rows) — ONE reduce keyed by word index."""
+    return (
+        pos_df.select(
+            (F.col(pos_col) / 32).cast("bigint").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({pos_col} % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("w"))
+    )
+
+
+def cms_cell_for(j_col, uid_col, lane: str = "neutral"):
+    """Lane-j CMS cell index for a key column (d-way CASE)."""
+    c = None
+    for j in range(CMS_DEPTH):
+        expr = nhash(uid_col, f"c{j}", lane) % CMS_WIDTH
+        c = F.when(j_col == j, expr) if c is None else c.when(j_col == j, expr)
+    return c
+
+
+def kmv_hash(uid_col, lane: str = "neutral"):
+    """The KMV sketch's single hash lane."""
+    return nhash(uid_col, "kmv", lane)
+
+
 _BLOOM_BATCH_SQL = """
 corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
 batch_raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
@@ -155,18 +198,11 @@ def dedup_bloom_prefilter(spark, sf_dir) -> DataFrame:
     )
 
     m = _bloom_m(corpus.count())
-    h1, h2 = nhash("text", "b1"), nhash("text", "b2")
-    lanes = F.array(*[((h1 + F.lit(i) * h2) % m) for i in range(BLOOM_K)])
+    lanes = bloom_lanes(m)
 
-    words = (
-        corpus.select(F.explode(lanes).alias("pos"))
-        .select(
-            (F.col("pos") / 32).cast("bigint").alias("word_idx"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
-        )
-        .groupBy("word_idx")
-        .agg(F.bit_or("mask").alias("word"))
-    )
+    words = bloom_word_table(
+        corpus.select(F.explode(lanes).alias("pos")), pos_col="pos"
+    ).withColumnRenamed("w", "word")
 
     probe = batch.select("doc_id", F.md5("text").alias("bh"), F.explode(lanes).alias("pos"))
     probe = probe.select(
@@ -287,20 +323,13 @@ def agg_cms_heavy_hitters(spark, sf_dir) -> DataFrame:
     # big side)
     lanes_arr = F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
 
-    def cell_for(j_col, uid_col):
-        c = None
-        for j in range(CMS_DEPTH):
-            expr = nhash(uid_col, f"c{j}") % CMS_WIDTH
-            c = F.when(j_col == j, expr) if c is None else c.when(j_col == j, expr)
-        return c
-
     keyed = ev.select(
         "user_id", F.to_date("ts").alias("day"), F.explode(lanes_arr).alias("j")
     ).select(
         "user_id",
         "day",
         "j",
-        cell_for(F.col("j"), F.col("user_id")).alias("cell"),
+        cms_cell_for(F.col("j"), F.col("user_id")).alias("cell"),
     )
     daily = keyed.groupBy("day", "j", "cell").agg(F.count("*").cast("bigint").alias("c"))
     merged = daily.groupBy("j", "cell").agg(F.sum("c").cast("bigint").alias("c"))
@@ -318,7 +347,7 @@ def agg_cms_heavy_hitters(spark, sf_dir) -> DataFrame:
         "user_id",
         "exact_n",
         "j",
-        cell_for(F.col("j"), F.col("user_id")).alias("cell"),
+        cms_cell_for(F.col("j"), F.col("user_id")).alias("cell"),
     )
     est = (
         probes.join(merged.withColumnRenamed("c", "mc"), ["j", "cell"])
@@ -454,7 +483,7 @@ def agg_kmv_distinct_jaccard(spark, sf_dir) -> DataFrame:
     numerator, integer h_k)."""
     ev = t(spark, sf_dir, "events")
     uh = ev.select("event_type", "user_id").distinct().select(
-        "event_type", "user_id", nhash("user_id", "kmv").alias("h")
+        "event_type", "user_id", kmv_hash("user_id").alias("h")
     )
     dh = uh.select("event_type", "h").distinct()
     w = Window.partitionBy("event_type").orderBy("h")
@@ -631,26 +660,15 @@ def dedup_bloom_append(spark, sf_dir) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "text")
     m = _bloom_m(corpus.count())
-    h1, h2 = nhash("text", "b1"), nhash("text", "b2")
-    lanes = F.array(*[((h1 + F.lit(i) * h2) % m) for i in range(BLOOM_K)])
+    lanes = bloom_lanes(m)
     pos = corpus.select("doc_id", F.explode(lanes).alias("p"))
 
-    def build(df):
-        return (
-            df.select(
-                (F.col("p") / 32).cast("bigint").alias("word_idx"),
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("mask"),
-            )
-            .groupBy("word_idx")
-            .agg(F.bit_or("mask").alias("w"))
-        )
-
-    words_base = build(pos.where(F.col("doc_id") % 10 <= 4))
-    words_delta = build(pos.where(F.col("doc_id") % 10 >= 5))
+    words_base = bloom_word_table(pos.where(F.col("doc_id") % 10 <= 4))
+    words_delta = bloom_word_table(pos.where(F.col("doc_id") % 10 >= 5))
     merged = (
         words_base.unionAll(words_delta).groupBy("word_idx").agg(F.bit_or("w").alias("w"))
     )
-    full_build = build(pos)
+    full_build = bloom_word_table(pos)
     out = (
         full_build.withColumnRenamed("w", "fw")
         .join(merged.withColumnRenamed("w", "mw"), "word_idx", "left")

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from trafik_etl_modular_spark.functions.neutral_hash import nhash, oracle_nhash
+from trafik_etl_modular_spark.operators.pinning import pin
 from trafik_etl_modular_spark.queries.common import t
 from trafik_etl_modular_spark.registry import query
 
@@ -139,8 +140,11 @@ def join_spatial_neighbor_pairs(spark, sf_dir) -> DataFrame:
     )
     # the pair frame feeds TWO legs (total count + top-100); pin it
     # lazily so the candidate join runs once, not per leg (interleaved
-    # A/B at sf0.1: 5.0 s two-pass vs 3.3 s pinned — PINNED.md)
-    pairs = pairs.localCheckpoint(eager=False)
+    # A/B at sf0.1: 5.0 s two-pass vs 3.3 s pinned — PINNED.md).
+    # pin() = localCheckpoint locally; set spark.graft.checkpoint.dir
+    # on a cluster for a reliable-storage checkpoint that survives
+    # executor loss (operators/pinning.py, verdict r09 ask #5)
+    pairs = pin(pairs, eager=False)
     # total via a parallel aggregate + 1-row cross join — a global
     # window would move every pair to one partition just to count
     total = pairs.agg(F.count("*").cast("bigint").alias("n_pairs_total"))

@@ -84,93 +84,82 @@ _QUERY_MODULES = [
 # window (a pytest asserts registry[0:50] == DRIVER_WINDOW).  Every
 # name here is oracle-bearing.
 #
-# Round-9 rotation (verdict r08 ask #1; ADVICE r08 item 4), revised
-# mid-round when the second round-9 batch landed 8 more queries.
-# With N=201 registered, the dynamic staleness cycle is now
-# max(4, ceil(201/50)) = 5 rounds — the exact relaxation the cycle
-# formula exists for (a 50-slot window cannot cover >200 queries on
-# a 4-round cadence).  Slots:
-#   * 26 of the 38 r05-stamped queries (the other 12 — the sample_*
-#     quartet, the scd2 pair, the vocab pair, the events_* cohort
-#     pair, dq_histogram_value, inc_daily_trend_gapfill — stay
-#     r05-stamped, which the 5-round cycle permits; they are round
-#     10's FORCED rotation: `python tools/stamps.py --plan-next`
-#     prints the exact obligation);
-#   * 7 queries whose FUNCTION OR ORACLE changed since their newest
-#     stamp (r8 diff: curation_pipeline_v5 decimal snap,
-#     running-revenue window-order totalization, trimmed-mean oracle
-#     rewrite; r9 diff: pagerank decimal hardening, probe qvec
-#     row-filtered fetch, _QDOT dim derivation) — enforced by
-#     tests/test_contract.py::test_nonwindow_queries_unchanged_since_stamp
-#     against tools/stamped_hashes.json;
-#   * all 17 never-stamped queries: the five from the first round-9
-#     batch (IVF compaction, perceptual + incremental media dedup,
-#     IVF-PQ probe + recall), the eight from the second (URL
-#     canonical dedup, host policy, Benford, spatial grid join,
-#     triangle count, Bloom prefilter, CMS, KMV), and the four from
-#     the third (join IVM, CDC tombstones, Bloom append, spatial
-#     probe-panel kNN).
-# NOTE for round 10 (latest=r09, cycle 5 ⇒ forcing edge r05): the 12
-# deferred r05 queries above are mandatory; begin pre-rotating the
-# 49-query r06 cohort with the remaining slots so round 11 (when r06
-# hits the forcing edge) still has room for its own new queries.
+# Round-10 rotation (verdict r09 asks #1 and #2).  The rotation
+# cadence is now TIERED — the structural relief the r09 verdict asked
+# for: with N>200 a single staleness cycle made round 11 owe 61
+# mandatory slots in a 50-slot window.  The tier math lives in ONE
+# place, tools/stamps.py: ACTIVE queries (<= 1 lifetime driver-green
+# stamp) rotate on the base cycle max(4, ceil(N/50)); MATURE queries
+# (>= 2 lifetime stamps in distinct rounds, semantically unchanged
+# per tools/stamped_hashes.json) rotate on 2x base.  Never-stamped
+# and changed-since-stamp queries always enter the next window.
+# `python tools/stamps.py --plan-next` prints each round's exact
+# obligation; tests/test_contract.py::test_window_covers_stale_stamps
+# enforces it from the same module.  Under the tiers, this round's
+# obligation: the 11 single-stamp r05 queries (forced now) plus the
+# 14 single-stamp r06 queries (forced at r11 — pre-rotated here so
+# round 11 keeps ~35 free slots for its own additions).
 DRIVER_WINDOW: list[str] = [
-    # --- entire r05-stamped cohort (stale once r09 ledger lands) ------
-    "dedup_simhash_candidates",
-    "dedup_snapshot_diff",
-    "dq_outlier_report",
-    "dq_table_fingerprint",
-    "filter_dashboard_pipeline",
-    "inc_geo_imputation",
-    "inc_kpi_counts",
-    "inc_normalize",
-    "join_anti_customers_no_urgent_orders",
-    "join_bucketed_colocated",
-    "join_interval_overlap",
-    "join_scd2_asof_lookup",
-    "join_semi_customers_with_big_orders",
-    "multimodal_dedup_exact",
-    "multimodal_extract_features",
-    "sim_ann_ivf_build",
-    "sim_centroids_by_label",
-    "sim_hard_negatives",
-    "source_schema_evolution_scan",
-    "streaming_incremental_dedup",
-    "streaming_interval_join_full_outer",
-    "streaming_scd2_enrich",
-    "text_gopher_rules",
-    "text_quality_classifier",
-    "tpch_q1_pricing_summary",
-    "window_time_rolling_1h",
-    # --- changed since newest stamp (r8/r9 diffs) ---------------------
-    "curation_pipeline_v5",
-    "window_running_revenue_per_supplier",
-    "text_trimmed_mean_tokens",
-    "graph_pagerank_3iter",
-    "sim_ann_ivf_probe",
-    "sim_ann_ivf_quantized_probe",
-    "sim_quantized_recall",
-    # --- never-stamped: round-9 first batch ----------------------------
-    "sim_ann_ivf_pq_probe",
-    "sim_pq_recall",
-    "multimodal_dedup_incremental",
-    "sim_ivf_compact",
-    "multimodal_dedup_perceptual",
-    # --- never-stamped: round-9 second batch ---------------------------
-    "dedup_url_canonical",
-    "text_host_quality_policy",
-    "dq_benford_digit_test",
-    "join_spatial_neighbor_pairs",
+    # --- forced: single-stamp r05 cohort (deadline r10) ---------------
+    "scd2_history",
+    "scd2_incremental_merge",
+    "events_funnel_stages",
+    "events_cohort_retention",
+    "sample_exact_quota_split",
+    "sample_temperature_mix",
+    "sample_contrastive_triples",
+    "sample_curriculum_phases",
+    "vocab_coverage_curve",
+    "vocab_bpe_merge_candidates",
+    "dq_histogram_value",
+    # --- pre-rotation: single-stamp r06 cohort (deadline r11) ---------
+    "agg_approx_distinct_users",
+    "agg_approx_percentile_value",
+    "agg_distinct_overlap_matrix",
+    "agg_hll_mergeable_rollup",
+    "curation_pipeline_v3",
+    "curation_pipeline_v6",
+    "dedup_chunk_crossdoc",
+    "dq_drift_report",
+    "sim_ann_recall_report",
+    "source_file_provenance",
+    "text_bigram_lm_score",
+    "text_novelty_curve",
+    "text_unigram_lm_score",
+    "window_cumulative_distinct_users",
+    # --- changed this round (hash-manifest rule): triangle radix
+    # guard (ADVICE r09), spatial + curation-v3 reliable-checkpoint
+    # option (verdict ask #5; v3 sits in the pre-rotation block
+    # above), sketch-family lane-parameterized builders (verdict ask
+    # #4) --------------------------------------------------------------
     "graph_triangle_count",
+    "join_spatial_neighbor_pairs",
     "dedup_bloom_prefilter",
+    "dedup_bloom_append",
     "agg_cms_heavy_hitters",
     "agg_kmv_distinct_jaccard",
-    # --- never-stamped: round-9 third batch (join IVM + CDC deletes,
-    # Bloom append mergeability) --------------------------------------
-    "merge_join_ivm",
-    "merge_cdc_apply_tombstones",
-    "dedup_bloom_append",
-    "join_spatial_knn_probes",
+    # --- fill: soonest tier-aware deadline first (single-stamp r07 /
+    # r08 actives).  New round-10 queries evict from the BOTTOM of
+    # this block as they land (never-stamped rule outranks fill). ----
+    "dedup_containment_pairs",
+    "dedup_golden_record",
+    "dq_mad_outliers",
+    "events_hourly_locf",
+    "graph_bfs_3hop",
+    "inc_nearest_center",
+    "join_nearest_click_tolerance",
+    "sim_rank_fusion_rrf",
+    "window_ntile_cume_dist",
+    "dedup_lsh_calibration",
+    "dedup_simhash_calibration",
+    "dq_embedding_profile",
+    "sim_ivf_incremental_append",
+    "sim_ivf_retrain_reassignment",
+    "inc_daily_trend_gapfill",
+    "agg_cube_flag_status",
+    "agg_exact_median_iqr",
+    "agg_pivot_linestatus",
+    "agg_rollup_daily_type",
 ]
 
 

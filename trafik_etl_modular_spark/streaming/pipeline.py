@@ -564,7 +564,11 @@ def joined_then_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("n_attributed") > 0)
 
 
-def upsert_sink_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+def upsert_sink_run(
+    spark: SparkSession,
+    sf_dir: str,
+    listener=None,
+) -> DataFrame:
     """foreachBatch keyed upsert: every micro-batch MERGEs into the
     accumulated state with latest-wins on (entity_id) — the
     pure-relational form of `foreachBatch + MERGE INTO` (S6).
@@ -572,6 +576,16 @@ def upsert_sink_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     State is held as a per-run temp view ("the table"); on a
     lakehouse the body of `apply_batch` is a Delta MERGE with the
     identical join condition.
+
+    ``listener`` (verdict r09 ask #6): an
+    :class:`~trafik_etl_modular_spark.streaming.observability.MetricsListener`
+    to attach for THIS run — its ``check_row_volume`` band then fires
+    per MICRO-BATCH on the upsert, the streaming form of the
+    reference's per-run Slack volume guard (reference
+    src/cli.py:20-21,94-99).  The listener is registered before the
+    query starts and removed after its terminated event is observed
+    (listener delivery is async), so callers can assert on
+    ``listener.events`` deterministically.
     """
     state: dict[str, DataFrame] = {}
 
@@ -596,15 +610,36 @@ def upsert_sink_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["table"] = latest_per_entity(merged).localCheckpoint(eager=True)
 
     ev = read_events_stream(spark, sf_dir)
-    q = (
-        ev.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
+    if listener is not None:
+        spark.streams.addListener(listener)
     try:
-        q.awaitTermination()
+        q = (
+            ev.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        if listener is not None:
+            # listener events are delivered async on a separate bus
+            # thread — wait for this query's terminated event so the
+            # caller sees a complete, stable event log
+            import time as _time
+
+            deadline = _time.time() + 15
+            while _time.time() < deadline:
+                if any(
+                    e.get("stage") == "terminated"
+                    and e.get("query_id") == str(q.id)
+                    for e in getattr(listener, "events", [])
+                ):
+                    break
+                _time.sleep(0.2)
     finally:
-        q.stop()
+        if listener is not None:
+            spark.streams.removeListener(listener)
     return state["table"].orderBy("entity_id")
 
 
