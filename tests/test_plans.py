@@ -481,6 +481,12 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # 5×5 type-pair build + 10-row pair panel against the k·|types|
         # sketch rows — sketch-sized sides only, never raw events
         "agg_kmv_distinct_jaccard",
+        # 1-row (N, total-tokens) corpus-constant broadcast onto the
+        # posting join (the BM25 normalizers)
+        "text_bm25_topk",
+        "text_bm25_maxscore_prune",
+        # 1-row corpus-total certificate joined onto the 8-row manifest
+        "sample_shuffle_shards",
     }
     bad = []
     for name in sorted(REGISTRY):

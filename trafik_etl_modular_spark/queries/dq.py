@@ -797,3 +797,74 @@ def dq_benford_digit_test(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition anomaly report (day-of-week baseline)
+# ---------------------------------------------------------------------------
+
+_SEASONAL_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+keyed AS (
+  SELECT day, n,
+         CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow
+  FROM daily
+),
+baseline AS (
+  SELECT dow,
+         CAST((SUM(n) * 1000000) // COUNT(*) AS BIGINT) AS baseline_e6,
+         CAST(COUNT(*) AS BIGINT) AS n_days_dow
+  FROM keyed GROUP BY dow
+)
+SELECT k.day, k.dow, k.n, b.n_days_dow, b.baseline_e6,
+       CAST(k.n * 1000000 - b.baseline_e6 AS BIGINT) AS residual_e6,
+       (abs(k.n * 1000000 - b.baseline_e6) * 2 > b.baseline_e6) AS is_anomaly
+FROM keyed k JOIN baseline b ON b.dow = k.dow
+ORDER BY k.day
+"""
+
+
+@query("dq_seasonal_decompose", sql=_SEASONAL_SQL, tags=("quality", "agg", "timeseries"))
+def dq_seasonal_decompose(spark, sf_dir):
+    """Seasonal-baseline anomaly report over the daily event volume:
+    decompose each day's count into a DAY-OF-WEEK baseline (the mean
+    daily count for that weekday, e6-scaled exact integer division)
+    plus a residual, and flag days whose residual exceeds ±50% of
+    their weekday's own baseline.  Weekly periodicity is the dominant
+    seasonality in event telemetry; a flat global band (the
+    etl_job/`check_row_volume` guard, reference cli.py:20-21) false-
+    alarms every weekend when traffic has weekly shape — this report
+    is the seasonal form of the same plausibility guard.
+
+    Cross-engine notes: day-of-week is computed as epoch-day mod 7
+    (Spark's dayofweek() is 1-based Sunday, DuckDB's 0-based — the
+    neutral arithmetic sidesteps the convention mismatch), and the
+    baseline is an exact integer division, never a float mean.
+
+    Scale: one hash aggregation events→daily (the only shuffle that
+    sees data), then a 7-row baseline broadcast back onto ~days rows."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    keyed = daily.withColumn(
+        "dow", (F.datediff("day", F.lit("1970-01-01")) % 7).cast("bigint")
+    )
+    baseline = keyed.groupBy("dow").agg(
+        F.expr("CAST((sum(n) * 1000000) div count(*) AS BIGINT)").alias("baseline_e6"),
+        F.count("*").cast("bigint").alias("n_days_dow"),
+    )
+    out = keyed.join(F.broadcast(baseline), "dow")
+    resid = (F.col("n") * F.lit(1000000) - F.col("baseline_e6")).cast("bigint")
+    return out.select(
+        "day",
+        "dow",
+        "n",
+        "n_days_dow",
+        "baseline_e6",
+        resid.alias("residual_e6"),
+        (F.abs(resid) * 2 > F.col("baseline_e6")).alias("is_anomaly"),
+    ).orderBy("day")

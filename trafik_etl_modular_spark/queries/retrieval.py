@@ -1,0 +1,282 @@
+"""Full-text retrieval over the documents corpus: BM25 ranking on a
+distributed inverted index, plus the MaxScore pruning certificate
+that makes top-k retrieval sublinear at scale.
+
+A training-data pipeline needs retrieval for decontamination lookups,
+deduplication triage, and eval-set mining; the engine's existing
+TF-IDF pair scoring (queries/llmdata.py) covers document-document
+similarity, while this module adds the QUERY-side shape: a fixed
+query panel ranked against the corpus through posting-list joins.
+
+Scoring is BM25 (Robertson & Spärck Jones lineage; k1 = 1.2,
+b = 0.75) with one deliberate substitution: the log-idf is replaced
+by its RATIONAL core idf = (N − df + ½)/(df + ½) — the engine's
+float-hazard rule (SCALE.md round-9 audit) bans ln/pow/exp on oracle
+surfaces because they are not IEEE-correctly-rounded and can diverge
+between engines in the last ulp.  With the rational idf the whole
+score folds into exact 64-bit integer arithmetic:
+
+    idf_e6(t)    = (2·(N − df) + 1) · 10^6  div  (2·df + 1)
+    tfpart_e3    = 22·tf·T·10^3  div  (10·tf·T + 3·T + 9·dl·N)
+                   (the k1/b constants folded over common denominator
+                    10·T, where T = total corpus tokens, dl = doc
+                    length; tfpart < 2.2 strictly)
+    contrib_e6   = idf_e6 · tfpart_e3  div  10^3
+    score_e6     = Σ_t contrib_e6      (exact BIGINT in both engines)
+
+Monotone in tf, anti-monotone in df and dl — the BM25 shape — and
+every division is a positive integer floor both engines implement
+identically (`div` / `//`).  Magnitudes stay inside signed 64 bits
+to beyond 10^9 documents (largest intermediate: 22·tf·T·10^3).
+
+Scale design: tokenize → (doc, term, tf) is one map + one hash
+aggregation; df and doc-length are further aggregations of the same
+frame; the query panel is a handful of rows BROADCAST to the posting
+join, so candidate volume is Σ_t df(t) over query terms — posting-
+list-bounded, never corpus-scan-per-query; corpus constants (N, T)
+ride a 1-row broadcast.  The MaxScore query adds the standard serving
+optimization on top (Turtle & Flood 1995, public literature): a
+per-term score ceiling prunes candidates whose ceilings cannot reach
+the running top-k floor — certified here against the exhaustive
+ranking the oracle recomputes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trafik_etl_modular_spark.queries.common import t
+from trafik_etl_modular_spark.registry import query
+
+TOP_K = 5
+
+# Fixed deterministic query panel — every term is in the fixture
+# vocabulary, so all query terms carry postings at every SF.
+PANEL: list[tuple[int, str]] = [
+    (1, "spark window agg"),
+    (2, "fast table scan"),
+    (3, "hash join merge"),
+    (4, "stream batch data"),
+    (5, "vector sort filter"),
+]
+
+_PANEL_SQL = ", ".join(f"({i}, '{s}')" for i, s in PANEL)
+
+# Shared relational prefix: corpus tokenization, postings, lengths,
+# corpus constants, df, panel expansion, exact per-(query, doc)
+# scores.  Kept textually identical between the two oracles so both
+# verify the same index pipeline.
+_BM25_CTE = f"""
+toks AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+terms AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, w
+),
+dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tok
+  FROM dlen
+),
+dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM terms GROUP BY w),
+panel(query_id, query_text) AS (VALUES {_PANEL_SQL}),
+qterms AS (
+  SELECT query_id, unnest(string_split(query_text, ' ')) AS w FROM panel
+),
+contrib AS (
+  SELECT q.query_id, t2.doc_id,
+         (((2 * (s.n_docs - d.df) + 1) * 1000000) // (2 * d.df + 1))
+           * ((22 * t2.tf * s.total_tok * 1000)
+              // (10 * t2.tf * s.total_tok + 3 * s.total_tok + 9 * l.dl * s.n_docs))
+           // 1000 AS c,
+         ((2 * (s.n_docs - d.df) + 1) * 1000000) // (2 * d.df + 1) AS idf_e6
+  FROM qterms q
+  JOIN dfreq d ON d.w = q.w
+  JOIN terms t2 ON t2.w = q.w
+  JOIN dlen l ON l.doc_id = t2.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(c) AS BIGINT) AS score_e6,
+         CAST(COUNT(*) AS BIGINT) AS n_matched,
+         CAST(SUM((idf_e6 * 2200) // 1000) AS BIGINT) AS ub_e6
+  FROM contrib GROUP BY query_id, doc_id
+)
+"""
+
+_BM25_TOPK_SQL = f"""
+WITH {_BM25_CTE},
+ranked AS (
+  SELECT query_id, doc_id, n_matched, score_e6,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score_e6 DESC, doc_id
+         ) AS INTEGER) AS rk
+  FROM scores
+)
+SELECT r.query_id, p.query_text, r.rk, r.doc_id, r.n_matched, r.score_e6
+FROM ranked r JOIN panel p ON p.query_id = r.query_id
+WHERE r.rk <= {TOP_K}
+ORDER BY r.query_id, r.rk
+"""
+
+
+def _bm25_scores(spark, sf_dir) -> DataFrame:
+    """(query_id, doc_id, score_e6, n_matched, ub_e6) — the exact
+    BM25 scores plus the MaxScore upper bound, Spark mirror of the
+    ``scores`` CTE above."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    terms = toks.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
+    dlen = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    stats = dlen.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tok"),
+    )
+    dfreq = terms.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+
+    panel = spark.createDataFrame(PANEL, "query_id int, query_text string")
+    qterms = panel.select(
+        "query_id", F.explode(F.split("query_text", " ")).alias("w")
+    )
+    # panel and df-per-query-term are tiny — broadcast both, so the
+    # only shuffle on the hot path is the postings aggregation itself
+    cand = (
+        terms.join(F.broadcast(qterms.join(dfreq, "w")), "w")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf_e6 = F.expr("((2 * (n_docs - df) + 1) * 1000000) div (2 * df + 1)")
+    tfpart_e3 = F.expr(
+        "(22 * tf * total_tok * 1000)"
+        " div (10 * tf * total_tok + 3 * total_tok + 9 * dl * n_docs)"
+    )
+    contrib = cand.select(
+        "query_id",
+        "doc_id",
+        (idf_e6 * tfpart_e3).alias("_prod"),
+        idf_e6.alias("idf_e6"),
+    ).select(
+        "query_id",
+        "doc_id",
+        F.expr("_prod div 1000").cast("bigint").alias("c"),
+        F.expr("(idf_e6 * 2200) div 1000").cast("bigint").alias("u"),
+    )
+    return contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("score_e6"),
+        F.count("*").cast("bigint").alias("n_matched"),
+        F.sum("u").cast("bigint").alias("ub_e6"),
+    )
+
+
+@query("text_bm25_topk", sql=_BM25_TOPK_SQL, tags=("retrieval", "text"))
+def text_bm25_topk(spark, sf_dir) -> DataFrame:
+    """Top-5 BM25 results per panel query over a distributed inverted
+    index (module doc: rational-idf BM25, exact integer scoring).
+
+    Plan: postings (doc, term, tf) built by one hash aggregation;
+    query terms + per-term df broadcast into the posting join, so
+    per-query candidate volume is Σ df(t) — the posting lists, never
+    the corpus; per-query top-k via row_number over a partition the
+    size of the candidate set.  The oracle rebuilds index, scores,
+    and ranking from the raw text."""
+    scores = _bm25_scores(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_e6"), "doc_id")
+    ranked = scores.withColumn("rk", F.row_number().over(w).cast("int")).where(
+        F.col("rk") <= TOP_K
+    )
+    panel = F.broadcast(
+        spark.createDataFrame(PANEL, "query_id int, query_text string")
+    )
+    return ranked.join(panel, "query_id").select(
+        "query_id", "query_text", "rk", "doc_id", "n_matched", "score_e6"
+    ).orderBy("query_id", "rk")
+
+
+_BM25_PRUNE_SQL = f"""
+WITH {_BM25_CTE},
+ranked AS (
+  SELECT query_id, doc_id, score_e6, ub_e6,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score_e6 DESC, doc_id
+         ) AS rk
+  FROM scores
+),
+kth AS (
+  SELECT query_id, CAST(MIN(score_e6) AS BIGINT) AS kth_score_e6
+  FROM ranked WHERE rk <= {TOP_K} GROUP BY query_id
+)
+SELECT r.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       ANY_VALUE(k.kth_score_e6) AS kth_score_e6,
+       CAST(SUM(CASE WHEN r.ub_e6 < k.kth_score_e6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_prunable,
+       CAST((SUM(CASE WHEN r.ub_e6 < k.kth_score_e6 THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS prune_ratio_e6,
+       (SUM(CASE WHEN r.ub_e6 < k.kth_score_e6
+                  AND r.score_e6 >= k.kth_score_e6 THEN 1 ELSE 0 END) = 0)
+         AS prune_safe
+FROM ranked r JOIN kth k ON k.query_id = r.query_id
+GROUP BY r.query_id
+ORDER BY r.query_id
+"""
+
+
+@query("text_bm25_maxscore_prune", sql=_BM25_PRUNE_SQL, tags=("retrieval", "text"))
+def text_bm25_maxscore_prune(spark, sf_dir) -> DataFrame:
+    """MaxScore pruning certificate for BM25 top-k (Turtle & Flood
+    1995): each term carries a score CEILING — idf_e6 · 2.2, the
+    strict supremum of the tf-part — and any candidate whose summed
+    matched-term ceilings stay below the exact kth score can be
+    skipped without changing the top-k.  Emits, per query: candidate
+    count, the kth score, how many candidates the ceiling test prunes,
+    the prune ratio (e6), and `prune_safe` — the oracle-recomputed
+    proof that NO pruned candidate actually belonged in the top-k
+    (structurally true because score ≤ ub per term and floor is
+    monotone; the certificate notarizes the implementation, the same
+    pattern as the Bloom `no_false_negative` and CMS
+    `never_undercounts` columns).
+
+    At serving scale this is the difference between scoring every
+    posting and scoring ~the top lists only: the pruned fraction is
+    exactly the work a document-at-a-time MaxScore traversal skips."""
+    scores = _bm25_scores(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_e6"), "doc_id")
+    ranked = scores.withColumn("rk", F.row_number().over(w))
+    kth = (
+        ranked.where(F.col("rk") <= TOP_K)
+        .groupBy("query_id")
+        .agg(F.min("score_e6").cast("bigint").alias("kth_score_e6"))
+    )
+    j = ranked.join(F.broadcast(kth), "query_id")
+    pruned = F.when(F.col("ub_e6") < F.col("kth_score_e6"), 1).otherwise(0)
+    unsafe = F.when(
+        (F.col("ub_e6") < F.col("kth_score_e6"))
+        & (F.col("score_e6") >= F.col("kth_score_e6")),
+        1,
+    ).otherwise(0)
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.any_value("kth_score_e6").alias("kth_score_e6"),
+            F.sum(pruned).cast("bigint").alias("n_prunable"),
+            F.sum(unsafe).cast("bigint").alias("_n_unsafe"),
+        )
+        .select(
+            "query_id",
+            "n_candidates",
+            "kth_score_e6",
+            "n_prunable",
+            F.expr("(n_prunable * 1000000) div n_candidates")
+            .cast("bigint")
+            .alias("prune_ratio_e6"),
+            (F.col("_n_unsafe") == 0).alias("prune_safe"),
+        )
+        .orderBy("query_id")
+    )

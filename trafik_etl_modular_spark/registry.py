@@ -74,6 +74,8 @@ _QUERY_MODULES = [
     "trafik_etl_modular_spark.queries.sketches",
     "trafik_etl_modular_spark.queries.spatial",
     "trafik_etl_modular_spark.queries.incremental_views",
+    "trafik_etl_modular_spark.queries.retrieval",
+    "trafik_etl_modular_spark.queries.training_prep",
 ]
 
 # The driver's correctness pass checks exactly the FIRST 50 queries in
@@ -155,11 +157,13 @@ DRIVER_WINDOW: list[str] = [
     "dq_embedding_profile",
     "sim_ivf_incremental_append",
     "sim_ivf_retrain_reassignment",
-    "inc_daily_trend_gapfill",
-    "agg_cube_flag_status",
-    "agg_exact_median_iqr",
-    "agg_pivot_linestatus",
-    "agg_rollup_daily_type",
+    # --- never-stamped: round-10 first batch (BM25 retrieval family,
+    # training shuffle/chunking, seasonal DQ) --------------------------
+    "text_bm25_topk",
+    "text_bm25_maxscore_prune",
+    "sample_shuffle_shards",
+    "text_chunk_windows",
+    "dq_seasonal_decompose",
 ]
 
 
