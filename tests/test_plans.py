@@ -487,6 +487,15 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "text_bm25_maxscore_prune",
         # 1-row corpus-total certificate joined onto the 8-row manifest
         "sample_shuffle_shards",
+        # 10-row pinned candidate pool × itself (the MMR pair grid) +
+        # per-step 1-row argmax frames — constant-size sides by
+        # construction, the corpus never enters a nested loop
+        "sim_mmr_rerank",
+        # panel × panel pair grid (every 50th vector) — panel-bounded,
+        # the projection itself is map-side
+        "sim_random_projection_jl",
+        # 1-row community-count certificate joined onto the top-20
+        "graph_label_propagation",
     }
     bad = []
     for name in sorted(REGISTRY):

@@ -1,0 +1,120 @@
+"""Round-10 second batch: MMR re-ranking, JL random projection,
+label-propagation communities — each pinned against an independent
+driver-side model (the DuckDB oracle already checks cross-engine
+parity; these check the ALGORITHM against a from-scratch
+reimplementation)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from trafik_etl_modular_spark.registry import REGISTRY, _load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    _load_all()
+    return REGISTRY[name].fn
+
+
+def _embeddings():
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    return {r[0]: [float(x) for x in r[1]] for r in rows}
+
+
+def _cos(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(x * x for x in b) ** 0.5
+    return num / (na * nb)
+
+
+def test_mmr_matches_greedy_model(spark):
+    emb = _embeddings()
+    qv = emb[0]
+    rel = {i: _cos(v, qv) for i, v in emb.items() if i != 0}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:10]
+    selected = [min(pool, key=lambda i: (-rel[i], i))]
+    while len(selected) < 5:
+        best = None
+        for c in pool:
+            if c in selected:
+                continue
+            ms = max(_cos(emb[c], emb[s]) for s in selected)
+            mmr = 0.7 * rel[c] - 0.3 * ms
+            key = (-mmr, c)
+            if best is None or key < best[0]:
+                best = (key, c)
+        selected.append(best[1])
+
+    rows = _q("sim_mmr_rerank")(spark, SF).collect()
+    assert [r["vec_id"] for r in sorted(rows, key=lambda r: r["step"])] == selected
+    # diversification actually engaged: the greedy pick order differs
+    # from pure relevance order (else MMR degenerates on this corpus)
+    assert selected != pool[:5]
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    from trafik_etl_modular_spark.queries.llmdata import _RP_SIGNS
+
+    emb = _embeddings()
+    panel = {i: v for i, v in emb.items() if i % 50 == 0}
+    R = np.array(_RP_SIGNS, dtype=np.float64)  # (16, 64)
+    rows = _q("sim_random_projection_jl")(spark, SF).collect()
+    ids = sorted(panel)
+    want_pairs = [(a, b) for a in ids for b in ids if a < b]
+    assert [(r["id_a"], r["id_b"]) for r in rows] == want_pairs
+    for r in rows:
+        va, vb = np.array(panel[r["id_a"]]), np.array(panel[r["id_b"]])
+        d2o = float(((va - vb) ** 2).sum())
+        d2p = float(((R @ va - R @ vb) ** 2).sum())
+        # engine values are e9-quantized folds; numpy sums in a
+        # different order — compare loosely, the oracle pins exactness
+        assert abs(r["d2_orig_q"] - d2o) / d2o < 1e-6
+        assert abs(r["d2_proj_scaled_q"] - d2p / 16) / max(d2p / 16, 1e-9) < 1e-6
+        assert r["within_10x"]
+    # JL at d'=16: the panel's MEDIAN distortion should sit near 1
+    ds = sorted(r["distortion_q"] for r in rows)
+    assert 0.5 < ds[len(ds) // 2] < 2.0
+
+
+def test_label_propagation_matches_sync_model(spark):
+    edges = duckdb.sql(
+        f"""
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM '{SF}/orders.parquet' JOIN '{SF}/lineitem.parquet'
+          ON o_orderkey = l_orderkey
+        """
+    ).fetchall()
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    lbl = {x: x for x in adj}
+    for _ in range(3):
+        new = {}
+        for x, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for n in nbrs:
+                counts[lbl[n]] = counts.get(lbl[n], 0) + 1
+            new[x] = min(
+                counts, key=lambda c: (-counts[c], c)
+            )  # most frequent, smallest label ties
+        lbl = new
+    comms: dict[int, list[int]] = {}
+    for x, c in lbl.items():
+        comms.setdefault(c, []).append(x)
+    want = sorted(
+        ((c, len(m), min(m), max(m)) for c, m in comms.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+
+    rows = _q("graph_label_propagation")(spark, SF).collect()
+    got = [(r["community"], r["n_members"], r["min_member"], r["max_member"]) for r in rows]
+    assert got == want
+    assert all(r["n_communities"] == len(comms) for r in rows)

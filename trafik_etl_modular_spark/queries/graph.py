@@ -605,3 +605,123 @@ def graph_triangle_count(spark, sf_dir):
         .cast("bigint")
         .alias("transitivity_e9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (round 10)
+# ---------------------------------------------------------------------------
+
+# mode-packing radix for (count, label) argmax: labels must stay below
+# this (packed vertex ids are 2·key+1 — fine to ~4·10^9 source keys);
+# counts below 2^30 keep cnt·_LPA_M inside a signed long.
+_LPA_M = 1 << 33
+_LPA_ITERS = 3
+
+_LPA_ITER_SQL_TMPL = """
+c{k} AS (
+  SELECT ee.u AS id, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ee JOIN lab{prev} l ON l.id = ee.v
+  GROUP BY ee.u, l.lbl
+),
+lab{k} AS (
+  SELECT id,
+         CAST({M} - 1 - (MAX(cnt * {M} + ({M} - 1 - lbl)) % {M}) AS BIGINT) AS lbl
+  FROM c{k} GROUP BY id
+)
+"""
+
+
+def _lpa_sql() -> str:
+    iters = "".join(
+        "," + _LPA_ITER_SQL_TMPL.format(k=k, prev=k - 1, M=_LPA_M)
+        for k in range(1, _LPA_ITERS + 1)
+    )
+    return f"""
+WITH {_EDGE_SQL},
+lab0 AS (SELECT DISTINCT u AS id, u AS lbl FROM ee)
+{iters},
+comm AS (
+  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MIN(id) AS BIGINT) AS min_member,
+         CAST(MAX(id) AS BIGINT) AS max_member
+  FROM lab{_LPA_ITERS} GROUP BY lbl
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities FROM comm)
+SELECT c.lbl AS community, c.n_members, c.min_member, c.max_member, t.n_communities
+FROM comm c CROSS JOIN tot t
+ORDER BY c.n_members DESC, c.lbl
+LIMIT 20
+"""
+
+
+@query("graph_label_propagation", sql=_lpa_sql(), tags=("graph",))
+def graph_label_propagation(spark, sf_dir):
+    """Synchronous label propagation communities (Raghavan et al.
+    2007, public literature), 3 fixed iterations over the bipartite
+    purchase graph: every vertex adopts the most frequent label among
+    its neighbors, ties to the smallest label — made deterministic
+    AND single-aggregation by packing the (count, label) argmax into
+    one BIGINT: enc = cnt·M + (M−1−lbl), new label = M−1−(max(enc)
+    mod M).  Emits the 20 largest communities plus the community
+    count; the oracle re-runs all three iterations from the raw
+    edges.
+
+    Scale: each iteration is ONE equi-join (edges ⋈ labels on the
+    neighbor key) + one two-key hash aggregation — the classic
+    Pregel-in-SQL shape that parallelizes on the vertex key; the
+    label frame is cut per round (pin) so round k+1's plan hangs off
+    a materialized table, not round k's lineage (the BFS frontier
+    discipline).  Fixed iteration count keeps the plan static; a
+    convergence-driven variant would check the per-round label-change
+    count (one extra agg) and stop — same per-round plan."""
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    ee, _ = _edges_and_count(spark, sf_dir)
+    lab = ee.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    lab = pin(lab, eager=True)
+    for _k in range(_LPA_ITERS):
+        cnts = (
+            ee.join(lab.withColumnRenamed("id", "v"), "v")
+            .groupBy("u", "lbl")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        lab = (
+            cnts.groupBy("u")
+            .agg(
+                (
+                    F.lit(_LPA_M)
+                    - 1
+                    - (
+                        F.max(
+                            F.col("cnt") * F.lit(_LPA_M)
+                            + (F.lit(_LPA_M) - 1 - F.col("lbl"))
+                        )
+                        % F.lit(_LPA_M)
+                    )
+                )
+                .cast("bigint")
+                .alias("lbl")
+            )
+            .withColumnRenamed("u", "id")
+        )
+        lab = pin(lab, eager=True)
+    comm = lab.groupBy("lbl").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min("id").cast("bigint").alias("min_member"),
+        F.max("id").cast("bigint").alias("max_member"),
+    )
+    tot = comm.agg(F.count("*").cast("bigint").alias("n_communities"))
+    return (
+        comm.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("lbl").alias("community"),
+            "n_members",
+            "min_member",
+            "max_member",
+            "n_communities",
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )

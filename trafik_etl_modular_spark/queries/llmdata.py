@@ -5745,3 +5745,307 @@ def text_novelty_curve(spark, sf_dir):
         )
         .withColumn("novelty_e9", F.expr("(n_novel * 1000000000) DIV n_shingles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (round 10)
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 10
+_MMR_K = 5
+# λ = 0.7 relevance / 0.3 diversity — both literals parse to the same
+# IEEE double in both engines; every score expression is evaluated in
+# the identical order, so the greedy argmax picks the same row.
+
+_MMR_STEP_SQL_TMPL = """
+s{k} AS (
+  SELECT c.vec_id, c.rel,
+         CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * mx.max_sim AS mmr,
+         mx.max_sim, {k} AS step
+  FROM cand c
+  JOIN (SELECT p.ia AS vec_id, MAX(p.sim) AS max_sim
+        FROM pairsim p JOIN sel{prev} s ON p.ib = s.vec_id GROUP BY p.ia) mx
+    ON mx.vec_id = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{prev})
+  ORDER BY mmr DESC, c.vec_id LIMIT 1
+),
+sel{k} AS (SELECT vec_id FROM sel{prev} UNION ALL SELECT vec_id FROM s{k})
+"""
+
+
+def _mmr_sql() -> str:
+    steps = "".join(
+        "," + _MMR_STEP_SQL_TMPL.format(k=k, prev=k - 1)
+        for k in range(2, _MMR_K + 1)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT step, vec_id, rel, mmr, max_sim FROM s{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, embedding, {_cos_sql('e.embedding', 'q.qvec')} AS rel
+  FROM embeddings e, q WHERE vec_id <> 0
+  ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}
+),
+pairsim AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         {_cos_sql('a.embedding', 'b.embedding')} AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+s1 AS (
+  SELECT vec_id, rel, CAST(0.7 AS DOUBLE) * rel AS mmr,
+         CAST(0.0 AS DOUBLE) AS max_sim, 1 AS step
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+),
+sel1 AS (SELECT vec_id FROM s1)
+{steps}
+SELECT step, vec_id, {oracle_fquant('rel')} AS rel_q,
+       {oracle_fquant('mmr')} AS mmr_q, {oracle_fquant('max_sim')} AS max_sim_q
+FROM ({union})
+ORDER BY step
+"""
+
+
+@query("sim_mmr_rerank", sql=_mmr_sql(), tags=("llmdata", "similarity", "topk"))
+def sim_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998, public literature): from the probe's exact top-10 cosine
+    pool, greedily select 5 results maximizing λ·relevance −
+    (1−λ)·max-similarity-to-already-selected (λ=0.7) — the standard
+    diversification pass a retrieval stack runs between ANN candidate
+    generation and serving, so near-duplicate hits don't crowd the
+    result list.
+
+    Scale split: the expensive stage is candidate generation (the
+    broadcast-probe corpus scan, same plan as
+    sim_topk_cosine_bruteforce / the IVF probes); MMR itself touches
+    only the k-pool — a 10-row frame and its 10×10 similarity grid —
+    so the greedy loop's 5 unrolled steps are constant work no matter
+    the corpus size.  The pool is pinned once (localCheckpoint) so
+    the corpus scan runs once, not per step.  Scores are doubles with
+    identical literal λ and identical fold order in both engines;
+    outputs are e9-quantized (fquant)."""
+    emb = t(spark, sf_dir, "embeddings")
+    from trafik_etl_modular_spark.llmdata.similarity import cosine, to_double_array
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        to_double_array("embedding").alias("__qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", to_double_array("embedding").alias("__vec")
+    )
+    cand = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "__vec",
+            cosine(F.col("__vec"), F.col("__qvec")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_POOL)
+    )
+    cand = pin(cand, eager=True)
+    a, b = cand.alias("a"), cand.alias("b")
+    pairsim = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        cosine(F.col("a.__vec"), F.col("b.__vec")).alias("sim"),
+    )
+    pairsim = pin(pairsim, eager=True)
+
+    s = pin(
+        cand.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("step"),
+            "vec_id",
+            "rel",
+            (F.lit(0.7) * F.col("rel")).alias("mmr"),
+            F.lit(0.0).alias("max_sim"),
+        ),
+        eager=True,
+    )
+    sel = s.select("vec_id")
+    steps = [s]
+    for k in range(2, _MMR_K + 1):
+        mx = (
+            pairsim.join(sel.withColumnRenamed("vec_id", "__sel"), F.col("ib") == F.col("__sel"))
+            .groupBy("ia")
+            .agg(F.max("sim").alias("max_sim"))
+            .withColumnRenamed("ia", "vec_id")
+        )
+        # each pick is pinned: step k's plan hangs off k−1 one-row
+        # checkpoints instead of re-deriving every earlier step's
+        # argmax (which re-executes combinatorially with depth)
+        pick = pin(
+            cand.join(sel, "vec_id", "left_anti")
+            .join(mx, "vec_id")
+            .select(
+                F.lit(k).alias("step"),
+                "vec_id",
+                "rel",
+                (F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("max_sim")).alias("mmr"),
+                "max_sim",
+            )
+            .orderBy(F.desc("mmr"), "vec_id")
+            .limit(1),
+            eager=True,
+        )
+        steps.append(pick)
+        sel = sel.unionAll(pick.select("vec_id"))
+    out = steps[0]
+    for p in steps[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "step",
+        "vec_id",
+        fquant(F.col("rel")).alias("rel_q"),
+        fquant(F.col("mmr")).alias("mmr_q"),
+        fquant(F.col("max_sim")).alias("max_sim_q"),
+    ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Random-projection (Achlioptas ±1) with JL distortion report (round 10)
+# ---------------------------------------------------------------------------
+
+_RP_DIMS = 16
+_RP_IN_DIMS = 64
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix from the neutral hash —
+    identical rows derivable outside any engine (py_nhash), frozen as
+    literals into BOTH plans."""
+    from trafik_etl_modular_spark.functions.neutral_hash import py_nhash
+
+    return [
+        [1 - 2 * (py_nhash(f"{i},{j}", "rp") % 2) for i in range(_RP_IN_DIMS)]
+        for j in range(_RP_DIMS)
+    ]
+
+
+_RP_SIGNS = _rp_signs()
+
+
+def _rp_proj_sql(vec: str, j: int) -> str:
+    lst = ", ".join(f"CAST({s} AS DOUBLE)" for s in _RP_SIGNS[j])
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {_RP_IN_DIMS + 1}), "
+        f"i -> {vec}[i]::DOUBLE * (list_value({lst}))[i])), (x, y) -> x + y)"
+    )
+
+
+def _rp_d2_sql(a: str, b: str, n: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {n + 1}), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _rp_sql() -> str:
+    projs = ", ".join(
+        f"{_rp_proj_sql('embedding', j)} AS p{j}" for j in range(_RP_DIMS)
+    )
+    plist = ", ".join(f"p{j}" for j in range(_RP_DIMS))
+    return f"""
+WITH panel AS (
+  SELECT vec_id, embedding, {projs}
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+proj AS (
+  SELECT vec_id, embedding, list_value({plist}) AS pvec FROM panel
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_rp_d2_sql('a.embedding', 'b.embedding', _RP_IN_DIMS)} AS d2_orig,
+         {_rp_d2_sql('a.pvec', 'b.pvec', _RP_DIMS)} AS d2_proj
+  FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       {oracle_fquant('d2_orig')} AS d2_orig_q,
+       {oracle_fquant(f'd2_proj / CAST({_RP_DIMS} AS DOUBLE)')} AS d2_proj_scaled_q,
+       {oracle_fquant(f'(d2_proj / CAST({_RP_DIMS} AS DOUBLE)) / d2_orig')} AS distortion_q,
+       ((d2_proj / CAST({_RP_DIMS} AS DOUBLE)) / d2_orig BETWEEN
+         CAST(0.1 AS DOUBLE) AND CAST(10.0 AS DOUBLE)) AS within_10x
+FROM pairs WHERE d2_orig > 0
+ORDER BY id_a, id_b
+"""
+
+
+@query("sim_random_projection_jl", sql=_rp_sql(), tags=("llmdata", "similarity"))
+def sim_random_projection_jl(spark, sf_dir):
+    """Database-friendly random projection (Achlioptas 2003) 64→16
+    dims with a Johnson–Lindenstrauss distortion report: the ±1 sign
+    matrix is derived from the neutral hash (reproducible outside
+    either engine) and frozen into both plans as literals, each
+    projected coordinate is one strict left-fold dot product in
+    whole-stage codegen, and every probe-panel pair reports
+    ‖Pa−Pb‖²/d' against ‖a−b‖² — the distortion a downstream
+    coarse-filter would see.
+
+    Scale: projection is MAP-SIDE (d'·d multiply-adds per row, no
+    shuffle, no Python) — the 4× cheaper pre-filter representation a
+    100 TB ANN stack scans before reranking survivors with full
+    vectors; the report's pair grid is panel-bounded (every 50th
+    vector), never corpus².  Distortion values are e9-quantized;
+    `within_10x` is a loose sanity band (d'=16 keeps typical
+    distortion within ~2×; the test pins the observed spread)."""
+    emb = t(spark, sf_dir, "embeddings")
+    from trafik_etl_modular_spark.llmdata.similarity import to_double_array
+
+    panel = emb.filter(F.col("vec_id") % 50 == 0).select(
+        "vec_id", to_double_array("embedding").alias("__vec")
+    )
+
+    def proj(vec):
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(s)) for s in _RP_SIGNS[j]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for j in range(_RP_DIMS)
+            ]
+        )
+
+    def d2(va, vb):
+        return F.aggregate(
+            F.zip_with(va, vb, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pr = panel.select("vec_id", "__vec", proj(F.col("__vec")).alias("__pvec"))
+    a, b = pr.alias("a"), pr.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        d2(F.col("a.__vec"), F.col("b.__vec")).alias("d2_orig"),
+        d2(F.col("a.__pvec"), F.col("b.__pvec")).alias("d2_proj"),
+    )
+    scaled = F.col("d2_proj") / F.lit(float(_RP_DIMS))
+    return (
+        pairs.where(F.col("d2_orig") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            fquant(F.col("d2_orig")).alias("d2_orig_q"),
+            fquant(scaled).alias("d2_proj_scaled_q"),
+            fquant(scaled / F.col("d2_orig")).alias("distortion_q"),
+            ((scaled / F.col("d2_orig") >= F.lit(0.1))
+             & (scaled / F.col("d2_orig") <= F.lit(10.0))).alias("within_10x"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -76,7 +76,7 @@ toks AS (
 terms AS (
   SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, w
 ),
-dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM terms GROUP BY doc_id),
 stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tok
   FROM dlen
@@ -133,7 +133,9 @@ def _bm25_scores(spark, sf_dir) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).where(F.col("w") != "")
     terms = toks.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
-    dlen = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    # doc length re-aggregates the POSTINGS, not the raw token
+    # explode — the corpus is tokenized exactly once
+    dlen = terms.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     stats = dlen.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tok"),

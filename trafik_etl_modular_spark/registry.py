@@ -152,9 +152,6 @@ DRIVER_WINDOW: list[str] = [
     "join_nearest_click_tolerance",
     "sim_rank_fusion_rrf",
     "window_ntile_cume_dist",
-    "dedup_lsh_calibration",
-    "dedup_simhash_calibration",
-    "dq_embedding_profile",
     "sim_ivf_incremental_append",
     "sim_ivf_retrain_reassignment",
     # --- never-stamped: round-10 first batch (BM25 retrieval family,
@@ -164,6 +161,11 @@ DRIVER_WINDOW: list[str] = [
     "sample_shuffle_shards",
     "text_chunk_windows",
     "dq_seasonal_decompose",
+    # --- never-stamped: round-10 second batch (MMR rerank, JL random
+    # projection, label-propagation communities) ----------------------
+    "sim_mmr_rerank",
+    "sim_random_projection_jl",
+    "graph_label_propagation",
 ]
 
 
