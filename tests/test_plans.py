@@ -496,6 +496,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "sim_random_projection_jl",
         # 1-row community-count certificate joined onto the top-20
         "graph_label_propagation",
+        # 1-row global-mean scalar under the cumulative windows
+        "dq_cusum_changepoint",
+        # 1-row (global bitmap, global exact) certificate pair
+        "agg_bitmap_distinct_rollup",
     }
     bad = []
     for name in sorted(REGISTRY):

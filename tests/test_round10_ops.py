@@ -118,3 +118,49 @@ def test_label_propagation_matches_sync_model(spark):
     got = [(r["community"], r["n_members"], r["min_member"], r["max_member"]) for r in rows]
     assert got == want
     assert all(r["n_communities"] == len(comms) for r in rows)
+
+
+def test_cusum_matches_recursive_model_and_flags_plant(spark, tmp_path):
+    """The prefix-form CUSUM equals the textbook recursion, and a
+    planted level shift flags from the shift onward."""
+    import datetime
+
+    base = datetime.date(2024, 3, 4)
+    rows, eid = [], 0
+    counts = [100] * 20
+    for d in range(10, 20):
+        counts[d] = 160  # level shift at day 10
+    for d, n in enumerate(counts):
+        day = base + datetime.timedelta(days=d)
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime.combine(day, datetime.time(9)), eid % 40,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = _q("dq_cusum_changepoint")(spark, str(tmp_path)).collect()
+    assert len(out) == 20
+    mean_e6 = out[0]["mean_e6"]
+    # textbook recursion S_t = max(0, S_{t-1} + (x_t - mu))
+    s = 0
+    for r in out:
+        s = max(0, s + r["n"] * 1000000 - mean_e6)
+        assert r["s_e6"] == s
+        assert r["changepoint"] == (s > 2 * mean_e6)
+    flagged_days = [r["day"].day - base.day for r in out if r["changepoint"]]
+    assert flagged_days and min(flagged_days) >= 10
+
+
+def test_bitmap_rollup_certificates_hold(spark):
+    rows = _q("agg_bitmap_distinct_rollup")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["day_matches"] and r["merged_matches"]
+        assert r["n_users_exact"] == r["n_users_bitmap"]
+    # merged global equals the union of per-day sets, not their sum
+    assert rows[0]["global_exact"] <= sum(r["n_users_exact"] for r in rows)

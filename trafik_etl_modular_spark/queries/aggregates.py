@@ -485,3 +485,103 @@ def agg_distinct_overlap_matrix(spark, sf_dir):
         .agg(F.count("*").alias("n_shared_users"))
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct rollup via mergeable bitmaps (round 10)
+# ---------------------------------------------------------------------------
+
+_BITMAP_SQL = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+day_words AS (
+  SELECT day, user_id // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS w
+  FROM du GROUP BY day, user_id // 32
+),
+day_counts AS (
+  SELECT day, CAST(SUM(bit_count(w)) AS BIGINT) AS n_users_bitmap
+  FROM day_words GROUP BY day
+),
+day_exact AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact
+  FROM du GROUP BY day
+),
+merged AS (SELECT word_idx, bit_or(w) AS w FROM day_words GROUP BY word_idx),
+globe AS (
+  SELECT CAST((SELECT SUM(bit_count(w)) FROM merged) AS BIGINT) AS global_bitmap,
+         CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS global_exact
+)
+SELECT e.day, e.n_users_exact, c.n_users_bitmap,
+       (e.n_users_exact = c.n_users_bitmap) AS day_matches,
+       g.global_exact, g.global_bitmap,
+       (g.global_exact = g.global_bitmap) AS merged_matches
+FROM day_exact e
+JOIN day_counts c ON c.day = e.day
+CROSS JOIN globe g
+ORDER BY e.day
+"""
+
+
+@query("agg_bitmap_distinct_rollup", sql=_BITMAP_SQL, tags=("agg", "sketch"))
+def agg_bitmap_distinct_rollup(spark, sf_dir):
+    """EXACT mergeable distinct counting via integer bitmaps — the
+    warehouse bitmap-rollup pattern (Snowflake/ClickHouse bitmap
+    aggregates; same shape as the engine's HLL rollup but exact): each
+    day's distinct-user set packs into a (word_idx → 64-bit word)
+    table by one bit_or reduce; per-day popcount sums give exact
+    per-day distincts, and bit_or-merging the per-day word tables
+    gives the EXACT global distinct without re-touching raw events —
+    the union-across-partials HLL can only approximate.  Certificates
+    the oracle recomputes: per-day bitmap counts equal COUNT(DISTINCT)
+    and merged popcount equals the global exact count.
+
+    Scale: the shuffle carries (day, word_idx, word) — |days| ·
+    ⌈|id-domain|/32⌉ rows, 64 users per word — instead of raw events;
+    merging partials is another bit_or.  The id domain is assumed
+    dictionary-encoded to a dense range (the fixture's user_id already
+    is); sparse domains take a dictionary join first, exactly as
+    production bitmap indexes do."""
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    day_words = (
+        du.select(
+            "day",
+            F.expr("user_id div 32").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias(
+                "m"
+            ),
+        )
+        .groupBy("day", "word_idx")
+        .agg(F.bit_or("m").alias("w"))
+    )
+    day_counts = day_words.groupBy("day").agg(
+        F.sum(F.bit_count("w")).cast("bigint").alias("n_users_bitmap")
+    )
+    day_exact = du.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users_exact")
+    )
+    merged = day_words.groupBy("word_idx").agg(F.bit_or("w").alias("w"))
+    globe = (
+        merged.agg(F.sum(F.bit_count("w")).cast("bigint").alias("global_bitmap"))
+        .crossJoin(
+            F.broadcast(
+                ev.agg(
+                    F.countDistinct("user_id").cast("bigint").alias("global_exact")
+                )
+            )
+        )
+    )
+    return (
+        day_exact.join(day_counts, "day")
+        .crossJoin(F.broadcast(globe))
+        .select(
+            "day",
+            "n_users_exact",
+            "n_users_bitmap",
+            (F.col("n_users_exact") == F.col("n_users_bitmap")).alias("day_matches"),
+            "global_exact",
+            "global_bitmap",
+            (F.col("global_exact") == F.col("global_bitmap")).alias("merged_matches"),
+        )
+        .orderBy("day")
+    )

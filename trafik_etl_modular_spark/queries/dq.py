@@ -868,3 +868,87 @@ def dq_seasonal_decompose(spark, sf_dir):
         resid.alias("residual_e6"),
         (F.abs(resid) * 2 > F.col("baseline_e6")).alias("is_anomaly"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over the daily series
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT CAST((SUM(n) * 1000000) // COUNT(*) AS BIGINT) AS mean_e6 FROM daily
+),
+dev AS (
+  SELECT day, n, s.mean_e6,
+         CAST(n * 1000000 - s.mean_e6 AS BIGINT) AS d_e6
+  FROM daily CROSS JOIN stats s
+),
+pfx AS (
+  SELECT day, n, mean_e6,
+         CAST(SUM(d_e6) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS p_e6
+  FROM dev
+)
+SELECT day, n, mean_e6, p_e6,
+       CAST(p_e6 - LEAST(MIN(p_e6) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 0) AS BIGINT) AS s_e6,
+       (p_e6 - LEAST(MIN(p_e6) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 0) > 2 * mean_e6) AS changepoint
+FROM pfx
+ORDER BY day
+"""
+
+
+@query("dq_cusum_changepoint", sql=_CUSUM_SQL, tags=("quality", "agg", "timeseries"))
+def dq_cusum_changepoint(spark, sf_dir):
+    """One-sided CUSUM changepoint detector (Page 1954, public
+    literature) over daily event volume: the recursive statistic
+    S_t = max(0, S_{t−1} + (x_t − μ)) is rewritten in its PREFIX form
+    S_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of
+    deviations — recursion becomes two cumulative window functions, so
+    the sequential-looking detector is expressible declaratively.  A
+    day flags when the cumulative excess exceeds two average days
+    (h = 2μ).  All arithmetic is e6-scaled exact integers (μ by exact
+    integer division), so both engines agree bit-for-bit.
+
+    Scale: the only data-sized stage is the events→daily hash
+    aggregation; the cumulative windows run over the DAILY frame
+    (O(days) rows — the benign above-an-aggregate global-window shape
+    the plan invariant allows).  For a multi-year series you'd
+    partition the window by (metric, year) and chain boundary
+    offsets."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    stats = daily.agg(
+        F.expr("CAST((sum(n) * 1000000) div count(*) AS BIGINT)").alias("mean_e6")
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n",
+        "mean_e6",
+        (F.col("n") * F.lit(1000000) - F.col("mean_e6")).cast("bigint").alias("d_e6"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pfx = dev.withColumn("p_e6", F.sum("d_e6").over(w).cast("bigint"))
+    s = (F.col("p_e6") - F.least(F.min("p_e6").over(w), F.lit(0).cast("bigint"))).cast(
+        "bigint"
+    )
+    return pfx.select(
+        "day",
+        "n",
+        "mean_e6",
+        "p_e6",
+        s.alias("s_e6"),
+        (s > F.lit(2) * F.col("mean_e6")).alias("changepoint"),
+    ).orderBy("day")

@@ -152,8 +152,6 @@ DRIVER_WINDOW: list[str] = [
     "join_nearest_click_tolerance",
     "sim_rank_fusion_rrf",
     "window_ntile_cume_dist",
-    "sim_ivf_incremental_append",
-    "sim_ivf_retrain_reassignment",
     # --- never-stamped: round-10 first batch (BM25 retrieval family,
     # training shuffle/chunking, seasonal DQ) --------------------------
     "text_bm25_topk",
@@ -166,6 +164,10 @@ DRIVER_WINDOW: list[str] = [
     "sim_mmr_rerank",
     "sim_random_projection_jl",
     "graph_label_propagation",
+    # --- never-stamped: round-10 third batch (CUSUM changepoint,
+    # exact bitmap distinct rollup) ------------------------------------
+    "dq_cusum_changepoint",
+    "agg_bitmap_distinct_rollup",
 ]
 
 
