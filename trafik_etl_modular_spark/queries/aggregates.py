@@ -554,6 +554,13 @@ def agg_bitmap_distinct_rollup(spark, sf_dir):
         .groupBy("day", "word_idx")
         .agg(F.bit_or("m").alias("w"))
     )
+    # the word table feeds both the per-day popcounts and the global
+    # merge — pin it (|days|·|domain|/64 rows) so the events distinct
+    # + packing runs once; at lake scale this is the persisted bitmap
+    # index partials
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    day_words = pin(day_words, eager=True)
     day_counts = day_words.groupBy("day").agg(
         F.sum(F.bit_count("w")).cast("bigint").alias("n_users_bitmap")
     )

@@ -133,6 +133,15 @@ def _bm25_scores(spark, sf_dir) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).where(F.col("w") != "")
     terms = toks.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
+    # the postings frame feeds FOUR legs (doc lengths, corpus stats,
+    # df, the candidate join) — pin it so the tokenize+aggregate runs
+    # once, not per leg.  At lake scale this is the PERSISTED inverted
+    # index every retrieval query starts from (the ensure_edge_table
+    # pattern); pin() upgrades to reliable storage under
+    # spark.graft.checkpoint.dir.
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    terms = pin(terms, eager=True)
     # doc length re-aggregates the POSTINGS, not the raw token
     # explode — the corpus is tokenized exactly once
     dlen = terms.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
