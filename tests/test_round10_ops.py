@@ -164,3 +164,54 @@ def test_bitmap_rollup_certificates_hold(spark):
         assert r["n_users_exact"] == r["n_users_bitmap"]
     # merged global equals the union of per-day sets, not their sum
     assert rows[0]["global_exact"] <= sum(r["n_users_exact"] for r in rows)
+
+
+def test_transition_matrix_is_row_stochastic_and_recounts(spark):
+    rows = _q("events_transition_matrix")(spark, SF).collect()
+    assert rows
+    # row-normalization: per prev_type, Σ n == n_out and p_e6 sums to
+    # ~1e6 (floor division loses < |types| per row)
+    by_prev: dict[str, list] = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, grp in by_prev.items():
+        n_out = grp[0]["n_out"]
+        assert sum(r["n"] for r in grp) == n_out
+        s = sum(r["p_e6"] for r in grp)
+        assert 1000000 - len(grp) <= s <= 1000000
+        for r in grp:
+            assert r["p_e6"] == (r["n"] * 1000000) // n_out
+    # independent recount of one cell from the raw events
+    seq = duckdb.sql(
+        f"""
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+        FROM '{SF}/events.parquet'
+        """
+    ).fetchall()
+    want = sum(1 for _, t_, p in seq if p == rows[0]["prev_type"] and t_ == rows[0]["next_type"])
+    assert rows[0]["n"] == want
+
+
+def test_collocations_match_lift_model(spark):
+    toks = [
+        r[0].split(" ")
+        for r in duckdb.sql(f"SELECT text FROM '{SF}/documents.parquet'").fetchall()
+    ]
+    uni: dict[str, int] = {}
+    bi: dict[str, int] = {}
+    for ws in toks:
+        for w in ws:
+            if w:
+                uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[a + " " + b] = bi.get(a + " " + b, 0) + 1
+    T = sum(uni.values())
+    scored = [
+        (g, n, (n * T * 1000000) // (uni[g.split(" ")[0]] * uni[g.split(" ")[1]]))
+        for g, n in bi.items()
+        if n >= 5
+    ]
+    want = sorted(scored, key=lambda t: (-t[2], t[0]))[:20]
+    rows = _q("text_bigram_collocations")(spark, SF).collect()
+    assert [(r["bigram"], r["n"], r["lift_e6"]) for r in rows] == want

@@ -353,3 +353,75 @@ def events_hourly_locf(spark, sf_dir):
         F.col("n").isNull().alias("is_gap"),
         F.last("rev", ignorenulls=True).over(w).alias("rev_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# First-order event-type transition matrix (round 10)
+# ---------------------------------------------------------------------------
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+outdeg AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_out FROM trans GROUP BY prev_type
+)
+SELECT t.prev_type, t.next_type, t.n, o.n_out,
+       CAST((t.n * 1000000) // o.n_out AS BIGINT) AS p_e6
+FROM trans t JOIN outdeg o ON o.prev_type = t.prev_type
+ORDER BY t.prev_type, t.next_type
+"""
+
+
+@query("events_transition_matrix", sql=_TRANSITION_SQL, tags=("agg", "analytics"))
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event-type
+    sequences: for every (prev → next) event-type pair, the count and
+    the row-normalized transition probability (e6-scaled exact integer
+    division).  The sequence order is the total (ts, event_id) order
+    every windowed query in the engine uses, so consecutive-pair
+    extraction is deterministic under ties.  This is the journey/
+    clickstream summary the funnel and cohort queries don't cover —
+    the input for next-action prediction baselines and for detecting
+    broken instrumentation (a transition that should be impossible
+    showing nonzero mass).
+
+    Scale: one user-partitioned LAG window (shuffles on user_id — the
+    same partitioning the sessionize family uses), then two hash
+    aggregations over |types|² rows.  No global window, no driver
+    loop; probabilities are integers, so cross-engine exact."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    outdeg = trans.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("n_out"))
+    return (
+        trans.join(outdeg, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            "n_out",
+            F.expr("(n * 1000000) div n_out").cast("bigint").alias("p_e6"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -6049,3 +6049,116 @@ def sim_random_projection_jl(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI-style bigram collocations (round 10)
+# ---------------------------------------------------------------------------
+
+_COLLOC_MIN_N = 5
+_COLLOC_TOP = 20
+
+_COLLOC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+uni AS (
+  SELECT t.u AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(w) AS u FROM toks) t WHERE t.u <> '' GROUP BY t.u
+),
+bi AS (
+  SELECT b.g AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                  i -> w[i] || ' ' || w[i + 1])) AS g
+    FROM toks
+  ) b
+  GROUP BY b.g
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_uni,
+         CAST((SELECT SUM(n) FROM bi) AS BIGINT) AS t_bi
+  FROM uni
+),
+scored AS (
+  SELECT bi.bigram, bi.n,
+         ua.c AS c_left, ub.c AS c_right,
+         CAST((bi.n * tot.t_uni * 1000000) // (ua.c * ub.c) AS BIGINT) AS lift_e6
+  FROM bi
+  JOIN uni ua ON ua.w = string_split(bi.bigram, ' ')[1]
+  JOIN uni ub ON ub.w = string_split(bi.bigram, ' ')[2]
+  CROSS JOIN tot
+  WHERE bi.n >= {_COLLOC_MIN_N}
+)
+SELECT bigram, n, c_left, c_right, lift_e6
+FROM scored
+ORDER BY lift_e6 DESC, bigram
+LIMIT {_COLLOC_TOP}
+"""
+
+
+@query("text_bigram_collocations", sql=_COLLOC_SQL, tags=("llmdata", "text"))
+def text_bigram_collocations(spark, sf_dir):
+    """Collocation mining: top-{_COLLOC_TOP} bigrams by LIFT — the
+    PMI core P(ab)/(P(a)P(b)) without the log wrap (float-hazard rule:
+    no ln on oracle surfaces; log is monotone, so the lift ranking IS
+    the PMI ranking), as exact integers: lift_e6 = n_ab·T·10^6 div
+    (c_a·c_b), with T the unigram total.  Min-count {_COLLOC_MIN_N}
+    prunes noise bigrams before scoring, the standard Manning &
+    Schütze collocation recipe.  Used in a data pipeline to surface
+    boilerplate phrases and candidate multi-word tokens for
+    vocabulary induction (the BPE merge query's statistical cousin).
+
+    Scale: unigram and bigram counts are two hash aggregations over
+    per-row explodes; scoring joins the pruned bigram table (≥min-n
+    only) against the unigram table on the component words — shuffle
+    volume is vocabulary-sized, never corpus-sized.  The integer
+    product n·T·10^6 stays in signed 64 bits to ~10^9 tokens at this
+    e6 scale; past that, the same expression moves to DECIMAL(38,0)
+    unchanged."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.split("text", " ").alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("u"))
+        .where(F.col("u") != "")
+        .groupBy(F.col("u").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(w) - 1, 0)), "
+                    "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                )
+            ).alias("g")
+        )
+        .groupBy(F.col("g").alias("bigram"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("t_uni")).crossJoin(
+        F.broadcast(bi.agg(F.sum("n").cast("bigint").alias("t_bi")))
+    )
+    ua = uni.select(F.col("w").alias("__wl"), F.col("c").alias("c_left"))
+    ub = uni.select(F.col("w").alias("__wr"), F.col("c").alias("c_right"))
+    scored = (
+        bi.where(F.col("n") >= _COLLOC_MIN_N)
+        .withColumn("__wl", F.expr("split(bigram, ' ')[0]"))
+        .withColumn("__wr", F.expr("split(bigram, ' ')[1]"))
+        # no forced broadcast: the unigram table is vocabulary-sized
+        # (unbounded at corpus scale) — both join sides are vocab-
+        # bounded equi-joins, and AQE converts small runtime sides
+        .join(ua, "__wl")
+        .join(ub, "__wr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "n",
+            "c_left",
+            "c_right",
+            F.expr("(n * t_uni * 1000000) div (c_left * c_right)")
+            .cast("bigint")
+            .alias("lift_e6"),
+        )
+    )
+    return scored.orderBy(F.desc("lift_e6"), "bigram").limit(_COLLOC_TOP)

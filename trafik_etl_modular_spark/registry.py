@@ -150,8 +150,6 @@ DRIVER_WINDOW: list[str] = [
     "graph_bfs_3hop",
     "inc_nearest_center",
     "join_nearest_click_tolerance",
-    "sim_rank_fusion_rrf",
-    "window_ntile_cume_dist",
     # --- never-stamped: round-10 first batch (BM25 retrieval family,
     # training shuffle/chunking, seasonal DQ) --------------------------
     "text_bm25_topk",
@@ -168,6 +166,10 @@ DRIVER_WINDOW: list[str] = [
     # exact bitmap distinct rollup) ------------------------------------
     "dq_cusum_changepoint",
     "agg_bitmap_distinct_rollup",
+    # --- never-stamped: round-10 fourth batch (transition matrix,
+    # collocations) ----------------------------------------------------
+    "events_transition_matrix",
+    "text_bigram_collocations",
 ]
 
 
