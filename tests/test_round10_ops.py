@@ -215,3 +215,29 @@ def test_collocations_match_lift_model(spark):
     want = sorted(scored, key=lambda t: (-t[2], t[0]))[:20]
     rows = _q("text_bigram_collocations")(spark, SF).collect()
     assert [(r["bigram"], r["n"], r["lift_e6"]) for r in rows] == want
+
+
+def test_temporal_split_partitions_and_leakage(spark):
+    rows = _q("sample_temporal_split_leakage")(spark, SF).collect()
+    assert [r["split"] for r in rows] == ["test", "train", "val"]
+    n_events = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    # splits PARTITION the events exactly
+    assert sum(r["n_events"] for r in rows) == n_events
+    # leakage recount: users with events in both train and test
+    lo = duckdb.sql(
+        f"SELECT MIN(CAST(ts AS DATE)) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    spans = duckdb.sql(
+        f"""
+        SELECT user_id,
+               MAX(CASE WHEN CAST(ts AS DATE) - DATE '{lo}' < 24 THEN 1 ELSE 0 END) t1,
+               MAX(CASE WHEN CAST(ts AS DATE) - DATE '{lo}' >= 27 THEN 1 ELSE 0 END) t3
+        FROM '{SF}/events.parquet' GROUP BY user_id
+        """
+    ).fetchall()
+    want = sum(1 for _, a, b in spans if a and b)
+    assert all(r["n_users_train_test"] == want for r in rows)
+    total_users = len(spans)
+    assert rows[0]["train_test_leak_ratio_e6"] == (want * 1000000) // total_users

@@ -169,3 +169,111 @@ def text_chunk_windows(spark, sf_dir) -> DataFrame:
             "reaches_end"
         ),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Temporal holdout split with leakage report (round 10)
+# ---------------------------------------------------------------------------
+
+# fixed 30-day fixture window: train d1-24, val d25-27, test d28-30;
+# boundaries are day offsets from the corpus MIN day, so the split is
+# derived from the data's own time domain at any SF.
+_SPLIT_VAL_AT = 24
+_SPLIT_TEST_AT = 27
+
+_TEMPORAL_SPLIT_SQL = f"""
+WITH lo AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+tagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN (CAST(ts AS DATE) - lo.d0) < {_SPLIT_VAL_AT} THEN 'train'
+              WHEN (CAST(ts AS DATE) - lo.d0) < {_SPLIT_TEST_AT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM events CROSS JOIN lo
+),
+per_split AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM tagged GROUP BY split
+),
+user_splits AS (
+  SELECT user_id,
+         MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+         MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS in_val,
+         MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+  FROM tagged GROUP BY user_id
+),
+leak AS (
+  SELECT CAST(SUM(in_train * in_val) AS BIGINT) AS n_users_train_val,
+         CAST(SUM(in_train * in_test) AS BIGINT) AS n_users_train_test,
+         CAST(SUM(in_val * in_test) AS BIGINT) AS n_users_val_test,
+         CAST(COUNT(*) AS BIGINT) AS n_users_total
+  FROM user_splits
+)
+SELECT p.split, p.n_events, p.n_users,
+       l.n_users_train_val, l.n_users_train_test, l.n_users_val_test,
+       CAST((l.n_users_train_test * 1000000) // l.n_users_total AS BIGINT)
+         AS train_test_leak_ratio_e6
+FROM per_split p CROSS JOIN leak l
+ORDER BY p.split
+"""
+
+
+@query("sample_temporal_split_leakage", sql=_TEMPORAL_SPLIT_SQL, tags=("llmdata", "sampling", "quality"))
+def sample_temporal_split_leakage(spark, sf_dir) -> DataFrame:
+    """Temporal train/val/test holdout (days 0-23 / 24-26 / 27+ from
+    the corpus's own MIN day) with the USER-LEAKAGE report an eval
+    pipeline must publish next to any time-based split: per split,
+    event and user volumes; globally, how many users cross each split
+    boundary (a user in both train and test means user-level signals
+    leak across the temporal cut — acceptable for forecasting evals,
+    fatal for user-generalization claims).  The ratio is e6-scaled
+    exact integer division; the split rule itself is integer day
+    arithmetic off a 1-row broadcast MIN scalar, so both engines
+    agree exactly.
+
+    Scale: one events scan tags splits map-side (after the 1-row MIN
+    broadcast); volumes and the leakage cross-tab are two hash
+    aggregations (per-split, per-user); output is 3 rows.  No window,
+    no driver loop."""
+    ev = t(spark, sf_dir, "events")
+    lo = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    tagged = ev.crossJoin(F.broadcast(lo)).select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.datediff(F.to_date("ts"), F.col("d0")) < _SPLIT_VAL_AT, "train"
+        )
+        .when(F.datediff(F.to_date("ts"), F.col("d0")) < _SPLIT_TEST_AT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    user_splits = tagged.groupBy("user_id").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("split") == "val", 1).otherwise(0)).alias("in_val"),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("in_test"),
+    )
+    leak = user_splits.agg(
+        F.sum(F.col("in_train") * F.col("in_val")).cast("bigint").alias("n_users_train_val"),
+        F.sum(F.col("in_train") * F.col("in_test")).cast("bigint").alias("n_users_train_test"),
+        F.sum(F.col("in_val") * F.col("in_test")).cast("bigint").alias("n_users_val_test"),
+        F.count("*").cast("bigint").alias("n_users_total"),
+    )
+    return (
+        per_split.crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            "n_users_train_val",
+            "n_users_train_test",
+            "n_users_val_test",
+            F.expr("(n_users_train_test * 1000000) div n_users_total")
+            .cast("bigint")
+            .alias("train_test_leak_ratio_e6"),
+        )
+        .orderBy("split")
+    )

@@ -149,7 +149,6 @@ DRIVER_WINDOW: list[str] = [
     "events_hourly_locf",
     "graph_bfs_3hop",
     "inc_nearest_center",
-    "join_nearest_click_tolerance",
     # --- never-stamped: round-10 first batch (BM25 retrieval family,
     # training shuffle/chunking, seasonal DQ) --------------------------
     "text_bm25_topk",
@@ -170,6 +169,7 @@ DRIVER_WINDOW: list[str] = [
     # collocations) ----------------------------------------------------
     "events_transition_matrix",
     "text_bigram_collocations",
+    "sample_temporal_split_leakage",
 ]
 
 
