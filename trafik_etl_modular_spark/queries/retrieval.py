@@ -26,8 +26,11 @@ score folds into exact 64-bit integer arithmetic:
 
 Monotone in tf, anti-monotone in df and dl — the BM25 shape — and
 every division is a positive integer floor both engines implement
-identically (`div` / `//`).  Magnitudes stay inside signed 64 bits
-to beyond 10^9 documents (largest intermediate: 22·tf·T·10^3).
+identically (`div` / `//`).  64-bit bound (property-tested,
+tests/test_round10_properties.py): the largest intermediate is
+22·tf·T·10^3, safe while tf·T < 4.2·10^14 — e.g. a 10^11-token
+corpus (10^9 docs × 100 tokens) with per-doc tf up to 4·10^3.  Past
+that, the same expressions move to DECIMAL(38,0) unchanged.
 
 Scale design: tokenize → (doc, term, tf) is one map + one hash
 aggregation; df and doc-length are further aggregations of the same

@@ -100,7 +100,12 @@ _QUERY_MODULES = [
 # enforces it from the same module.  Under the tiers, this round's
 # obligation: the 11 single-stamp r05 queries (forced now) plus the
 # 14 single-stamp r06 queries (forced at r11 — pre-rotated here so
-# round 11 keeps ~35 free slots for its own additions).
+# they earn stamp #2 and go mature).  End-of-round --plan-next at
+# N=218: round 11's MANDATORY cohort is ZERO — all 50 slots free for
+# r11's own additions + changed queries + oldest-deadline fill (the
+# r07/r08/r09 single-stamp actives print first in the fill
+# suggestion; r07 actives hit their edge at r12, so r11 should
+# re-window them).
 DRIVER_WINDOW: list[str] = [
     # --- forced: single-stamp r05 cohort (deadline r10) ---------------
     "scd2_history",
