@@ -500,6 +500,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "dq_cusum_changepoint",
         # 1-row (global bitmap, global exact) certificate pair
         "agg_bitmap_distinct_rollup",
+        # 1-row MIN-day split cursor + 1-row leakage cross-tab
+        "sample_temporal_split_leakage",
+        # 1-row (unigram total, bigram total) normalizer
+        "text_bigram_collocations",
     }
     bad = []
     for name in sorted(REGISTRY):

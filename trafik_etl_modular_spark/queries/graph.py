@@ -668,19 +668,22 @@ def graph_label_propagation(spark, sf_dir):
 
     Scale: each iteration is ONE equi-join (edges ⋈ labels on the
     neighbor key) + one two-key hash aggregation — the classic
-    Pregel-in-SQL shape that parallelizes on the vertex key; the
-    label frame is cut per round (pin) so round k+1's plan hangs off
-    a materialized table, not round k's lineage (the BFS frontier
-    discipline).  Fixed iteration count keeps the plan static; a
-    convergence-driven variant would check the per-round label-change
-    count (one extra agg) and stop — same per-round plan."""
-    from trafik_etl_modular_spark.operators.pinning import pin
-
+    Pregel-in-SQL shape that parallelizes on the vertex key.  Each
+    label frame feeds exactly ONE consumer (the next round), so the
+    3 unrolled rounds stay in ONE shallow Catalyst plan — the
+    PageRank discipline, not the BFS pin-per-round one (interleaved
+    A/B ×3 at sf0.1: one-plan 3.4/3.5/3.4 s vs per-round eager pins
+    4.6/4.1 s warm — pins are pure materialization overhead when
+    nothing re-reads the frame; PINNED.md).  As the round count
+    grows the plan deepens linearly and a periodic pin becomes the
+    right lineage cut — the same trade PageRank documents.  Fixed
+    iteration count keeps the plan static; a convergence-driven
+    variant would check the per-round label-change count (one extra
+    agg) and stop — same per-round plan."""
     ee, _ = _edges_and_count(spark, sf_dir)
     lab = ee.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
     )
-    lab = pin(lab, eager=True)
     for _k in range(_LPA_ITERS):
         cnts = (
             ee.join(lab.withColumnRenamed("id", "v"), "v")
@@ -706,7 +709,6 @@ def graph_label_propagation(spark, sf_dir):
             )
             .withColumnRenamed("u", "id")
         )
-        lab = pin(lab, eager=True)
     comm = lab.groupBy("lbl").agg(
         F.count("*").cast("bigint").alias("n_members"),
         F.min("id").cast("bigint").alias("min_member"),
