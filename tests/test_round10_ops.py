@@ -241,3 +241,26 @@ def test_temporal_split_partitions_and_leakage(spark):
     assert all(r["n_users_train_test"] == want for r in rows)
     total_users = len(spans)
     assert rows[0]["train_test_leak_ratio_e6"] == (want * 1000000) // total_users
+
+
+def test_streaming_cusum_equals_recursion_over_buckets(spark):
+    """The per-micro-batch sequential statistic equals the textbook
+    recursion over the same bucket volumes — and every staged bucket
+    arrived as its own batch, in order."""
+    rows = _q("streaming_cusum_monitor")(spark, SF).collect()
+    want = duckdb.sql(
+        f"""
+        WITH lo AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM '{SF}/events.parquet'),
+        b AS (SELECT CAST((CAST(ts AS DATE) - lo.d0) // 3 AS BIGINT) AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM '{SF}/events.parquet' CROSS JOIN lo GROUP BY 1 ORDER BY 1)
+        SELECT bucket, n FROM b
+        """
+    ).fetchall()
+    assert [(r["bucket"], r["n"]) for r in rows] == want
+    mu = want[0][1] * 1000000
+    s = 0
+    for r, (_, n) in zip(rows, want):
+        s = max(0, s + n * 1000000 - mu)
+        assert r["s_e6"] == s and r["mu_e6"] == mu
+        assert r["alarm"] == (s > 2 * mu)

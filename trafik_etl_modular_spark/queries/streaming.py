@@ -404,3 +404,43 @@ def streaming_scd2_enrich(spark, sf_dir):
     from trafik_etl_modular_spark.streaming.pipeline import scd2_enriched_stream
 
     return scd2_enriched_stream(spark, sf_dir)
+
+
+_CUSUM_STREAM_SQL = """
+WITH lo AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+buckets AS (
+  SELECT CAST((CAST(ts AS DATE) - lo.d0) // 3 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events CROSS JOIN lo GROUP BY 1
+),
+mu AS (SELECT CAST(n * 1000000 AS BIGINT) AS mu_e6 FROM buckets WHERE bucket = 0),
+pfx AS (
+  SELECT b.bucket, b.n, mu.mu_e6,
+         CAST(SUM(b.n * 1000000 - mu.mu_e6) OVER (
+           ORDER BY b.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS p_e6
+  FROM buckets b CROSS JOIN mu
+)
+SELECT bucket, n, mu_e6,
+       CAST(p_e6 - LEAST(MIN(p_e6) OVER (
+         ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 0) AS BIGINT) AS s_e6,
+       (p_e6 - LEAST(MIN(p_e6) OVER (
+         ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 0) > 2 * mu_e6) AS alarm
+FROM pfx
+ORDER BY bucket
+"""
+
+
+@query("streaming_cusum_monitor", sql=_CUSUM_STREAM_SQL, tags=("streaming", "quality"))
+def streaming_cusum_monitor(spark, sf_dir):
+    """Streaming CUSUM volume monitor: per-micro-batch sequential
+    update of the one-sided CUSUM statistic over the event feed's
+    3-day-bucket volumes, μ frozen from the first (in-control) batch
+    — the in-stream form of dq_cusum_changepoint, whose prefix-form
+    rewrite the oracle uses to recompute the identical series in one
+    batch SQL pass (completed stream ≡ batch)."""
+    from trafik_etl_modular_spark.streaming.pipeline import cusum_monitor_run
+
+    return cusum_monitor_run(spark, sf_dir)

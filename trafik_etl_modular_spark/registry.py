@@ -153,7 +153,6 @@ DRIVER_WINDOW: list[str] = [
     "dq_mad_outliers",
     "events_hourly_locf",
     "graph_bfs_3hop",
-    "inc_nearest_center",
     # --- never-stamped: round-10 first batch (BM25 retrieval family,
     # training shuffle/chunking, seasonal DQ) --------------------------
     "text_bm25_topk",
@@ -175,6 +174,7 @@ DRIVER_WINDOW: list[str] = [
     "events_transition_matrix",
     "text_bigram_collocations",
     "sample_temporal_split_leakage",
+    "streaming_cusum_monitor",
 ]
 
 

@@ -693,3 +693,107 @@ def scd2_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h_value").alias("value_at_ts"),
     )
     return _run_to_memory(joined, "append", no_data_flush=False)
+
+
+def _events_bucket_dir(sf_dir: str, bucket_days: int = 3) -> str:
+    """Stage the events fixture as one parquet file per BUCKET of
+    ``bucket_days`` consecutive days (bucket = (day − min_day) //
+    bucket_days), ascending mtimes, so the file source delivers the
+    volume series as time-ordered micro-batches — the continuous-
+    monitoring feed shape.  Content-keyed like the other staged dirs
+    so a regenerated fixture can never reuse a stale split."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    key = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|cusum|{bucket_days}"
+    d = f"/tmp/trafik_cusum_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    tbl = pq.read_table(src, columns=["event_id", "ts"])
+    days = pc.cast(pc.cast(tbl["ts"], pa.timestamp("us")), pa.date32())
+    days_i = pc.cast(days, pa.int32())
+    d0 = pc.min(days_i).as_py()
+    bucket = pc.cast(
+        pc.floor(pc.divide(pc.subtract(days_i, d0), bucket_days)), pa.int64()
+    )
+    tbl = tbl.append_column("bucket", bucket)
+    base = int(st.st_mtime) - 100
+    buckets = sorted(set(bucket.to_pylist()))
+    for i, b in enumerate(buckets):
+        sub = tbl.filter(pc.equal(tbl["bucket"], b))
+        path = os.path.join(d, f"bucket_{b:03d}.parquet")
+        pq.write_table(sub, path)
+        os.utime(path, (base + i, base + i))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def cusum_monitor_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM volume monitor: the event feed arrives as
+    time-ordered micro-batches (one per 3-day bucket) and the
+    one-sided CUSUM statistic S_k = max(0, S_{k−1} + (n_k − μ))
+    updates INCREMENTALLY per micro-batch — the true sequential
+    detector, with μ frozen from the FIRST batch (the in-control
+    reference period, textbook CUSUM calibration).  Each batch's
+    volume is a distributed count; only the one-row (bucket, count)
+    summary reaches the driver state, the same metadata-size
+    accumulation as the other foreachBatch runners.  Returns one row
+    per batch with the statistic AS OF that batch and the alarm flag
+    (h = 2μ) — what a monitoring sink would have emitted live.
+
+    The batch-equivalence oracle recomputes the identical series in
+    one SQL pass via the prefix form (dq_cusum_changepoint's rewrite)
+    over the same day-bucket definition — completed stream ≡ batch,
+    the family's standing verification shape."""
+    _ensure_session_confs(spark)
+    d = _events_bucket_dir(sf_dir)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    state: dict[str, object] = {"rows": [], "s": 0, "mu": None}
+
+    def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
+        # one bucket per staged file; the count is distributed, one
+        # summary row comes back
+        agg = bdf.groupBy("bucket").count().collect()
+        for r in sorted(agg, key=lambda r: r["bucket"]):
+            n = r["count"]
+            if state["mu"] is None:
+                state["mu"] = n * 1_000_000
+            s = max(0, state["s"] + n * 1_000_000 - state["mu"])
+            state["s"] = s
+            state["rows"].append((r["bucket"], n, state["mu"], s))
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = raw.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    out = spark.createDataFrame(
+        state["rows"], "bucket bigint, n bigint, mu_e6 bigint, s_e6 bigint"
+    )
+    return out.select(
+        "bucket",
+        "n",
+        "mu_e6",
+        "s_e6",
+        (F.col("s_e6") > 2 * F.col("mu_e6")).alias("alarm"),
+    ).orderBy("bucket")
