@@ -264,3 +264,48 @@ def test_streaming_cusum_equals_recursion_over_buckets(spark):
         s = max(0, s + n * 1000000 - mu)
         assert r["s_e6"] == s and r["mu_e6"] == mu
         assert r["alarm"] == (s > 2 * mu)
+
+
+def test_phrase_search_recounts_from_raw_text(spark):
+    rows = _q("text_phrase_search")(spark, SF).collect()
+    docs = {
+        r[0]: r[1].split(" ")
+        for r in duckdb.sql(f"SELECT doc_id, text FROM '{SF}/documents.parquet'").fetchall()
+    }
+
+    def occurrences(phrase, toks):
+        a, b = phrase.split(" ")
+        return sum(1 for x, y in zip(toks, toks[1:]) if x == a and y == b)
+
+    by_phrase: dict[int, list] = {}
+    for r in rows:
+        by_phrase.setdefault(r["phrase_id"], []).append(r)
+    for pid, grp in by_phrase.items():
+        phrase = grp[0]["phrase"]
+        model = sorted(
+            ((occurrences(phrase, tk), -d) for d, tk in docs.items() if occurrences(phrase, tk) > 0),
+            reverse=True,
+        )
+        want_top = [(-d, n) for n, d in model[: len(grp)]]
+        assert [(r["doc_id"], r["n_occurrences"]) for r in sorted(grp, key=lambda r: r["rk"])] == want_top
+        assert grp[0]["n_docs_matched"] == len(model)
+        assert grp[0]["n_total_occurrences"] == sum(n for n, _ in model)
+
+
+def test_pearson_matches_numpy(spark):
+    import numpy as np
+
+    rows = _q("agg_pearson_correlation")(spark, SF).collect()
+    assert len(rows) == 6
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    data = duckdb.sql(
+        f"SELECT {', '.join(cols)} FROM '{SF}/lineitem.parquet'"
+    ).fetchnumpy()
+    for r in rows:
+        x, y = data[r["col_x"]], data[r["col_y"]]
+        want = float(np.corrcoef(x, y)[0, 1])
+        # engine uses exact integer-cents moments; numpy uses float
+        # moments on the raw doubles — agreement to 1e-6 suffices
+        # (the ORACLE pins cross-engine exactness)
+        assert abs(r["corr_q"] - want) < 1e-6, (r, want)
+        assert -1.0 <= r["corr_q"] <= 1.0

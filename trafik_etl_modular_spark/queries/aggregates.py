@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from trafik_etl_modular_spark.functions.scalars import (
     davg,
     dsum,
+    fquant,
     oracle_davg,
     oracle_dsum,
 )
@@ -592,3 +593,101 @@ def agg_bitmap_distinct_rollup(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-moment Pearson correlation matrix (round 10)
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_cents_sql(c: str) -> str:
+    return f"CAST(CAST({c} AS DECIMAL(38,2)) * 100 AS BIGINT)"
+
+
+def _corr_sql() -> str:
+    cents = {c: _corr_cents_sql(c) for c in _CORR_COLS}
+    sums = [f"CAST(COUNT(*) AS DECIMAL(38,0)) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"CAST(SUM({cents[c]}) AS DECIMAL(38,0)) AS s_{c}")
+        sums.append(
+            f"CAST(SUM({cents[c]} * {cents[c]}) AS DECIMAL(38,0)) AS ss_{c}"
+        )
+    for a, b in _CORR_PAIRS:
+        sums.append(
+            f"CAST(SUM({cents[a]} * {cents[b]}) AS DECIMAL(38,0)) AS sp_{a}_{b}"
+        )
+    legs = []
+    for a, b in _CORR_PAIRS:
+        legs.append(f"""
+SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n,
+       (CAST(ROUND((CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+         / sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE)
+                * CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE))) * 1e9) AS BIGINT) / 1e9)
+         AS corr_q
+FROM m""")
+    union = " UNION ALL ".join(legs)
+    return f"WITH m AS (SELECT {', '.join(sums)} FROM lineitem)\n{union}\nORDER BY col_x, col_y"
+
+
+@query("agg_pearson_correlation", sql=_corr_sql(), tags=("agg", "analytics"))
+def agg_pearson_correlation(spark, sf_dir):
+    """Pearson correlation matrix over lineitem's four numeric
+    measures, computed from EXACT integer moments: each value becomes
+    integer cents through the proven double→DECIMAL(38,2) cast (the
+    dsum recipe), every sum/sum-of-squares/cross-sum is exact decimal
+    arithmetic, and only the FINAL r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)
+    (nΣy²−(Σy)²)) touches IEEE doubles — one conversion, one divide,
+    one correctly-rounded sqrt, identical in both engines, then the
+    e9 quantization grid (fquant).  Raw `corr()` over doubles is NOT
+    partition-order reproducible; exact moments are the way a
+    distributed engine gets a deterministic correlation.
+
+    Scale: ONE aggregation pass over the fact table computes all 15
+    moments (map-side combined); the 6 output rows are projections of
+    the 1-row moment frame.  Decimal(38,0) holds the combinations to
+    ~SF1000 (n·Σx² ≈ 10^31 at SF100)."""
+    li = t(spark, sf_dir, "lineitem")
+    from pyspark.sql import types as T
+
+    def cents(c):
+        return (F.col(c).cast(T.DecimalType(38, 2)) * 100).cast("long")
+
+    aggs = [F.count("*").cast(T.DecimalType(38, 0)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(cents(c).cast(T.DecimalType(38, 0))).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((cents(c) * cents(c)).cast(T.DecimalType(38, 0))).alias(f"ss_{c}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum((cents(a) * cents(b)).cast(T.DecimalType(38, 0))).alias(f"sp_{a}_{b}")
+        )
+    m = li.agg(*aggs)
+    legs = []
+    for a, b in _CORR_PAIRS:
+        num = (F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        dx = (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+            "double"
+        )
+        dy = (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        legs.append(
+            m.select(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").cast("bigint").alias("n"),
+                fquant(num / F.sqrt(dx * dy)).alias("corr_q"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("col_x", "col_y")

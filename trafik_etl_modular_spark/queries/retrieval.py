@@ -294,3 +294,125 @@ def text_bm25_maxscore_prune(spark, sf_dir) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (round 10)
+# ---------------------------------------------------------------------------
+
+PHRASES: list[tuple[int, str]] = [
+    (1, "table table"),
+    (2, "fast table"),
+    (3, "spark window"),
+    (4, "value table"),
+    (5, "a the"),
+]
+
+_PHRASES_SQL = ", ".join(f"({i}, '{s}')" for i, s in PHRASES)
+
+_PHRASE_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, i AS p, w[i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(range(1, len(w) + 1)) AS u(i)
+  WHERE w[i] <> ''
+),
+phrases(phrase_id, phrase) AS (VALUES {_PHRASES_SQL}),
+pp AS (
+  SELECT phrase_id, phrase,
+         string_split(phrase, ' ')[1] AS w1,
+         string_split(phrase, ' ')[2] AS w2
+  FROM phrases
+),
+hits AS (
+  SELECT pp.phrase_id, pp.phrase, a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM pp
+  JOIN pos a ON a.tok = pp.w1
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.tok = pp.w2
+  GROUP BY pp.phrase_id, pp.phrase, a.doc_id
+),
+ranked AS (
+  SELECT phrase_id, phrase, doc_id, n_occurrences,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY phrase_id ORDER BY n_occurrences DESC, doc_id
+         ) AS INTEGER) AS rk
+  FROM hits
+),
+totals AS (
+  SELECT phrase_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_matched,
+         CAST(SUM(n_occurrences) AS BIGINT) AS n_total_occurrences
+  FROM hits GROUP BY phrase_id
+)
+SELECT r.phrase_id, r.phrase, r.rk, r.doc_id, r.n_occurrences,
+       t2.n_docs_matched, t2.n_total_occurrences
+FROM ranked r JOIN totals t2 ON t2.phrase_id = r.phrase_id
+WHERE r.rk <= 5
+ORDER BY r.phrase_id, r.rk
+"""
+
+
+@query("text_phrase_search", sql=_PHRASE_SQL, tags=("retrieval", "text"))
+def text_phrase_search(spark, sf_dir) -> DataFrame:
+    """Exact phrase search on a POSITIONAL inverted index — the
+    capability a bag-of-words index (text_bm25_topk) cannot answer:
+    postings carry (doc, position, token), and a two-word phrase is
+    an equi-join of the two tokens' posting lists on (doc_id,
+    adjacent positions).  Per phrase: top-5 docs by occurrence count
+    (deterministic tiebreak) plus corpus-wide match totals — the
+    shape decontamination uses to hunt verbatim eval strings in a
+    training corpus.
+
+    Scale: the positional index costs one posexplode projection (no
+    shuffle to build here; persisted at lake scale like the BM25
+    postings); a phrase probe touches ONLY the joined tokens' posting
+    lists — candidates are min(df(w1), df(w2))-bounded, and the
+    adjacency predicate rides the (doc_id) equi-join as a residual.
+    n-word phrases chain n−1 such joins, cheapest-term-first."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+    ).where(F.col("tok") != "").select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "tok"
+    )
+    phrases = spark.createDataFrame(PHRASES, "phrase_id int, phrase string")
+    pp = phrases.select(
+        "phrase_id",
+        "phrase",
+        F.expr("split(phrase, ' ')[0]").alias("w1"),
+        F.expr("split(phrase, ' ')[1]").alias("w2"),
+    )
+    a = pos.alias("a").join(
+        F.broadcast(pp), F.col("a.tok") == F.col("w1")
+    )
+    hits = (
+        a.join(
+            pos.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.p") == F.col("a.p") + 1)
+            & (F.col("b.tok") == F.col("w2")),
+        )
+        .groupBy("phrase_id", "phrase", F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    # hits feeds the rank leg and the totals leg
+    hits = pin(hits, eager=False)
+    w = Window.partitionBy("phrase_id").orderBy(F.desc("n_occurrences"), "doc_id")
+    ranked = hits.withColumn("rk", F.row_number().over(w).cast("int")).where(
+        F.col("rk") <= 5
+    )
+    totals = hits.groupBy("phrase_id").agg(
+        F.count("*").cast("bigint").alias("n_docs_matched"),
+        F.sum("n_occurrences").cast("bigint").alias("n_total_occurrences"),
+    )
+    return ranked.join(totals, "phrase_id").select(
+        "phrase_id",
+        "phrase",
+        "rk",
+        "doc_id",
+        "n_occurrences",
+        "n_docs_matched",
+        "n_total_occurrences",
+    ).orderBy("phrase_id", "rk")

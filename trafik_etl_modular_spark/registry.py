@@ -151,8 +151,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_containment_pairs",
     "dedup_golden_record",
     "dq_mad_outliers",
-    "events_hourly_locf",
-    "graph_bfs_3hop",
     # --- never-stamped: round-10 first batch (BM25 retrieval family,
     # training shuffle/chunking, seasonal DQ) --------------------------
     "text_bm25_topk",
@@ -175,6 +173,10 @@ DRIVER_WINDOW: list[str] = [
     "text_bigram_collocations",
     "sample_temporal_split_leakage",
     "streaming_cusum_monitor",
+    # --- never-stamped: round-10 sixth batch (phrase search, exact
+    # Pearson moments) --------------------------------------------------
+    "text_phrase_search",
+    "agg_pearson_correlation",
 ]
 
 
