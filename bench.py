@@ -121,8 +121,20 @@ def _write_local_artifact(
             for p in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
         ]
         rnd = (max(rounds) if rounds else 0) + 1
-        with open(os.path.join(repo, f"BENCH_FULL_r{rnd:02d}.json"), "w") as f:
-            json.dump({key: record}, f, indent=1, sort_keys=True)
+        full_path = os.path.join(repo, f"BENCH_FULL_r{rnd:02d}.json")
+        # read-merge-write (ADVICE r10): a round that benches multiple
+        # scale factors must keep EVERY sf key, not just the last run's
+        full_doc: dict = {}
+        try:
+            with open(full_path) as f:
+                loaded = json.load(f)
+            if isinstance(loaded, dict):
+                full_doc = loaded
+        except Exception:  # noqa: BLE001 — first bench of the round
+            pass
+        full_doc[key] = record
+        with open(full_path, "w") as f:
+            json.dump(full_doc, f, indent=1, sort_keys=True)
             f.write("\n")
     except Exception:  # noqa: BLE001
         pass

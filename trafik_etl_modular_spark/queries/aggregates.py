@@ -537,7 +537,12 @@ def agg_bitmap_distinct_rollup(spark, sf_dir):
     and merged popcount equals the global exact count.
 
     Scale: the shuffle carries (day, word_idx, word) — |days| ·
-    ⌈|id-domain|/32⌉ rows, 64 users per word — instead of raw events;
+    ⌈|id-domain|/32⌉ rows, 32 users per 64-bit word (ADVICE r10 fixed
+    this docstring: the packing deliberately uses the LOW half of each
+    word because the DuckDB oracle's BIGINT left-shift throws on
+    1 << 63, so a portable full-density packing would need HUGEINT on
+    the oracle side; a Spark-only deployment can switch both sides to
+    % 64 for full density) — instead of raw events;
     merging partials is another bit_or.  The id domain is assumed
     dictionary-encoded to a dense range (the fixture's user_id already
     is); sparse domains take a dictionary join first, exactly as

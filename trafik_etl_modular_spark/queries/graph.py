@@ -654,6 +654,34 @@ LIMIT 20
 """
 
 
+def _check_lpa_radix(ee) -> None:
+    """Loud radix guard (mirror of the triangle _PACK check above,
+    ADVICE r10): labels start as vertex ids, so max(id) must stay
+    below _LPA_M or the packed argmax keys silently collide; cnt is
+    bounded by the max in-degree, which must stay below 2^30 to keep
+    cnt·_LPA_M inside a signed long.  One small job over the pinned
+    edge frame (a per-source aggregate, then a 1-row reduce)."""
+    _g = (
+        ee.groupBy("u")
+        .agg(F.count("*").alias("d"), F.max("v").alias("mv"))
+        .agg(
+            F.max(F.greatest(F.col("u"), F.col("mv"))).alias("maxid"),
+            F.max("d").alias("maxdeg"),
+        )
+        .first()
+    )
+    if _g["maxid"] is not None and _g["maxid"] >= _LPA_M:
+        raise ValueError(
+            f"graph_label_propagation: vertex id {_g['maxid']} exceeds the "
+            f"(count,label) packing radix {_LPA_M}; widen _LPA_M"
+        )
+    if _g["maxdeg"] is not None and _g["maxdeg"] >= (1 << 30):
+        raise ValueError(
+            f"graph_label_propagation: neighbor count {_g['maxdeg']} exceeds "
+            f"2^30; cnt*_LPA_M would overflow a signed long — widen the packing"
+        )
+
+
 @query("graph_label_propagation", sql=_lpa_sql(), tags=("graph",))
 def graph_label_propagation(spark, sf_dir):
     """Synchronous label propagation communities (Raghavan et al.
@@ -681,6 +709,7 @@ def graph_label_propagation(spark, sf_dir):
     variant would check the per-round label-change count (one extra
     agg) and stop — same per-round plan."""
     ee, _ = _edges_and_count(spark, sf_dir)
+    _check_lpa_radix(ee)
     lab = ee.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
     )

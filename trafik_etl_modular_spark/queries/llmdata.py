@@ -6125,11 +6125,18 @@ def text_bigram_collocations(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("c"))
     )
     bi = (
+        # single-token docs must yield NO bigrams: sequence(1, 0)
+        # defaults to step -1 in Spark and produces [1, 0], whose
+        # element_at(w, 0) throws — guard with an explicit emptiness
+        # branch so the Spark leg matches DuckDB's empty range()
+        # (ADVICE r10)
         toks.select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(w) - 1, 0)), "
-                    "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                    "CASE WHEN size(w) >= 2 THEN "
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
+                    "ELSE array() END"
                 )
             ).alias("g")
         )

@@ -375,6 +375,15 @@ def text_phrase_search(spark, sf_dir) -> DataFrame:
     ).where(F.col("tok") != "").select(
         "doc_id", (F.col("p0") + 1).alias("p"), "tok"
     )
+    # The phrase panel is compile-time constant, so BOTH posting scans
+    # are prefiltered to exactly the tokens the panel can match — the
+    # join predicates (a.tok == w1, b.tok == w2) already imply these
+    # filters, so results are provably unchanged, but the build side
+    # of the adjacency join drops from the FULL positional index to
+    # the w2 terms' posting lists: candidates are min(df(w1), df(w2))-
+    # bounded as documented, and the isin filter pushes into the scan.
+    w1_terms = sorted({p.split()[0] for _, p in PHRASES})
+    w2_terms = sorted({p.split()[1] for _, p in PHRASES})
     phrases = spark.createDataFrame(PHRASES, "phrase_id int, phrase string")
     pp = phrases.select(
         "phrase_id",
@@ -382,12 +391,12 @@ def text_phrase_search(spark, sf_dir) -> DataFrame:
         F.expr("split(phrase, ' ')[0]").alias("w1"),
         F.expr("split(phrase, ' ')[1]").alias("w2"),
     )
-    a = pos.alias("a").join(
+    a = pos.where(F.col("tok").isin(w1_terms)).alias("a").join(
         F.broadcast(pp), F.col("a.tok") == F.col("w1")
     )
     hits = (
         a.join(
-            pos.alias("b"),
+            pos.where(F.col("tok").isin(w2_terms)).alias("b"),
             (F.col("b.doc_id") == F.col("a.doc_id"))
             & (F.col("b.p") == F.col("a.p") + 1)
             & (F.col("b.tok") == F.col("w2")),
