@@ -152,3 +152,60 @@ def test_streaming_incremental_dedup_runs_at_ten_batches(spark):
     assert {r["batch_id"] for r in out} == set(range(10))
     first = [r for r in out if r["batch_id"] == 0]
     assert first and all(r["verdict"] == "novel" for r in first)
+
+
+def test_bm25_postings_growth_linear_in_batch(spark):
+    """10 batches folded into a persisted df-table + (N, T) corpus
+    constants (verdict r10 ask #5): each fold adds exactly the batch's
+    postings mass (Σ df grows by the batch's distinct (doc, term)
+    count, N and T by the batch's doc/token counts), per-batch time
+    stays flat, and the 10-step fold lands EXACTLY on a from-scratch
+    rebuild."""
+    from trafik_etl_modular_spark.queries.retrieval import (
+        build_postings,
+        fold_df_table,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    dftab = None
+    n_docs = tot_tok = 0
+    times: list[float] = []
+    mass: list[int] = []
+    for i in range(N_BATCHES):
+        bdf = docs.where(F.col("doc_id") % N_BATCHES == i).localCheckpoint(
+            eager=True
+        )
+        t0 = time.perf_counter()
+        bpost = build_postings(bdf).localCheckpoint(eager=True)
+        dftab = fold_df_table(dftab, bpost).coalesce(8).localCheckpoint(eager=True)
+        stats = bpost.agg(
+            F.count_distinct("doc_id").alias("nd"), F.sum("tf").alias("tt")
+        ).first()
+        n_docs += stats["nd"]
+        tot_tok += stats["tt"]
+        times.append(time.perf_counter() - t0)
+        total_df = dftab.agg(F.sum("df")).first()[0]
+        batch_post = bpost.count()
+        # Σ df grew by exactly the batch's postings count — an additive
+        # fold, never a recount of history
+        expected = (mass[-1] if mass else 0) + batch_post
+        assert total_df == expected
+        mass.append(total_df)
+
+    # the folded index equals a from-scratch rebuild, term for term
+    rebuilt = (
+        build_postings(docs)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    assert dftab.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(dftab).count() == 0
+    # corpus constants fold additively to the rebuild's values
+    full = build_postings(docs).agg(
+        F.count_distinct("doc_id").alias("nd"), F.sum("tf").alias("tt")
+    ).first()
+    assert (n_docs, tot_tok) == (full["nd"], full["tt"])
+    # per-batch time flat
+    half = N_BATCHES // 2
+    ratio = _median(times[half:]) / max(_median(times[:half]), 1e-9)
+    assert ratio < MEDIAN_RATIO_BOUND, (times, ratio)

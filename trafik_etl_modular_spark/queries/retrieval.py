@@ -127,15 +127,37 @@ ORDER BY r.query_id, r.rk
 """
 
 
+def build_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, w, tf) postings from a (doc_id, text) frame — the
+    index-build primitive shared by the serving queries, the append
+    lifecycle, and the growth tests: one map-side tokenize + one hash
+    aggregation."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    return toks.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
+
+
+def fold_df_table(base: DataFrame | None, batch_postings: DataFrame) -> DataFrame:
+    """Additive document-frequency fold: df(w) += batch's df(w).
+    Appending a batch costs one hash agg over the BATCH's postings
+    plus a vocab-bounded additive merge — never a re-count of history
+    (df is a sum of disjoint per-batch contributions, associative
+    like the Bloom bit_or / HLL merges)."""
+    bdf = batch_postings.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+    if base is None:
+        return bdf
+    return (
+        base.unionByName(bdf).groupBy("w").agg(F.sum("df").cast("bigint").alias("df"))
+    )
+
+
 def _bm25_scores(spark, sf_dir) -> DataFrame:
     """(query_id, doc_id, score_e6, n_matched, ub_e6) — the exact
     BM25 scores plus the MaxScore upper bound, Spark mirror of the
     ``scores`` CTE above."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).where(F.col("w") != "")
-    terms = toks.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
+    terms = build_postings(docs)
     # the postings frame feeds FOUR legs (doc lengths, corpus stats,
     # df, the candidate join) — pin it so the tokenize+aggregate runs
     # once, not per leg.  At lake scale this is the PERSISTED inverted
@@ -293,6 +315,174 @@ def text_bm25_maxscore_prune(spark, sf_dir) -> DataFrame:
             (F.col("_n_unsafe") == 0).alias("prune_safe"),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental postings maintenance (round 11)
+# ---------------------------------------------------------------------------
+
+# the split: base corpus = 70% of docs, append batch = the rest —
+# disjoint by construction, like a production ingest where new doc ids
+# never collide with indexed ones
+_APPEND_AT = 7
+
+# the terms the certificate reports on: the BM25 panel's vocabulary,
+# so the notarized slice is exactly the index slice the serving
+# queries touch
+_PANEL_TERMS = sorted({w for _, s in PANEL for w in s.split()})
+_PANEL_TERMS_SQL = ", ".join(f"('{w}')" for w in _PANEL_TERMS)
+
+_BM25_APPEND_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 10 >= {_APPEND_AT} AS is_delta, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+terms AS (
+  SELECT doc_id, is_delta, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE w <> '' GROUP BY doc_id, is_delta, w
+),
+stats AS (
+  SELECT
+    CAST(SUM(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_base,
+    CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_delta,
+    CAST(SUM(CASE WHEN NOT is_delta THEN dl ELSE 0 END) AS BIGINT) AS tok_base,
+    CAST(SUM(CASE WHEN is_delta THEN dl ELSE 0 END) AS BIGINT) AS tok_delta
+  FROM (SELECT doc_id, is_delta, SUM(tf) AS dl FROM terms GROUP BY doc_id, is_delta)
+),
+full_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_rebuilt,
+         CAST(SUM(dl) AS BIGINT) AS tok_rebuilt
+  FROM (SELECT doc_id, SUM(tf) AS dl FROM terms GROUP BY doc_id)
+),
+panel_terms(term) AS (VALUES {_PANEL_TERMS_SQL}),
+per_term AS (
+  SELECT p.term,
+         CAST(COALESCE(SUM(CASE WHEN NOT t2.is_delta THEN 1 ELSE 0 END), 0) AS BIGINT) AS df_base,
+         CAST(COALESCE(SUM(CASE WHEN t2.is_delta THEN 1 ELSE 0 END), 0) AS BIGINT) AS df_delta,
+         CAST(COALESCE(COUNT(t2.w), 0) AS BIGINT) AS df_rebuilt,
+         CAST(COALESCE(SUM(CASE WHEN NOT t2.is_delta THEN t2.tf ELSE 0 END), 0) AS BIGINT) AS tf_base,
+         CAST(COALESCE(SUM(CASE WHEN t2.is_delta THEN t2.tf ELSE 0 END), 0) AS BIGINT) AS tf_delta,
+         CAST(COALESCE(SUM(t2.tf), 0) AS BIGINT) AS tf_rebuilt
+  FROM panel_terms p LEFT JOIN terms t2 ON t2.w = p.term
+  GROUP BY p.term
+)
+SELECT pt.term,
+       pt.df_base, pt.df_delta,
+       pt.df_base + pt.df_delta AS df_appended,
+       pt.df_rebuilt,
+       (pt.df_base + pt.df_delta = pt.df_rebuilt) AS df_matches,
+       pt.tf_base + pt.tf_delta AS tf_appended,
+       pt.tf_rebuilt,
+       (pt.tf_base + pt.tf_delta = pt.tf_rebuilt) AS tf_matches,
+       s.n_docs_base + s.n_docs_delta AS n_docs_appended,
+       f.n_docs_rebuilt,
+       s.tok_base + s.tok_delta AS tok_appended,
+       f.tok_rebuilt,
+       (s.n_docs_base + s.n_docs_delta = f.n_docs_rebuilt
+        AND s.tok_base + s.tok_delta = f.tok_rebuilt) AS corpus_matches
+FROM per_term pt CROSS JOIN stats s CROSS JOIN full_stats f
+ORDER BY pt.term
+"""
+
+
+@query("text_bm25_append", sql=_BM25_APPEND_SQL, tags=("retrieval", "text", "incremental"))
+def text_bm25_append(spark, sf_dir) -> DataFrame:
+    """Incremental BM25 index maintenance — the append lifecycle the
+    retrieval family was missing (verdict r10 ask #5; the Bloom/IVF
+    append pattern applied to postings): a new-docs batch folds into
+    a persisted index as PURE DELTAS — postings rows are disjoint by
+    doc id so appending is a blind union, df(t) and the corpus
+    constants (N, T) are sums, all associative — and the folded index
+    must equal a from-scratch rebuild.  Emits one row per BM25-panel
+    term with df/tf from the base index, the delta batch, their fold,
+    and the rebuild, plus the per-term and corpus-level `*_matches`
+    certificates the oracle recomputes independently (the
+    appended≡rebuilt pattern of dedup_bloom_append).
+
+    Scale: appending a batch costs one hash aggregation over the
+    BATCH's tokens plus a vocab-bounded additive merge into the
+    stored df table — never a re-tokenize of history; N and T are a
+    2-integer update.  The rebuild leg here exists only to notarize
+    the equivalence.  The tokenize runs ONCE over the corpus with an
+    is_delta tag (conditional aggregation splits the legs), so the
+    certificate itself is one scan + three hash aggs."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 10 >= _APPEND_AT).alias("is_delta")
+    )
+    toks = docs.select(
+        "doc_id", "is_delta", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    terms = toks.groupBy("doc_id", "is_delta", "w").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    # the tagged postings feed three legs (doc lengths, the per-term
+    # certificate, the corpus totals) — pin once, tokenize once
+    terms = pin(terms, eager=True)
+    dlen = terms.groupBy("doc_id", "is_delta").agg(
+        F.sum("tf").cast("bigint").alias("dl")
+    )
+    stats = dlen.agg(
+        F.sum(F.when(~F.col("is_delta"), 1).otherwise(0)).cast("bigint").alias("n_docs_base"),
+        F.sum(F.when(F.col("is_delta"), 1).otherwise(0)).cast("bigint").alias("n_docs_delta"),
+        F.sum(F.when(~F.col("is_delta"), F.col("dl")).otherwise(0)).cast("bigint").alias("tok_base"),
+        F.sum(F.when(F.col("is_delta"), F.col("dl")).otherwise(0)).cast("bigint").alias("tok_delta"),
+    )
+    full_stats = dlen.groupBy("doc_id").agg(F.sum("dl").alias("dl")).agg(
+        F.count("*").cast("bigint").alias("n_docs_rebuilt"),
+        F.sum("dl").cast("bigint").alias("tok_rebuilt"),
+    )
+    panel_terms = spark.createDataFrame([(w,) for w in _PANEL_TERMS], "term string")
+    per_term = (
+        F.broadcast(panel_terms)
+        .join(terms, terms["w"] == panel_terms["term"], "left")
+        .groupBy("term")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(~F.col("is_delta"), 1).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias("df_base"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_delta"), 1).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias("df_delta"),
+            F.count("w").cast("bigint").alias("df_rebuilt"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_delta"), F.col("tf")).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias("tf_base"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_delta"), F.col("tf")).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias("tf_delta"),
+            F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("tf_rebuilt"),
+        )
+    )
+    return (
+        per_term.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(full_stats))
+        .select(
+            "term",
+            "df_base",
+            "df_delta",
+            (F.col("df_base") + F.col("df_delta")).alias("df_appended"),
+            "df_rebuilt",
+            (F.col("df_base") + F.col("df_delta") == F.col("df_rebuilt")).alias(
+                "df_matches"
+            ),
+            (F.col("tf_base") + F.col("tf_delta")).alias("tf_appended"),
+            "tf_rebuilt",
+            (F.col("tf_base") + F.col("tf_delta") == F.col("tf_rebuilt")).alias(
+                "tf_matches"
+            ),
+            (F.col("n_docs_base") + F.col("n_docs_delta")).alias("n_docs_appended"),
+            "n_docs_rebuilt",
+            (F.col("tok_base") + F.col("tok_delta")).alias("tok_appended"),
+            "tok_rebuilt",
+            (
+                (F.col("n_docs_base") + F.col("n_docs_delta") == F.col("n_docs_rebuilt"))
+                & (F.col("tok_base") + F.col("tok_delta") == F.col("tok_rebuilt"))
+            ).alias("corpus_matches"),
+        )
+        .orderBy("term")
     )
 
 
