@@ -756,3 +756,180 @@ def graph_label_propagation(spark, sf_dir):
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition by iterative peeling (round 11)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+_KCORE_ROUND_SQL_TMPL = """
+deg{r} AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM g{p} GROUP BY u),
+keep{r} AS (SELECT u FROM deg{r} WHERE d >= {K}),
+g{r} AS (
+  SELECT g.u, g.v FROM g{p} g
+  JOIN keep{r} a ON a.u = g.u
+  JOIN keep{r} b ON b.u = g.v
+)"""
+
+
+def _kcore_sql() -> str:
+    rounds = "".join(
+        "," + _KCORE_ROUND_SQL_TMPL.format(r=r, p=r - 1, K=_KCORE_K)
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    legs = " UNION ALL ".join(
+        f"""
+SELECT {r} AS round,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM keep{r}) AS n_vertices,
+       (SELECT CAST(COUNT(*) // 2 AS BIGINT) FROM g{r}) AS n_edges"""
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return f"""
+WITH {_EDGE_SQL},
+g0 AS (SELECT u, v FROM ee)
+{rounds}
+SELECT round, n_vertices, n_edges FROM ({legs})
+ORDER BY round
+"""
+
+
+@query("graph_kcore_peel", sql=_kcore_sql(), tags=("graph",))
+def graph_kcore_peel(spark, sf_dir):
+    """k-core decomposition by iterative peeling (Seidman 1983, public
+    literature), k = {k}, {n} fixed rounds: each round drops every
+    vertex whose CURRENT degree is below k, then restricts the edge
+    set to surviving endpoints — the classic community-density filter
+    a data pipeline uses to find the dense interaction core (spam
+    rings, power-user subgraphs).  Emits per round the surviving
+    vertex and undirected-edge counts; a fixpoint shows as equal
+    consecutive rows.  The oracle re-runs all rounds as chained CTEs.
+
+    Scale: each round is one hash aggregation (degrees) + a semi-
+    join-shaped double equi-join restricting edges to kept endpoints —
+    all vertex-key-partitioned, no global structure.  The kept-vertex
+    frame feeds two join legs and the count, and each round's edge
+    frame feeds the next round — both pinned, so every round runs
+    once (the BFS pin-per-round discipline; rounds shrink the data,
+    so pins are cheap and the plan stays shallow)."""
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    ee, _ = _edges_and_count(spark, sf_dir)
+    g = ee
+    out = None
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = g.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+        keep = pin(deg.where(F.col("d") >= _KCORE_K).select("u"), eager=True)
+        g = pin(
+            g.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v"),
+            eager=True,
+        )
+        stats = (
+            keep.agg(F.count("*").cast("bigint").alias("n_vertices"))
+            .crossJoin(
+                g.agg(
+                    F.expr("CAST(COUNT(*) div 2 AS BIGINT)").alias("n_edges")
+                )
+            )
+            .select(F.lit(r).alias("round"), "n_vertices", "n_edges")
+        )
+        out = stats if out is None else out.unionAll(stats)
+    return out.orderBy("round")
+
+
+graph_kcore_peel.__doc__ = graph_kcore_peel.__doc__.format(
+    k=_KCORE_K, n=_KCORE_ROUNDS
+)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (round 11)
+# ---------------------------------------------------------------------------
+
+_HITS_TOP = 20
+
+_HITS_SQL = f"""
+WITH {_EDGE_SQL},
+de AS (SELECT u AS c, v AS s FROM ee WHERE u % 2 = 0),
+a1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS auth1 FROM de GROUP BY s),
+h1 AS (
+  SELECT de.c, CAST(SUM(a1.auth1) AS BIGINT) AS hub1
+  FROM de JOIN a1 ON a1.s = de.s GROUP BY de.c
+),
+a2 AS (
+  SELECT de.s, CAST(SUM(h1.hub1) AS BIGINT) AS auth2
+  FROM de JOIN h1 ON h1.c = de.c GROUP BY de.s
+),
+ranked AS (
+  SELECT CAST((a2.s - 1) // 2 AS BIGINT) AS suppkey, a1.auth1, a2.auth2,
+         CAST(ROW_NUMBER() OVER (ORDER BY a2.auth2 DESC, a2.s) AS INTEGER) AS rk
+  FROM a2 JOIN a1 ON a1.s = a2.s
+)
+SELECT rk, suppkey, auth1, auth2 FROM ranked WHERE rk <= {_HITS_TOP}
+ORDER BY rk
+"""
+
+
+@query("graph_hits_scores", sql=_HITS_SQL, tags=("graph",))
+def graph_hits_scores(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999, public literature),
+    two UNNORMALIZED power-iteration steps over the DIRECTED purchase
+    graph (customer → supplier; the symmetric edge table's even-id
+    side recovers direction): auth₁ = in-degree, hub₁(c) = Σ auth₁ of
+    c's suppliers, auth₂(s) = Σ hub₁ of s's customers.  Skipping the
+    per-step L2 normalization keeps every score an exact BIGINT (the
+    float-hazard rule — normalization only rescales, so rankings are
+    identical) — the same trick as the lift-vs-PMI ranking.  Emits the
+    top-{_HITS_TOP} suppliers by 2-step authority with deterministic
+    tiebreak.
+
+    Scale: each half-step is one equi-join (edges ⋈ scores on the
+    vertex key) + one hash aggregation — the Pregel-in-SQL shape; the
+    directed-edge frame feeds all three legs and is pinned once.
+    Score growth is bounded by (max degree)² per double-step, so
+    BIGINT holds to ~10^5 average degree at 10^9 edges; past that the
+    same plan runs in DECIMAL(38,0)."""
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    ee, _ = _edges_and_count(spark, sf_dir)
+    de = pin(
+        ee.where(F.col("u") % 2 == 0).select(
+            F.col("u").alias("c"), F.col("v").alias("s")
+        ),
+        eager=True,
+    )
+    a1 = de.groupBy("s").agg(F.count("*").cast("bigint").alias("auth1"))
+    h1 = (
+        de.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum("auth1").cast("bigint").alias("hub1"))
+    )
+    a2 = (
+        de.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum("hub1").cast("bigint").alias("auth2"))
+    )
+    from pyspark.sql import Window as W
+
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heaps, never a global sort over the supplier dimension), THEN
+    # the rank window over the surviving {_HITS_TOP} rows
+    top = (
+        a2.join(a1, "s")
+        .orderBy(F.desc("auth2"), "s")
+        .limit(_HITS_TOP)
+    )
+    ranked = top.select(
+        F.expr("CAST((s - 1) div 2 AS BIGINT)").alias("suppkey"),
+        "auth1",
+        "auth2",
+        F.row_number()
+        .over(W.orderBy(F.desc("auth2"), "s"))
+        .cast("int")
+        .alias("rk"),
+    )
+    return ranked.select("rk", "suppkey", "auth1", "auth2").orderBy("rk")

@@ -76,6 +76,7 @@ _QUERY_MODULES = [
     "trafik_etl_modular_spark.queries.incremental_views",
     "trafik_etl_modular_spark.queries.retrieval",
     "trafik_etl_modular_spark.queries.training_prep",
+    "trafik_etl_modular_spark.queries.timeseries",
 ]
 
 # The driver's correctness pass checks exactly the FIRST 50 queries in
