@@ -1,0 +1,543 @@
+"""Optimizer-style statistics operators: join-cardinality estimation,
+Bloom semi-join pushdown, blocking quality, and partition-skew audit.
+
+At 100 TB the difference between a good and a catastrophic plan is
+usually a CARDINALITY call — these operators expose, as first-class
+certified queries, the statistics machinery an engine's optimizer
+runs internally:
+
+* **Join-cardinality estimate** — the System-R / Selinger MCV +
+  uniform-remainder estimator (public literature): the top-N most
+  common join keys contribute exactly (their frequency product), the
+  long tail contributes n_l·n_r / max(d_l, d_r).  The certificate
+  compares the estimate against the EXACT join size computed from the
+  same per-key histograms — all integer arithmetic, no sampling.
+
+* **Bloom semi-join prefilter** — the runtime-filter pushdown every
+  warehouse engine (and Spark's own `spark.sql.optimizer.runtimeFilter`)
+  applies to selective joins: build a Bloom filter over the small
+  side's keys, drop probe rows whose bits miss before the shuffle.
+  Certified: zero false negatives (structural — every true match sets
+  its bits) and the measured false-positive rate, against the exact
+  semi-join the oracle recomputes.
+
+* **Blocking quality** — entity-resolution's standard pair of metrics
+  (reduction ratio, pair completeness) for a cheap blocking key:
+  how many candidate pairs blocking leaves vs N², and what fraction
+  of true duplicate pairs the blocks retain.
+
+* **Partition-skew audit** — per-partition row/byte mass with the
+  max/avg skew factor and a 128 MB file-count plan: the layout report
+  compaction planning reads before rewriting a table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trafik_etl_modular_spark.functions.neutral_hash import oracle_nhash
+from trafik_etl_modular_spark.queries.common import t
+from trafik_etl_modular_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# System-R join-cardinality estimate (MCV + uniform remainder)
+# ---------------------------------------------------------------------------
+
+_MCV_N = 20
+
+_CARD_EST_SQL = f"""
+WITH lh AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS cl FROM events GROUP BY 1),
+rh AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cr FROM orders GROUP BY 1),
+mcv AS (SELECT k, cl FROM lh ORDER BY cl DESC, k LIMIT {_MCV_N}),
+joined AS (SELECT lh.k, lh.cl, rh.cr FROM lh JOIN rh ON rh.k = lh.k),
+actual AS (SELECT CAST(COALESCE(SUM(cl * cr), 0) AS BIGINT) AS actual_rows FROM joined),
+mcvp AS (
+  SELECT CAST(COALESCE(SUM(j.cl * j.cr), 0) AS BIGINT) AS mcv_rows,
+         CAST(COALESCE(SUM(j.cr), 0) AS BIGINT) AS nr_mcv,
+         CAST(COUNT(j.k) AS BIGINT) AS d_mcv_right
+  FROM mcv m LEFT JOIN joined j ON j.k = m.k
+),
+stats AS (
+  SELECT (SELECT CAST(SUM(cl) AS BIGINT) FROM lh) AS n_left,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lh) AS d_left,
+         (SELECT CAST(SUM(cr) AS BIGINT) FROM rh) AS n_right,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM rh) AS d_right,
+         (SELECT CAST(COALESCE(SUM(cl), 0) AS BIGINT) FROM mcv) AS nl_mcv,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM mcv) AS n_mcv
+)
+SELECT s.n_left, s.d_left, s.n_right, s.d_right, s.n_mcv,
+       a.actual_rows, m.mcv_rows,
+       m.mcv_rows
+         + ((s.n_left - s.nl_mcv) * (s.n_right - m.nr_mcv))
+           // GREATEST(s.d_left - s.n_mcv, s.d_right - m.d_mcv_right, 1)
+         AS est_rows,
+       CAST(((m.mcv_rows
+         + ((s.n_left - s.nl_mcv) * (s.n_right - m.nr_mcv))
+           // GREATEST(s.d_left - s.n_mcv, s.d_right - m.d_mcv_right, 1))
+         * 1000000) // GREATEST(a.actual_rows, 1) AS BIGINT) AS est_ratio_e6
+FROM stats s CROSS JOIN actual a CROSS JOIN mcvp m
+"""
+
+
+@query("join_cardinality_estimate", sql=_CARD_EST_SQL, tags=("join", "planning"))
+def join_cardinality_estimate(spark, sf_dir) -> DataFrame:
+    """System-R join-cardinality estimation certificate (module doc)
+    for the many-to-many events ⋈ orders on the user/customer key
+    (~tens of events × ~ten orders per key — real frequency skew on
+    both sides, the case uniform-only estimators get wrong): the
+    top-{n} MCV keys
+    contribute their exact frequency product; the remainder uses the
+    uniform-independence formula n_l·n_r / max(d_l, d_r).  Emits the
+    histograms' summary, the exact join size, the estimate, and the
+    estimate/actual ratio (e6) — the number an optimizer would feed
+    its join-ordering cost model, notarized against ground truth.
+
+    Scale: two per-key hash aggregations (the histograms — the same
+    pass ANALYZE TABLE runs), one vocab-bounded histogram equi-join;
+    the exact join size comes from Σ cl·cr over the joined histograms
+    — never materializing the join itself.  MCV selection is a
+    distributed top-{n} (TakeOrderedAndProject), ties broken by key."""
+    ev = t(spark, sf_dir, "events")
+    orders = t(spark, sf_dir, "orders")
+    lh = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").cast("bigint").alias("cl")
+    )
+    rh = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("cr")
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    # both histograms feed two legs each (stats + the histogram join)
+    lh, rh = pin(lh, eager=True), pin(rh, eager=True)
+    mcv = lh.orderBy(F.desc("cl"), "k").limit(_MCV_N)
+    joined = pin(lh.join(rh, "k").select("k", "cl", "cr"), eager=True)
+    actual = joined.agg(
+        F.coalesce(F.sum(F.col("cl") * F.col("cr")), F.lit(0))
+        .cast("bigint")
+        .alias("actual_rows")
+    )
+    mcvp = (
+        mcv.alias("m")
+        .join(joined.alias("j"), "k", "left")
+        .agg(
+            F.coalesce(F.sum(F.col("j.cl") * F.col("j.cr")), F.lit(0))
+            .cast("bigint")
+            .alias("mcv_rows"),
+            F.coalesce(F.sum("j.cr"), F.lit(0)).cast("bigint").alias("nr_mcv"),
+            F.count("j.k").cast("bigint").alias("d_mcv_right"),
+        )
+    )
+    stats = (
+        lh.agg(
+            F.sum("cl").cast("bigint").alias("n_left"),
+            F.count("*").cast("bigint").alias("d_left"),
+        )
+        .crossJoin(
+            rh.agg(
+                F.sum("cr").cast("bigint").alias("n_right"),
+                F.count("*").cast("bigint").alias("d_right"),
+            )
+        )
+        .crossJoin(
+            mcv.agg(
+                F.coalesce(F.sum("cl"), F.lit(0)).cast("bigint").alias("nl_mcv"),
+                F.count("*").cast("bigint").alias("n_mcv"),
+            )
+        )
+    )
+    out = stats.crossJoin(F.broadcast(actual)).crossJoin(F.broadcast(mcvp))
+    est = F.expr(
+        "mcv_rows + ((n_left - nl_mcv) * (n_right - nr_mcv))"
+        " div greatest(d_left - n_mcv, d_right - d_mcv_right, CAST(1 AS BIGINT))"
+    )
+    return out.select(
+        "n_left",
+        "d_left",
+        "n_right",
+        "d_right",
+        "n_mcv",
+        "actual_rows",
+        "mcv_rows",
+        est.cast("bigint").alias("est_rows"),
+        F.expr(
+            "((mcv_rows + ((n_left - nl_mcv) * (n_right - nr_mcv))"
+            " div greatest(d_left - n_mcv, d_right - d_mcv_right, CAST(1 AS BIGINT)))"
+            " * 1000000) div greatest(actual_rows, CAST(1 AS BIGINT))"
+        )
+        .cast("bigint")
+        .alias("est_ratio_e6"),
+    )
+
+
+join_cardinality_estimate.__doc__ = join_cardinality_estimate.__doc__.format(n=_MCV_N)
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join prefilter certificate
+# ---------------------------------------------------------------------------
+
+
+def _bloom_semi_oracle_sql(sf_dir: str) -> str:
+    """Oracle rebuilds the filter from the small side and re-runs the
+    probe + exact semi-join independently."""
+    import duckdb
+
+    from trafik_etl_modular_spark.queries.sketches import BLOOM_K, _bloom_m
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/customer.parquet' WHERE c_acctbal < 0"
+    ).fetchone()[0]
+    m = _bloom_m(int(n))
+    h1b = oracle_nhash("c_custkey", "b1")
+    h2b = oracle_nhash("c_custkey", "b2")
+    h1p = oracle_nhash("o_custkey", "b1")
+    h2p = oracle_nhash("o_custkey", "b2")
+    lanes = ", ".join(f"({i})" for i in range(BLOOM_K))
+    return f"""
+WITH small AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+lanes(i) AS (VALUES {lanes}),
+words AS (
+  SELECT p // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS w
+  FROM (SELECT ({h1b} + i * {h2b}) % {m} AS p FROM small CROSS JOIN lanes)
+  GROUP BY 1
+),
+probe AS (
+  SELECT o_orderkey, o_custkey, ({h1p} + i * {h2p}) % {m} AS p
+  FROM orders CROSS JOIN lanes
+),
+checked AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(SUM(CASE WHEN (COALESCE(w.w, 0) >> CAST(p % 32 AS INTEGER)) & 1 = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+  FROM probe LEFT JOIN words w ON w.word_idx = p // 32
+  GROUP BY o_orderkey, o_custkey
+),
+flags AS (
+  SELECT c.o_orderkey, (c.n_set = {BLOOM_K}) AS passed,
+         (s.c_custkey IS NOT NULL) AS actual
+  FROM checked c
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM small) s ON s.c_custkey = c.o_custkey
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM small) AS n_build_keys,
+       CAST(COUNT(*) AS BIGINT) AS n_probe_rows,
+       CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+       CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_actual,
+       CAST(SUM(CASE WHEN passed AND NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positive,
+       CAST((SUM(CASE WHEN passed AND NOT actual THEN 1 ELSE 0 END) * 1000000)
+            // GREATEST(SUM(CASE WHEN NOT actual THEN 1 ELSE 0 END), 1) AS BIGINT)
+         AS fp_rate_e6,
+       (SUM(CASE WHEN actual AND NOT passed THEN 1 ELSE 0 END) = 0)
+         AS no_false_negatives
+FROM flags
+"""
+
+
+@query("join_bloom_semi_prefilter", sql=_bloom_semi_oracle_sql, tags=("join", "planning", "sketch"))
+def join_bloom_semi_prefilter(spark, sf_dir) -> DataFrame:
+    """Bloom runtime-filter pushdown certificate (module doc): build a
+    Bloom filter over the selective small side (customers with
+    negative balance), probe every order's custkey, and compare the
+    filter's verdicts against the exact semi-join.  Emits build/probe
+    volumes, pass/match counts, the false-positive count and rate
+    (e6, over true non-matches), and `no_false_negatives` — the
+    structural guarantee (a member's bits are all set by
+    construction) the oracle re-proves.
+
+    Scale: this is the shape that turns a shuffle of ALL probe rows
+    into a shuffle of matches + ε: the word table is m/32 rows
+    (BROADCAST — runtime filters ship to every scan task), the probe
+    is a map-side explode of k=5 positions + one aggregation keyed by
+    the probe row, and only survivors reach the join.  The same
+    neutral-hash construction as the dedup Bloom family, so the
+    oracle rebuilds the filter bit-for-bit."""
+    from trafik_etl_modular_spark.queries.sketches import (
+        BLOOM_K,
+        _bloom_m,
+        bloom_lanes,
+        bloom_word_table,
+    )
+
+    cust = t(spark, sf_dir, "customer")
+    small = cust.where(F.col("c_acctbal") < 0).select("c_custkey")
+    m = _bloom_m(small.count())
+    pos = small.select(
+        F.explode(bloom_lanes(m, text_col="c_custkey")).alias("p")
+    )
+    words = bloom_word_table(pos)
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probe = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(bloom_lanes(m, text_col="o_custkey")).alias("p"),
+    )
+    checked = (
+        probe.join(
+            F.broadcast(words),
+            F.expr("p div 32") == F.col("word_idx"),
+            "left",
+        )
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        "(coalesce(w, CAST(0 AS BIGINT)) >> CAST(p % 32 AS INT)) & 1"
+                    )
+                    == 1,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_set")
+        )
+    )
+    flags = checked.join(
+        small.distinct().withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+        "left_semi",
+    ).select("o_orderkey").withColumn("actual", F.lit(True))
+    joined = checked.join(flags.select("o_orderkey", "actual"), "o_orderkey", "left").select(
+        (F.col("n_set") == BLOOM_K).alias("passed"),
+        F.coalesce("actual", F.lit(False)).alias("actual"),
+    )
+    n_build = small.agg(F.count("*").cast("bigint").alias("n_build_keys"))
+    agg = joined.agg(
+        F.count("*").cast("bigint").alias("n_probe_rows"),
+        F.sum(F.when(F.col("passed"), 1).otherwise(0)).cast("bigint").alias("n_passed"),
+        F.sum(F.when(F.col("actual"), 1).otherwise(0)).cast("bigint").alias("n_actual"),
+        F.sum(F.when(F.col("passed") & ~F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_positive"),
+        F.sum(F.when(~F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_n_nonmatch"),
+        (
+            F.sum(F.when(F.col("actual") & ~F.col("passed"), 1).otherwise(0)) == 0
+        ).alias("no_false_negatives"),
+    )
+    return (
+        F.broadcast(n_build)
+        .crossJoin(agg)
+        .select(
+            "n_build_keys",
+            "n_probe_rows",
+            "n_passed",
+            "n_actual",
+            "n_false_positive",
+            F.expr(
+                "(n_false_positive * 1000000) div greatest(_n_nonmatch, CAST(1 AS BIGINT))"
+            )
+            .cast("bigint")
+            .alias("fp_rate_e6"),
+            "no_false_negatives",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocking quality (entity resolution)
+# ---------------------------------------------------------------------------
+
+_BLK_CHARS = 64
+
+_BLOCKING_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang || '|' || CAST(n_chars // {_BLK_CHARS} AS VARCHAR) AS blk,
+         md5(text) AS h
+  FROM documents
+),
+blocks AS (SELECT blk, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY blk),
+cand AS (
+  SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS candidate_pairs,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(MAX(n) AS BIGINT) AS max_block_size
+  FROM blocks
+),
+dg AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS g FROM b GROUP BY h),
+dp AS (SELECT CAST(COALESCE(SUM(g * (g - 1) // 2), 0) AS BIGINT) AS dup_pairs FROM dg),
+dgb AS (SELECT h, blk, CAST(COUNT(*) AS BIGINT) AS gb FROM b GROUP BY h, blk),
+cov AS (
+  SELECT CAST(COALESCE(SUM(gb * (gb - 1) // 2), 0) AS BIGINT) AS dup_pairs_covered
+  FROM dgb
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM b)
+SELECT t.n_docs, c.n_blocks, c.max_block_size, c.candidate_pairs,
+       CAST(t.n_docs * (t.n_docs - 1) // 2 AS BIGINT) AS total_pairs,
+       CAST(((t.n_docs * (t.n_docs - 1) // 2 - c.candidate_pairs) * 1000000)
+            // GREATEST(t.n_docs * (t.n_docs - 1) // 2, 1) AS BIGINT)
+         AS reduction_ratio_e6,
+       d.dup_pairs, v.dup_pairs_covered,
+       CAST(CASE WHEN d.dup_pairs > 0
+                 THEN (v.dup_pairs_covered * 1000000) // d.dup_pairs
+                 ELSE 1000000 END AS BIGINT) AS pair_completeness_e6
+FROM tot t CROSS JOIN cand c CROSS JOIN dp d CROSS JOIN cov v
+"""
+
+
+@query("dedup_blocking_quality", sql=_BLOCKING_SQL, tags=("dedup", "planning", "quality"))
+def dedup_blocking_quality(spark, sf_dir) -> DataFrame:
+    """Blocking-key quality report (module doc) for the cheap
+    (lang, ⌊n_chars/{w}⌋) blocking key: reduction ratio — the fraction
+    of the N² comparison space blocking eliminates — and pair
+    completeness — the fraction of true duplicate pairs (same exact
+    content hash) that land in the same block and thus remain
+    findable.  The standard Christen entity-resolution metrics,
+    computed exactly; the oracle recomputes both from raw documents.
+
+    Scale: candidate mass comes from per-block counts (Σ n·(n−1)/2 —
+    one hash aggregation, never the pairs themselves); duplicate
+    coverage from (hash, block) group counts.  This is the query you
+    run BEFORE committing a blocking scheme to a corpus-scale dedup
+    job — an LSH band key slots into `blk` unchanged."""
+    docs = t(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.col("lang"), F.expr(f"CAST(n_chars div {_BLK_CHARS} AS STRING)")
+        ).alias("blk"),
+        F.md5("text").alias("h"),
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    b = pin(b, eager=True)
+    blocks = b.groupBy("blk").agg(F.count("*").cast("bigint").alias("n"))
+    cand = blocks.agg(
+        F.coalesce(F.sum(F.expr("n * (n - 1) div 2")), F.lit(0))
+        .cast("bigint")
+        .alias("candidate_pairs"),
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.max("n").cast("bigint").alias("max_block_size"),
+    )
+    dg = b.groupBy("h").agg(F.count("*").cast("bigint").alias("g"))
+    dp = dg.agg(
+        F.coalesce(F.sum(F.expr("g * (g - 1) div 2")), F.lit(0))
+        .cast("bigint")
+        .alias("dup_pairs")
+    )
+    dgb = b.groupBy("h", "blk").agg(F.count("*").cast("bigint").alias("gb"))
+    cov = dgb.agg(
+        F.coalesce(F.sum(F.expr("gb * (gb - 1) div 2")), F.lit(0))
+        .cast("bigint")
+        .alias("dup_pairs_covered")
+    )
+    tot = b.agg(F.count("*").cast("bigint").alias("n_docs"))
+    out = (
+        tot.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(dp))
+        .crossJoin(F.broadcast(cov))
+    )
+    return out.select(
+        "n_docs",
+        "n_blocks",
+        "max_block_size",
+        "candidate_pairs",
+        F.expr("CAST(n_docs * (n_docs - 1) div 2 AS BIGINT)").alias("total_pairs"),
+        F.expr(
+            "((n_docs * (n_docs - 1) div 2 - candidate_pairs) * 1000000)"
+            " div greatest(n_docs * (n_docs - 1) div 2, CAST(1 AS BIGINT))"
+        )
+        .cast("bigint")
+        .alias("reduction_ratio_e6"),
+        "dup_pairs",
+        "dup_pairs_covered",
+        F.expr(
+            "CASE WHEN dup_pairs > 0"
+            " THEN (dup_pairs_covered * 1000000) div dup_pairs"
+            " ELSE 1000000 END"
+        )
+        .cast("bigint")
+        .alias("pair_completeness_e6"),
+    )
+
+
+dedup_blocking_quality.__doc__ = dedup_blocking_quality.__doc__.format(w=_BLK_CHARS)
+
+# ---------------------------------------------------------------------------
+# Partition-skew audit
+# ---------------------------------------------------------------------------
+
+_TARGET_FILE_BYTES = 128 * 1024 * 1024
+# fixed-width column payload proxy: event_id + user_id + value + ts
+_FIXED_ROW_BYTES = 28
+
+_SKEW_SQL = f"""
+WITH per_day AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(SUM(strlen(props) + strlen(event_type)
+                  + {_FIXED_ROW_BYTES}) AS BIGINT) AS est_bytes
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+g AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         CAST(MAX(n_rows) AS BIGINT) AS max_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM per_day
+)
+SELECT p.day, p.n_rows, p.n_users, p.est_bytes,
+       CAST((p.n_rows * 1000000) // g.total_rows AS BIGINT) AS share_e6,
+       CAST((g.max_rows * g.n_days * 1000000) // g.total_rows AS BIGINT)
+         AS skew_factor_e6,
+       CAST((p.est_bytes + {_TARGET_FILE_BYTES} - 1) // {_TARGET_FILE_BYTES}
+            AS BIGINT) AS n_target_files
+FROM per_day p CROSS JOIN g
+ORDER BY p.day
+"""
+
+
+@query("dq_partition_skew_audit", sql=_SKEW_SQL, tags=("quality", "planning"))
+def dq_partition_skew_audit(spark, sf_dir) -> DataFrame:
+    """Partition-layout audit for the date-partitioned events table
+    (module doc): per day — row count, distinct users, an exact
+    integer byte-mass proxy (variable-width columns by octet length +
+    a fixed-width constant), the day's share of total rows (e6), the
+    global max/avg skew factor (e6, repeated on every row), and the
+    128 MB-target file count compaction would plan for that partition.
+
+    Scale: ONE hash aggregation keyed by the partition value — the
+    audit costs one scan regardless of table size, and its output is
+    |partitions| rows.  A skew factor near 1e6 means uniform
+    partitions; the factor is exactly what sizes AQE's skew-join
+    threshold and the compaction batch plan."""
+    ev = t(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(
+            F.octet_length("props")
+            + F.octet_length("event_type")
+            + F.lit(_FIXED_ROW_BYTES)
+        )
+        .cast("bigint")
+        .alias("est_bytes"),
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    per_day = pin(per_day, eager=True)
+    g = per_day.agg(
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    return (
+        per_day.crossJoin(F.broadcast(g))
+        .select(
+            "day",
+            "n_rows",
+            "n_users",
+            "est_bytes",
+            F.expr("(n_rows * 1000000) div total_rows").cast("bigint").alias("share_e6"),
+            F.expr("(max_rows * n_days * 1000000) div total_rows")
+            .cast("bigint")
+            .alias("skew_factor_e6"),
+            F.expr(
+                f"(est_bytes + {_TARGET_FILE_BYTES} - 1) div {_TARGET_FILE_BYTES}"
+            )
+            .cast("bigint")
+            .alias("n_target_files"),
+        )
+        .orderBy("day")
+    )

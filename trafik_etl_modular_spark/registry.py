@@ -77,6 +77,7 @@ _QUERY_MODULES = [
     "trafik_etl_modular_spark.queries.retrieval",
     "trafik_etl_modular_spark.queries.training_prep",
     "trafik_etl_modular_spark.queries.timeseries",
+    "trafik_etl_modular_spark.queries.planning",
 ]
 
 # The driver's correctness pass checks exactly the FIRST 50 queries in
