@@ -696,3 +696,87 @@ def agg_pearson_correlation(spark, sf_dir):
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out.orderBy("col_x", "col_y")
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group percentile grid (round 11)
+# ---------------------------------------------------------------------------
+
+_PCTL_GRID = (10, 25, 50, 75, 90)
+
+
+def _pctl_cols_sql() -> str:
+    return ",\n       ".join(
+        f"CAST(MAX(CASE WHEN rn = (n * {q} + 99) // 100 THEN cents END) AS BIGINT)"
+        f" AS p{q}_cents"
+        for q in _PCTL_GRID
+    )
+
+
+_PCTL_SQL = f"""
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       {_pctl_cols_sql()}
+FROM ranked GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("agg_exact_percentile_grid", sql=_PCTL_SQL, tags=("agg", "analytics"))
+def agg_exact_percentile_grid(spark, sf_dir):
+    """EXACT per-group percentile grid (P10/P25/P50/P75/P90 of the
+    value column per event type) via order statistics: the q-th
+    percentile is the ⌈q·n⌉-th smallest value — integer index
+    arithmetic on an exact-cents ordering, the deterministic
+    counterpart of agg_approx_percentile_value (and the grid
+    generalization of agg_exact_median_iqr's single cut).  Both
+    engines pick identical order statistics because values fold to
+    integer cents and the in-group order carries an event_id
+    tiebreak.
+
+    Scale: ONE window pass partitioned by the group key (rank +
+    count over the same partition — one shuffle, no per-quantile
+    rescans), then a CASE-pick aggregation; per-group data never
+    leaves its partition, so the plan is exactly as parallel as the
+    group count.  For ungrouped corpus-wide grids at 10^12 rows the
+    approx_percentile sketch is the first pass and this the
+    verification pass on flagged groups."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("value").cast(T.DecimalType(38, 2)) * 100).cast("long").alias("cents"),
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wp.orderBy("cents", "event_id")).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(F.col("rn") == F.expr(f"(n * {q} + 99) div 100"), F.col("cents"))
+        )
+        .cast("bigint")
+        .alias(f"p{q}_cents")
+        for q in _PCTL_GRID
+    ]
+    return (
+        ranked.groupBy("event_type")
+        .agg(F.max("n").cast("bigint").alias("n_events"), *picks)
+        .orderBy("event_type")
+    )

@@ -6169,3 +6169,151 @@ def text_bigram_collocations(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("lift_e6"), "bigram").limit(_COLLOC_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency curve + hapax lexical diversity (round 11)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 30
+
+_ZIPF_SQL = f"""
+WITH tf AS (
+  SELECT t.u AS term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS u FROM documents) t
+  WHERE t.u <> '' GROUP BY t.u
+),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens FROM tf),
+ranked AS (
+  SELECT term, freq,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rk,
+         CAST(SUM(freq) OVER (ORDER BY freq DESC, term) AS BIGINT) AS cum_freq
+  FROM tf
+)
+SELECT r.rk, r.term, r.freq,
+       CAST(r.rk * r.freq AS BIGINT) AS zipf_product,
+       CAST((r.cum_freq * 1000000) // t.n_tokens AS BIGINT) AS cum_share_e6
+FROM ranked r CROSS JOIN tot t
+WHERE r.rk <= {_ZIPF_TOP}
+ORDER BY r.rk
+"""
+
+
+@query("vocab_zipf_rank_curve", sql=_ZIPF_SQL, tags=("llmdata", "text"))
+def vocab_zipf_rank_curve(spark, sf_dir):
+    """Zipf rank-frequency curve: the top-{top} corpus terms with
+    rank, frequency, the rank·frequency product (near-constant under
+    Zipf's law — the sanity gauge for synthetic-vs-natural vocabulary
+    mix), and the cumulative head share (e6) — how much of the token
+    mass the top-k terms carry, the number that sizes stopword lists
+    and MaxScore's upper-bound table.  All exact integers; the oracle
+    recomputes the full curve.
+
+    Scale: term frequency is one hash aggregation over the token
+    explode; the top-{top} head is a distributed
+    TakeOrderedAndProject, and the rank/cumulative window then runs
+    over {top} rows — the global sort the naive plan would do over
+    the whole vocabulary never happens (cumulative shares of a
+    rank-prefix depend only on the prefix)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("u"))
+        .where(F.col("u") != "")
+        .groupBy(F.col("u").alias("term"))
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    from pyspark.sql import Window
+
+    tf = pin(tf, eager=True)
+    tot = tf.agg(F.sum("freq").cast("bigint").alias("n_tokens"))
+    top = tf.orderBy(F.desc("freq"), "term").limit(_ZIPF_TOP)
+    w = Window.orderBy(F.desc("freq"), "term")
+    ranked = top.select(
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        "term",
+        "freq",
+        F.sum("freq")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_freq"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rk",
+            "term",
+            "freq",
+            (F.col("rk") * F.col("freq")).cast("bigint").alias("zipf_product"),
+            F.expr("(cum_freq * 1000000) div n_tokens")
+            .cast("bigint")
+            .alias("cum_share_e6"),
+        )
+        .orderBy("rk")
+    )
+
+
+vocab_zipf_rank_curve.__doc__ = vocab_zipf_rank_curve.__doc__.format(top=_ZIPF_TOP)
+
+
+_HAPAX_SQL = """
+WITH tf AS (
+  SELECT lang, t.u AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS u FROM documents) t
+  WHERE t.u <> '' GROUP BY lang, t.u
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST((COUNT(*) * 1000000) // SUM(c) AS BIGINT) AS type_token_ratio_e6,
+       CAST((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+            AS BIGINT) AS hapax_share_e6
+FROM tf GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("text_hapax_diversity", sql=_HAPAX_SQL, tags=("llmdata", "text", "quality"))
+def text_hapax_diversity(spark, sf_dir):
+    """Lexical-diversity profile per language: token and type counts,
+    hapax legomena (words occurring exactly once), the type-token
+    ratio, and the hapax share of the vocabulary (both e6) — the
+    corpus-quality gauges that catch template spam (TTR collapses)
+    and OCR noise (hapax share explodes) before training.  Exact
+    integers; the oracle recomputes from raw text.
+
+    Scale: ONE hash aggregation to (lang, word) counts — vocabulary-
+    bounded, map-side combined — then a |langs|-row rollup.  The same
+    postings-shaped pass as the BM25 df table, reusable from it."""
+    docs = t(spark, sf_dir, "documents").select("lang", "text")
+    tf = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("u"))
+        .where(F.col("u") != "")
+        .groupBy("lang", F.col("u").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return (
+        tf.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("(n_types * 1000000) div n_tokens")
+            .cast("bigint")
+            .alias("type_token_ratio_e6"),
+            F.expr("(n_hapax * 1000000) div n_types")
+            .cast("bigint")
+            .alias("hapax_share_e6"),
+        )
+        .orderBy("lang")
+    )

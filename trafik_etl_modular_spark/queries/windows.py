@@ -379,3 +379,88 @@ def window_cumulative_distinct_users(spark, sf_dir):
         "n_new_users",
         F.sum("n_new_users").over(w).cast("bigint").alias("cum_distinct_users"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks (round 11)
+# ---------------------------------------------------------------------------
+
+_STREAK_TOP = 20
+
+_ISLANDS_SQL = f"""
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+grp AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER)
+           AS anchor
+  FROM days
+),
+islands AS (
+  SELECT user_id, MIN(d) AS streak_start, CAST(COUNT(*) AS BIGINT) AS streak_days
+  FROM grp GROUP BY user_id, anchor
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total_streaks FROM islands),
+ranked AS (
+  SELECT user_id, streak_start, streak_days,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY streak_days DESC, user_id, streak_start
+         ) AS INTEGER) AS rk
+  FROM islands
+)
+SELECT r.rk, r.user_id, r.streak_start, r.streak_days, t.n_total_streaks
+FROM ranked r CROSS JOIN tot t
+WHERE r.rk <= {_STREAK_TOP}
+ORDER BY r.rk
+"""
+
+
+@query("window_activity_islands", sql=_ISLANDS_SQL, tags=("window", "analytics"))
+def window_activity_islands(spark, sf_dir):
+    """Gaps-and-islands: each user's consecutive-day activity streaks
+    via the classic date-minus-row_number anchor (consecutive days
+    share an anchor; any gap starts a new island) — the retention
+    primitive behind streak badges and churn-risk features.  Emits
+    the {top} longest streaks (deterministic tiebreak) plus the
+    global streak count on every row; the oracle re-derives the
+    islands independently.
+
+    Scale: ONE user-partitioned window pass over the distinct
+    (user, day) frame — the anchor trick turns streak detection into
+    a plain two-key hash aggregation, no self-join over days and no
+    iterative pass; the top-{top} head is a distributed
+    TakeOrderedAndProject before the final rank window over {top}
+    rows."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wrn = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(wrn))
+    )
+    islands = grp.groupBy("user_id", "anchor").agg(
+        F.min("d").alias("streak_start"),
+        F.count("*").cast("bigint").alias("streak_days"),
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    islands = pin(islands.drop("anchor"), eager=True)
+    tot = islands.agg(F.count("*").cast("bigint").alias("n_total_streaks"))
+    top = islands.orderBy(
+        F.desc("streak_days"), "user_id", "streak_start"
+    ).limit(_STREAK_TOP)
+    wr = Window.orderBy(F.desc("streak_days"), "user_id", "streak_start")
+    ranked = top.select(
+        F.row_number().over(wr).cast("int").alias("rk"),
+        "user_id",
+        "streak_start",
+        "streak_days",
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select("rk", "user_id", "streak_start", "streak_days", "n_total_streaks")
+        .orderBy("rk")
+    )
+
+
+window_activity_islands.__doc__ = window_activity_islands.__doc__.format(
+    top=_STREAK_TOP
+)
