@@ -99,86 +99,72 @@ _QUERY_MODULES = [
 # and changed-since-stamp queries always enter the next window.
 # `python tools/stamps.py --plan-next` prints each round's exact
 # obligation; tests/test_contract.py::test_window_covers_stale_stamps
-# enforces it from the same module.  Under the tiers, this round's
-# obligation: the 11 single-stamp r05 queries (forced now) plus the
-# 14 single-stamp r06 queries (forced at r11 — pre-rotated here so
-# they earn stamp #2 and go mature).  End-of-round --plan-next at
-# N=218: round 11's MANDATORY cohort is ZERO — all 50 slots free for
-# r11's own additions + changed queries + oldest-deadline fill (the
-# r07/r08/r09 single-stamp actives print first in the fill
-# suggestion; r07 actives hit their edge at r12, so r11 should
-# re-window them).
+# enforces it from the same module.  Round 11: the MANDATORY cohort is
+# ZERO (end-of-r10 --plan-next), so the 50 slots carry (1) every query
+# ADDED this round (never-stamped rule), (2) every query whose
+# function/oracle CHANGED this round (hash-manifest rule: the phrase-
+# search prefilter, the LPA radix guard, the bigram 1-token guard),
+# (3) the 6 r07 single-stamp actives whose deadline hits at r12, then
+# (4) oldest-tier-deadline fill: the r08/r09 single-stamp actives and
+# the soonest-due matures, exactly in --plan-next's printed order.
 DRIVER_WINDOW: list[str] = [
-    # --- forced: single-stamp r05 cohort (deadline r10) ---------------
-    "scd2_history",
-    "scd2_incremental_merge",
-    "events_funnel_stages",
-    "events_cohort_retention",
-    "sample_exact_quota_split",
-    "sample_temperature_mix",
-    "sample_contrastive_triples",
-    "sample_curriculum_phases",
-    "vocab_coverage_curve",
-    "vocab_bpe_merge_candidates",
-    "dq_histogram_value",
-    # --- pre-rotation: single-stamp r06 cohort (deadline r11) ---------
-    "agg_approx_distinct_users",
-    "agg_approx_percentile_value",
-    "agg_distinct_overlap_matrix",
-    "agg_hll_mergeable_rollup",
-    "curation_pipeline_v3",
-    "curation_pipeline_v6",
-    "dedup_chunk_crossdoc",
-    "dq_drift_report",
-    "sim_ann_recall_report",
-    "source_file_provenance",
-    "text_bigram_lm_score",
-    "text_novelty_curve",
-    "text_unigram_lm_score",
-    "window_cumulative_distinct_users",
-    # --- changed this round (hash-manifest rule): triangle radix
-    # guard (ADVICE r09), spatial + curation-v3 reliable-checkpoint
-    # option (verdict ask #5; v3 sits in the pre-rotation block
-    # above), sketch-family lane-parameterized builders (verdict ask
-    # #4) --------------------------------------------------------------
-    "graph_triangle_count",
-    "join_spatial_neighbor_pairs",
-    "dedup_bloom_prefilter",
-    "dedup_bloom_append",
-    "agg_cms_heavy_hitters",
-    "agg_kmv_distinct_jaccard",
-    # --- fill: soonest tier-aware deadline first (single-stamp r07 /
-    # r08 actives).  New round-10 queries evict from the BOTTOM of
-    # this block as they land (never-stamped rule outranks fill). ----
-    "dedup_containment_pairs",
-    "dedup_golden_record",
-    "dq_mad_outliers",
-    # --- never-stamped: round-10 first batch (BM25 retrieval family,
-    # training shuffle/chunking, seasonal DQ) --------------------------
-    "text_bm25_topk",
-    "text_bm25_maxscore_prune",
-    "sample_shuffle_shards",
-    "text_chunk_windows",
-    "dq_seasonal_decompose",
-    # --- never-stamped: round-10 second batch (MMR rerank, JL random
-    # projection, label-propagation communities) ----------------------
-    "sim_mmr_rerank",
-    "sim_random_projection_jl",
-    "graph_label_propagation",
-    # --- never-stamped: round-10 third batch (CUSUM changepoint,
-    # exact bitmap distinct rollup) ------------------------------------
-    "dq_cusum_changepoint",
-    "agg_bitmap_distinct_rollup",
-    # --- never-stamped: round-10 fourth batch (transition matrix,
-    # collocations) ----------------------------------------------------
-    "events_transition_matrix",
-    "text_bigram_collocations",
-    "sample_temporal_split_leakage",
-    "streaming_cusum_monitor",
-    # --- never-stamped: round-10 sixth batch (phrase search, exact
-    # Pearson moments) --------------------------------------------------
+    # --- never-stamped: round-11 additions -----------------------------
+    "text_bm25_append",
+    "sample_shuffle_epochs",
+    "graph_kcore_peel",
+    "graph_hits_scores",
+    "events_autocorrelation",
+    "events_interarrival_histogram",
+    "events_attribution_touch",
+    "join_cardinality_estimate",
+    "join_bloom_semi_prefilter",
+    "dedup_blocking_quality",
+    "dq_partition_skew_audit",
+    "vocab_zipf_rank_curve",
+    "text_hapax_diversity",
+    "window_activity_islands",
+    "agg_exact_percentile_grid",
+    # --- changed this round (hash-manifest rule): phrase-search token
+    # prefilter (verdict r10 weak fix), LPA radix guard (ADVICE r10),
+    # bigram single-token-doc guard (ADVICE r10) ------------------------
     "text_phrase_search",
-    "agg_pearson_correlation",
+    "graph_label_propagation",
+    "text_bigram_collocations",
+    # --- r07 single-stamp actives: deadline r12, re-windowed now -------
+    "events_hourly_locf",
+    "graph_bfs_3hop",
+    "inc_nearest_center",
+    "join_nearest_click_tolerance",
+    "sim_rank_fusion_rrf",
+    "window_ntile_cume_dist",
+    # --- fill: r08/r09 single-stamp actives (planner order) ------------
+    "dedup_lsh_calibration",
+    "dedup_simhash_calibration",
+    "dq_embedding_profile",
+    "sim_ivf_incremental_append",
+    "sim_ivf_retrain_reassignment",
+    "dedup_url_canonical",
+    "dq_benford_digit_test",
+    "join_spatial_knn_probes",
+    "merge_cdc_apply_tombstones",
+    "merge_join_ivm",
+    "multimodal_dedup_incremental",
+    "multimodal_dedup_perceptual",
+    "sim_ann_ivf_pq_probe",
+    "sim_ivf_compact",
+    "sim_pq_recall",
+    "text_host_quality_policy",
+    # --- fill: soonest-deadline matures (planner order) ----------------
+    "inc_daily_trend_gapfill",
+    "agg_cube_flag_status",
+    "agg_exact_median_iqr",
+    "agg_pivot_linestatus",
+    "agg_rollup_daily_type",
+    "agg_stats_unpivot",
+    "agg_value_stats",
+    "curation_pipeline_v2",
+    "filter_or_contains_text",
+    "filter_range_inlist_orders",
 ]
 
 
