@@ -208,3 +208,134 @@ def merge_cdc_apply_tombstones(spark, sf_dir) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot table diff (round 11)
+# ---------------------------------------------------------------------------
+
+# deterministic v2 derivation (both engines apply the identical rules,
+# so the diff is fully cross-checkable): drop every 11th key, bump
+# totalprice by 1.00 on every 7th, flip status to 'X' on every 5th,
+# clone every 13th as a new row at key + 10^9
+_DIFF_ADD_OFFSET = 1_000_000_000
+
+_TABLE_DIFF_SQL = f"""
+WITH v1 AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS price_cents,
+         o_orderstatus AS status
+  FROM orders
+),
+v2 AS (
+  SELECT k,
+         price_cents + CASE WHEN k % 7 = 0 THEN 100 ELSE 0 END AS price_cents,
+         CASE WHEN k % 5 = 0 THEN 'X' ELSE status END AS status
+  FROM v1 WHERE k % 11 <> 0
+  UNION ALL
+  SELECT k + {_DIFF_ADD_OFFSET} AS k, price_cents, status
+  FROM v1 WHERE k % 13 = 0
+),
+d AS (
+  SELECT COALESCE(a.k, b.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'added'
+              WHEN b.k IS NULL THEN 'removed'
+              WHEN a.price_cents <> b.price_cents OR a.status <> b.status
+                THEN 'changed'
+              ELSE 'identical' END AS change_type,
+         CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                   AND a.price_cents <> b.price_cents THEN 1 ELSE 0 END AS pc,
+         CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                   AND a.status <> b.status THEN 1 ELSE 0 END AS sc,
+         CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                   THEN b.price_cents - a.price_cents ELSE 0 END AS delta
+  FROM v1 a FULL OUTER JOIN v2 b ON b.k = a.k
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(pc) AS BIGINT) AS n_price_changed,
+       CAST(SUM(sc) AS BIGINT) AS n_status_changed,
+       CAST(SUM(delta) AS BIGINT) AS price_delta_cents
+FROM d GROUP BY change_type
+ORDER BY change_type
+"""
+
+
+@query("merge_snapshot_table_diff", sql=_TABLE_DIFF_SQL, tags=("merge", "quality"))
+def merge_snapshot_table_diff(spark, sf_dir) -> DataFrame:
+    """Snapshot-to-snapshot table diff — the data-reconciliation
+    report behind change-data-feed audits and blue/green migration
+    sign-off: a FULL OUTER join of two table versions on the primary
+    key classifies every key as added / removed / changed / identical,
+    with per-column change counts and the exact net value delta
+    (integer cents).  The second version is derived from the first by
+    deterministic rules both engines apply identically, so the whole
+    diff — classification, column attribution, delta — is
+    cross-engine certified.
+
+    Scale: ONE key-partitioned full-outer join (both sides shuffle on
+    the key once; on a cluster both snapshot scans prune to changed
+    partitions first) + a 4-group aggregation; per-column comparison
+    is map-side CASE arithmetic, and the output is |change classes|
+    rows regardless of table size."""
+    orders = t(spark, sf_dir, "orders")
+    from pyspark.sql import types as T
+
+    v1 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast(T.DecimalType(38, 2)) * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    # v1 feeds both diff sides and the v2 derivation — one scan
+    v1 = pin(v1, eager=True)
+    surv = v1.where(F.col("k") % 11 != 0).select(
+        "k",
+        (
+            F.col("price_cents")
+            + F.when(F.col("k") % 7 == 0, 100).otherwise(0)
+        ).alias("price_cents"),
+        F.when(F.col("k") % 5 == 0, F.lit("X")).otherwise(F.col("status")).alias(
+            "status"
+        ),
+    )
+    adds = v1.where(F.col("k") % 13 == 0).select(
+        (F.col("k") + _DIFF_ADD_OFFSET).alias("k"), "price_cents", "status"
+    )
+    v2 = surv.unionByName(adds)
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    both = F.col("a.k").isNotNull() & F.col("b.k").isNotNull()
+    d = j.select(
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(
+            (F.col("a.price_cents") != F.col("b.price_cents"))
+            | (F.col("a.status") != F.col("b.status")),
+            "changed",
+        )
+        .otherwise("identical")
+        .alias("change_type"),
+        F.when(both & (F.col("a.price_cents") != F.col("b.price_cents")), 1)
+        .otherwise(0)
+        .alias("pc"),
+        F.when(both & (F.col("a.status") != F.col("b.status")), 1)
+        .otherwise(0)
+        .alias("sc"),
+        F.when(both, F.col("b.price_cents") - F.col("a.price_cents"))
+        .otherwise(0)
+        .alias("delta"),
+    )
+    return (
+        d.groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("pc").cast("bigint").alias("n_price_changed"),
+            F.sum("sc").cast("bigint").alias("n_status_changed"),
+            F.sum("delta").cast("bigint").alias("price_delta_cents"),
+        )
+        .orderBy("change_type")
+    )

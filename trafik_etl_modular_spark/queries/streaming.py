@@ -444,3 +444,40 @@ def streaming_cusum_monitor(spark, sf_dir):
     from trafik_etl_modular_spark.streaming.pipeline import cusum_monitor_run
 
     return cusum_monitor_run(spark, sf_dir)
+
+
+_BITMAP_STREAM_SQL = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+day_counts AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users FROM du GROUP BY day
+),
+gu AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS global_users FROM events
+),
+nb AS (
+  SELECT CAST(COUNT(DISTINCT (CAST(ts AS DATE) - lo.d0) // 3) AS BIGINT)
+    AS n_batches
+  FROM events CROSS JOIN (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events) lo
+)
+SELECT d.day, d.n_users, g.global_users, nb.n_batches
+FROM day_counts d CROSS JOIN gu g CROSS JOIN nb
+ORDER BY d.day
+"""
+
+
+@query("streaming_bitmap_distinct_monitor", sql=_BITMAP_STREAM_SQL, tags=("streaming", "agg", "sketch"))
+def streaming_bitmap_distinct_monitor(spark, sf_dir):
+    """Streaming EXACT distinct-user counts via mergeable bitmap
+    state (streaming/pipeline.py::bitmap_distinct_monitor_run): each
+    3-day micro-batch folds its bitmap partials into the accumulated
+    state table by one bit_or merge — executor-side DataFrame state,
+    work ∝ batch, the driver sees only the final popcounts.  Per day:
+    exact distinct users; globally: the exact merged distinct and the
+    batch count.  The oracle recomputes all three straight from raw
+    events — completed stream ≡ batch, with NO approximation (the
+    exact counterpart of an HLL streaming counter)."""
+    from trafik_etl_modular_spark.streaming.pipeline import (
+        bitmap_distinct_monitor_run,
+    )
+
+    return bitmap_distinct_monitor_run(spark, sf_dir)

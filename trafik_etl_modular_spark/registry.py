@@ -124,6 +124,8 @@ DRIVER_WINDOW: list[str] = [
     "text_hapax_diversity",
     "window_activity_islands",
     "agg_exact_percentile_grid",
+    "streaming_bitmap_distinct_monitor",
+    "merge_snapshot_table_diff",
     # --- changed this round (hash-manifest rule): phrase-search token
     # prefilter (verdict r10 weak fix), LPA radix guard (ADVICE r10),
     # bigram single-token-doc guard (ADVICE r10) ------------------------
@@ -163,8 +165,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_stats_unpivot",
     "agg_value_stats",
     "curation_pipeline_v2",
-    "filter_or_contains_text",
-    "filter_range_inlist_orders",
 ]
 
 

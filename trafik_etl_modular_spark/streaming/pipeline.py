@@ -695,7 +695,9 @@ def scd2_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append", no_data_flush=False)
 
 
-def _events_bucket_dir(sf_dir: str, bucket_days: int = 3) -> str:
+def _events_bucket_dir(
+    sf_dir: str, bucket_days: int = 3, columns: tuple = ("event_id", "ts")
+) -> str:
     """Stage the events fixture as one parquet file per BUCKET of
     ``bucket_days`` consecutive days (bucket = (day − min_day) //
     bucket_days), ascending mtimes, so the file source delivers the
@@ -711,13 +713,13 @@ def _events_bucket_dir(sf_dir: str, bucket_days: int = 3) -> str:
 
     src = table_path(sf_dir, "events")
     st = os.stat(src)
-    key = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|cusum|{bucket_days}"
+    key = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|cusum|{bucket_days}|{columns}"
     d = f"/tmp/trafik_cusum_{hashlib.md5(key.encode()).hexdigest()[:10]}"
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
         return d
     os.makedirs(d, exist_ok=True)
-    tbl = pq.read_table(src, columns=["event_id", "ts"])
+    tbl = pq.read_table(src, columns=list(columns))
     days = pc.cast(pc.cast(tbl["ts"], pa.timestamp("us")), pa.date32())
     days_i = pc.cast(days, pa.int32())
     d0 = pc.min(days_i).as_py()
@@ -797,3 +799,88 @@ def cusum_monitor_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_e6",
         (F.col("s_e6") > 2 * F.col("mu_e6")).alias("alarm"),
     ).orderBy("bucket")
+
+
+def bitmap_distinct_monitor_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT distinct-user monitor with mergeable bitmap
+    state — the in-stream form of agg_bitmap_distinct_rollup: the
+    event feed arrives as time-ordered 3-day micro-batches, each batch
+    folds its (day, word_idx → 64-bit word) bitmap partials into the
+    accumulated state by one bit_or merge, and the final per-day
+    popcounts are EXACT distincts — the associativity that lets a
+    stream answer COUNT(DISTINCT) with no approximation and no raw-
+    event replay.  Unlike the CUSUM monitor's driver-side scalar
+    state, the state here is a DataFrame (the persisted bitmap-index
+    partials, |days|·⌈domain/32⌉ rows) folded executor-side per batch
+    and lineage-cut with an eager localCheckpoint (a persisted state
+    table on a cluster): per-batch work ∝ batch + state size, and the
+    driver only ever sees the final popcount summary.
+
+    Completed stream ≡ batch: the oracle recomputes per-day and
+    global COUNT(DISTINCT) straight from raw events, plus the bucket
+    count as the batch-cardinality certificate."""
+    _ensure_session_confs(spark)
+    d = _events_bucket_dir(sf_dir, columns=("user_id", "ts"))
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    state: dict[str, object] = {"words": None, "n_batches": 0}
+
+    def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
+        bw = (
+            bdf.select(F.to_date("ts").alias("day"), "user_id")
+            .distinct()
+            .select(
+                "day",
+                F.expr("user_id div 32").alias("word_idx"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+                ).alias("m"),
+            )
+            .groupBy("day", "word_idx")
+            .agg(F.bit_or("m").alias("w"))
+        )
+        prev = state["words"]
+        merged = (
+            bw
+            if prev is None
+            else prev.unionByName(bw).groupBy("day", "word_idx").agg(
+                F.bit_or("w").alias("w")
+            )
+        )
+        state["words"] = merged.coalesce(8).localCheckpoint(eager=True)
+        state["n_batches"] += 1
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = raw.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    words = state["words"]
+    day_counts = words.groupBy("day").agg(
+        F.sum(F.bit_count("w")).cast("bigint").alias("n_users")
+    )
+    globe = (
+        words.groupBy("word_idx")
+        .agg(F.bit_or("w").alias("w"))
+        .agg(F.sum(F.bit_count("w")).cast("bigint").alias("global_users"))
+    )
+    return (
+        day_counts.crossJoin(F.broadcast(globe))
+        .select(
+            "day",
+            "n_users",
+            "global_users",
+            F.lit(state["n_batches"]).cast("bigint").alias("n_batches"),
+        )
+        .orderBy("day")
+    )
