@@ -504,6 +504,27 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "sample_temporal_split_leakage",
         # 1-row (unigram total, bigram total) normalizer
         "text_bigram_collocations",
+        # --- round 11 -----------------------------------------------------
+        # 1-row corpus stats + 1-row rebuild stats onto the ≤13-row
+        # per-term certificate
+        "text_bm25_append",
+        # per-round 1-row (vertex count × edge count) certificate legs
+        "graph_kcore_peel",
+        # |days|-row pinned daily series × 7-row lag panel, then the
+        # 1-row moment frames — day-bounded sides only
+        "events_autocorrelation",
+        # 1-row histogram-summary legs (stats × actual × mcv certificate)
+        "join_cardinality_estimate",
+        # 1-row build-count certificate onto the 1-row probe aggregate
+        "join_bloom_semi_prefilter",
+        # four 1-row certificate legs (total × candidates × dup × cover)
+        "dedup_blocking_quality",
+        # 1-row global (total, max, n_days) skew scalars onto |days| rows
+        "dq_partition_skew_audit",
+        # 1-row corpus token total onto the 30-row Zipf head
+        "vocab_zipf_rank_curve",
+        # 1-row global streak-count certificate onto the top-20
+        "window_activity_islands",
     }
     bad = []
     for name in sorted(REGISTRY):

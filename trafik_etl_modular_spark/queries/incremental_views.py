@@ -292,6 +292,16 @@ def merge_snapshot_table_diff(spark, sf_dir) -> DataFrame:
 
     # v1 feeds both diff sides and the v2 derivation — one scan
     v1 = pin(v1, eager=True)
+    # loud radix guard (the graph-packing lesson, applied before the
+    # failure exists): cloned "added" keys live at k + offset, so a
+    # real key at/above the offset would silently collide with a
+    # clone instead of diffing — TPC-H orderkeys pass 10^9 at ~SF170
+    _mk = v1.agg(F.max("k").alias("m")).first()["m"]
+    if _mk is not None and _mk >= _DIFF_ADD_OFFSET:
+        raise ValueError(
+            f"merge_snapshot_table_diff: key {_mk} reaches the synthetic-add "
+            f"offset {_DIFF_ADD_OFFSET}; widen _DIFF_ADD_OFFSET"
+        )
     surv = v1.where(F.col("k") % 11 != 0).select(
         "k",
         (
