@@ -294,3 +294,59 @@ def test_streaming_bitmap_monitor_equals_batch(spark):
     g = _duck("SELECT COUNT(DISTINCT user_id) FROM events")[0][0]
     assert {d: v[0] for d, v in got.items()} == want
     assert all(v[1] == g for v in got.values())
+
+
+def test_rolling_median_matches_python_windows(spark):
+    daily = dict(_duck("SELECT CAST(ts AS DATE), COUNT(*) FROM events GROUP BY 1"))
+    import datetime
+
+    rows = {r["day"]: r for r in _q("window_rolling_median_exact")(spark, SF).collect()}
+    assert set(rows) == set(daily)
+    for d, r in rows.items():
+        win = sorted(
+            daily[d2]
+            for d2 in (d - datetime.timedelta(days=i) for i in range(7))
+            if d2 in daily
+        )
+        assert r["n_window"] == len(win)
+        assert r["median7"] == win[(len(win) + 1) // 2 - 1]
+        assert r["mean7_e6"] == sum(win) * 1_000_000 // len(win)
+        assert r["n"] == daily[d]
+
+
+def test_linkpred_matches_python_recompute(spark):
+    from collections import Counter, defaultdict
+
+    pr = Counter()
+    per_order = defaultdict(list)
+    for ok, sk in _duck("SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem"):
+        per_order[ok].append(sk)
+    for ss in per_order.values():
+        ss.sort()
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                pr[(ss[i], ss[j])] += 1
+    cs = sorted(pr.values())
+    k = (len(cs) * 75 + 99) // 100
+    thr = cs[k - 1]
+    edges = {p for p, c in pr.items() if c > thr}
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    cn = Counter()
+    for x, nb in nbrs.items():
+        nb = sorted(nb)
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                pair = (nb[i], nb[j])
+                cn[pair] += 1
+    cand = {p: c for p, c in cn.items() if p not in edges}
+    want = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = _q("graph_common_neighbor_linkpred")(spark, SF).collect()
+    got = [
+        ((r["supp_a"], r["supp_b"]), r["n_common"])
+        for r in sorted(rows, key=lambda r: r["rk"])
+    ]
+    assert got == want
+    assert all(r["n_candidates"] == len(cand) for r in rows)

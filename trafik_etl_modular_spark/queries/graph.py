@@ -933,3 +933,161 @@ def graph_hits_scores(spark, sf_dir):
         .alias("rk"),
     )
     return ranked.select("rk", "suppkey", "auth1", "auth2").orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbor link prediction (round 11)
+# ---------------------------------------------------------------------------
+
+_LINKPRED_TOP = 20
+# edge rule: co-occurrence STRICTLY above the exact P75 of the pair-
+# count distribution.  A fixed absolute threshold cannot be scale-
+# robust here (the co-supplier graph at threshold ≥3 is COMPLETE at
+# sf≤0.01 — zero non-adjacent candidates — while at sf0.1 the median
+# pair co-occurs only twice); the exact order statistic adapts to the
+# distribution and stays a deterministic integer both engines compute
+# identically (the agg_exact_percentile_grid trick).
+_LINKPRED_PCT = 75
+
+_LINKPRED_SQL = f"""
+WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pr AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM p a JOIN p b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+),
+hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS f FROM pr GROUP BY c),
+cum AS (
+  SELECT c, SUM(f) OVER (ORDER BY c) AS cf,
+         (SELECT SUM(f) FROM hist) AS n
+  FROM hist
+),
+thr AS (SELECT MIN(c) AS t FROM cum WHERE cf >= (n * {_LINKPRED_PCT} + 99) // 100),
+e AS (SELECT u, v FROM pr CROSS JOIN thr WHERE c > thr.t),
+sym AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v AS s, u AS t FROM e),
+cn AS (
+  SELECT a.t AS pa, b.t AS pb, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sym a JOIN sym b ON a.s = b.s AND a.t < b.t
+  GROUP BY a.t, b.t
+),
+cand AS (
+  SELECT c.pa, c.pb, c.n_common
+  FROM cn c LEFT JOIN e ON e.u = c.pa AND e.v = c.pb
+  WHERE e.u IS NULL
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+ranked AS (
+  SELECT pa, pb, n_common,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_common DESC, pa, pb) AS INTEGER) AS rk
+  FROM cand
+)
+SELECT r.rk, r.pa AS supp_a, r.pb AS supp_b, r.n_common, t.n_candidates
+FROM ranked r CROSS JOIN tot t
+WHERE r.rk <= 20
+ORDER BY r.rk
+"""
+
+
+@query("graph_common_neighbor_linkpred", sql=_LINKPRED_SQL, tags=("graph",))
+def graph_common_neighbor_linkpred(spark, sf_dir):
+    """Common-neighbors link prediction (Liben-Nowell & Kleinberg
+    2003, public literature) over the co-supplier projection the
+    triangle counter also uses: for every NON-adjacent supplier pair,
+    count shared market-basket neighbors — the classic
+    "who should be connected next" score, integer-exact (Adamic-Adar's
+    1/log dampening is a float hazard; raw counts rank the head the
+    same way).  Emits the top-20 predicted links plus the candidate
+    count; the oracle re-derives projection, threshold, wedges, and
+    the adjacency exclusion.  The edge rule keeps pairs co-occurring
+    STRICTLY above the exact P75 order statistic (module constant
+    note): a fixed absolute cut is not scale-robust on this graph.
+
+    Scale: wedge enumeration is the triangle counter's Σ deg² self-
+    join on the middle vertex (same budget — this is triangles'
+    sibling, sharing the orientation trick's economics); the
+    adjacency exclusion is one anti join on the (pa, pb) key; the
+    head is a distributed top-k.  The edge frame is pinned and feeds
+    both the wedge sides and the exclusion."""
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    li = t(spark, sf_dir, "lineitem")
+    p = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = p.alias("a"), p.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+    counts = pin(
+        pr.groupBy("u", "v").agg(F.count("*").cast("bigint").alias("c")),
+        eager=True,
+    )
+    # exact P75 threshold via HISTOGRAM selection: the pair-count
+    # VALUES are small integers, so selection runs over the counts-of-
+    # counts frame (|distinct c| rows — dozens) instead of ranking all
+    # |pairs| rows through one global sort.  One hash agg + one tiny
+    # cumulative window: the k-th smallest is the first value whose
+    # cumulative frequency reaches k.
+    from pyspark.sql import Window as W
+
+    hist = counts.groupBy("c").agg(F.count("*").cast("bigint").alias("f"))
+    cum = hist.select(
+        "c",
+        F.sum("f")
+        .over(W.orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cf"),
+    ).crossJoin(
+        F.broadcast(hist.agg(F.sum("f").cast("bigint").alias("n")))
+    )
+    thr = cum.where(
+        F.col("cf") >= F.expr(f"(n * {_LINKPRED_PCT} + 99) div 100")
+    ).agg(F.min("c").alias("t"))
+    e = pin(
+        counts.crossJoin(F.broadcast(thr))
+        .where(F.col("c") > F.col("t"))
+        .select("u", "v"),
+        eager=True,
+    )
+    sym = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        e.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    # pin + explicit width for the wedge expansion (the triangle
+    # counter's repartition lesson: AQE coalesces the tiny symmetric
+    # frame to one partition and the deg² blow-up runs single-threaded)
+    sym = pin(sym, eager=True).repartition(32, "s")
+    w1, w2 = sym.alias("w1"), sym.alias("w2")
+    cn = (
+        w1.join(
+            w2,
+            (F.col("w1.s") == F.col("w2.s")) & (F.col("w1.t") < F.col("w2.t")),
+        )
+        .groupBy(F.col("w1.t").alias("pa"), F.col("w2.t").alias("pb"))
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    cand = pin(
+        cn.join(
+            e.withColumnRenamed("u", "pa").withColumnRenamed("v", "pb"),
+            ["pa", "pb"],
+            "left_anti",
+        ),
+        eager=True,
+    )
+    tot = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    top = cand.orderBy(F.desc("n_common"), "pa", "pb").limit(_LINKPRED_TOP)
+    from pyspark.sql import Window as W
+
+    ranked = top.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("n_common"), "pa", "pb"))
+        .cast("int")
+        .alias("rk"),
+        F.col("pa").alias("supp_a"),
+        F.col("pb").alias("supp_b"),
+        "n_common",
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select("rk", "supp_a", "supp_b", "n_common", "n_candidates")
+        .orderBy("rk")
+    )

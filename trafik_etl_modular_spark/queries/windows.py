@@ -464,3 +464,80 @@ def window_activity_islands(spark, sf_dir):
 window_activity_islands.__doc__ = window_activity_islands.__doc__.format(
     top=_STREAK_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact trailing rolling median (round 11)
+# ---------------------------------------------------------------------------
+
+_ROLL_MED_DAYS = 7
+
+_ROLL_MED_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+win AS (
+  SELECT a.day, a.n, b.n AS wn
+  FROM daily a JOIN daily b
+    ON b.day BETWEEN a.day - {_ROLL_MED_DAYS - 1} AND a.day
+)
+SELECT day, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_window,
+       CAST(list_sort(list(wn))[CAST((COUNT(*) + 1) // 2 AS INTEGER)] AS BIGINT)
+         AS median7,
+       CAST((SUM(wn) * 1000000) // COUNT(*) AS BIGINT) AS mean7_e6
+FROM win GROUP BY day
+ORDER BY day
+"""
+
+
+@query("window_rolling_median_exact", sql=_ROLL_MED_SQL, tags=("window", "timeseries"))
+def window_rolling_median_exact(spark, sf_dir):
+    """EXACT trailing {d}-day rolling median (lower median = the
+    ⌈k/2⌉-th smallest) and exact integer rolling mean (e6) of daily
+    event volume — the robust smoother volume monitoring wants where
+    a mean-based band (dq_seasonal_decompose) chases single-day
+    spikes.  Ragged leading windows use however many days exist
+    (n_window reports the width).
+
+    Scale: the median runs over the DAILY aggregate, so the range
+    self-join is |days|×≤{d} rows — the exact in-group sort costs
+    nothing because aggregation happened FIRST; at raw-event scale
+    the plan is identical (events collapse to |days| rows in one
+    map-side-combined hash agg before any window math).  Spark has no
+    exact median window function; the bounded range join + sorted-
+    array pick IS the idiomatic exact form."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    daily = pin(daily, eager=True)
+    a, b = daily.alias("a"), daily.alias("b")
+    win = a.join(
+        b,
+        (F.col("b.day") >= F.date_sub(F.col("a.day"), _ROLL_MED_DAYS - 1))
+        & (F.col("b.day") <= F.col("a.day")),
+    ).select(F.col("a.day").alias("day"), F.col("a.n").alias("n"), F.col("b.n").alias("wn"))
+    return (
+        win.groupBy("day")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.count("*").cast("bigint").alias("n_window"),
+            F.expr(
+                "CAST(element_at(sort_array(collect_list(wn)),"
+                " CAST((count(wn) + 1) div 2 AS INT)) AS BIGINT)"
+            ).alias("median7"),
+            F.expr("CAST((sum(wn) * 1000000) div count(wn) AS BIGINT)").alias(
+                "mean7_e6"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+window_rolling_median_exact.__doc__ = window_rolling_median_exact.__doc__.format(
+    d=_ROLL_MED_DAYS
+)

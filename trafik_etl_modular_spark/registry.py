@@ -126,6 +126,8 @@ DRIVER_WINDOW: list[str] = [
     "agg_exact_percentile_grid",
     "streaming_bitmap_distinct_monitor",
     "merge_snapshot_table_diff",
+    "window_rolling_median_exact",
+    "graph_common_neighbor_linkpred",
     # --- changed this round (hash-manifest rule): phrase-search token
     # prefilter (verdict r10 weak fix), LPA radix guard (ADVICE r10),
     # bigram single-token-doc guard (ADVICE r10) ------------------------
@@ -163,8 +165,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_pivot_linestatus",
     "agg_rollup_daily_type",
     "agg_stats_unpivot",
-    "agg_value_stats",
-    "curation_pipeline_v2",
 ]
 
 
