@@ -525,6 +525,12 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "vocab_zipf_rank_curve",
         # 1-row global streak-count certificate onto the top-20
         "window_activity_islands",
+        # |days|×≤7 trailing range self-join over the PINNED daily
+        # aggregate — both sides day-bounded by construction
+        "window_rolling_median_exact",
+        # 1-row P75-threshold scalar onto the pair-count frame + the
+        # 1-row candidate-count certificate onto the top-20
+        "graph_common_neighbor_linkpred",
     }
     bad = []
     for name in sorted(REGISTRY):
