@@ -615,3 +615,145 @@ def text_phrase_search(spark, sf_dir) -> DataFrame:
         "n_docs_matched",
         "n_total_occurrences",
     ).orderBy("phrase_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# n-word phrase search with statistics-driven join order (round 11)
+# ---------------------------------------------------------------------------
+
+PHRASES3: list[tuple[int, str]] = [
+    (1, "slow hash batch"),
+    (2, "stream table hash"),
+    (3, "row column sort"),
+    (4, "window fast query"),
+    (5, "the fast table"),
+]
+
+_PHRASES3_SQL = ", ".join(f"({i}, '{s}')" for i, s in PHRASES3)
+
+_PHRASE3_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, i AS p, w[i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(range(1, len(w) + 1)) AS u(i)
+  WHERE w[i] <> ''
+),
+phrases(phrase_id, phrase) AS (VALUES {_PHRASES3_SQL}),
+pp AS (
+  SELECT phrase_id, phrase,
+         string_split(phrase, ' ')[1] AS w1,
+         string_split(phrase, ' ')[2] AS w2,
+         string_split(phrase, ' ')[3] AS w3
+  FROM phrases
+),
+hits AS (
+  SELECT pp.phrase_id, pp.phrase, a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM pp
+  JOIN pos a ON a.tok = pp.w1
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND b.tok = pp.w2
+  JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2 AND c.tok = pp.w3
+  GROUP BY pp.phrase_id, pp.phrase, a.doc_id
+),
+ranked AS (
+  SELECT phrase_id, phrase, doc_id, n_occurrences,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY phrase_id ORDER BY n_occurrences DESC, doc_id
+         ) AS INTEGER) AS rk
+  FROM hits
+),
+totals AS (
+  SELECT phrase_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_matched,
+         CAST(SUM(n_occurrences) AS BIGINT) AS n_total_occurrences
+  FROM hits GROUP BY phrase_id
+)
+SELECT r.phrase_id, r.phrase, r.rk, r.doc_id, r.n_occurrences,
+       t2.n_docs_matched, t2.n_total_occurrences
+FROM ranked r JOIN totals t2 ON t2.phrase_id = r.phrase_id
+WHERE r.rk <= 5
+ORDER BY r.phrase_id, r.rk
+"""
+
+
+@query("text_phrase_search_nword", sql=_PHRASE3_SQL, tags=("retrieval", "text"))
+def text_phrase_search_nword(spark, sf_dir) -> DataFrame:
+    """n-word exact phrase search (n = 3 here) with STATISTICS-DRIVEN
+    join order — the chained generalization the 2-word query's
+    docstring promises: an n-word phrase is n−1 adjacency equi-joins
+    of its tokens' posting lists, and the join chain anchors on the
+    phrase's RAREST token (cheapest-term-first, Selinger-style): df
+    for the panel's ≤15 tokens comes from one bounded aggregation
+    over the prefiltered index (driver-side scalars, like a Bloom's m
+    or an optimizer's statistics catalog), each phrase's joins then
+    run ascending-df so every intermediate is bounded by min(df seen
+    so far).  The oracle chains the same joins in naive left-to-right
+    order — join order never changes results, which is exactly why
+    the planner is free to pick it.
+
+    Scale: every posting scan is prefiltered to the panel's token set
+    (the round-11 fix, applied from birth); per phrase, candidates ≤
+    min df among its tokens; the positional index is pinned once and
+    feeds all phrase legs."""
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    all_toks = sorted({w for _, s in PHRASES3 for w in s.split()})
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = pin(
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+        )
+        .where(F.col("tok").isin(all_toks))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "tok"),
+        eager=True,
+    )
+    # the statistics lookup: one bounded agg (≤ |panel tokens| rows)
+    df_rows = pos.groupBy("tok").agg(F.count("*").alias("df")).collect()
+    dfs = {r["tok"]: r["df"] for r in df_rows}
+
+    legs = []
+    for pid, phrase in PHRASES3:
+        words = phrase.split()
+        order = sorted(range(len(words)), key=lambda j: (dfs.get(words[j], 0), j))
+        anchor = order[0]
+        leg = pos.where(F.col("tok") == words[anchor]).select(
+            "doc_id", (F.col("p") - anchor).alias("base_p")
+        )
+        for j in order[1:]:
+            nxt = pos.where(F.col("tok") == words[j]).select(
+                F.col("doc_id").alias("_d"), (F.col("p") - j).alias("_bp")
+            )
+            leg = leg.join(
+                nxt,
+                (F.col("_d") == F.col("doc_id")) & (F.col("_bp") == F.col("base_p")),
+            ).select("doc_id", "base_p")
+        legs.append(
+            leg.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+            .select(
+                F.lit(pid).alias("phrase_id"),
+                F.lit(phrase).alias("phrase"),
+                "doc_id",
+                "n_occurrences",
+            )
+        )
+    hits = legs[0]
+    for leg in legs[1:]:
+        hits = hits.unionAll(leg)
+    hits = pin(hits, eager=False)
+    w = Window.partitionBy("phrase_id").orderBy(F.desc("n_occurrences"), "doc_id")
+    ranked = hits.withColumn("rk", F.row_number().over(w).cast("int")).where(
+        F.col("rk") <= 5
+    )
+    totals = hits.groupBy("phrase_id").agg(
+        F.count("*").cast("bigint").alias("n_docs_matched"),
+        F.sum("n_occurrences").cast("bigint").alias("n_total_occurrences"),
+    )
+    return ranked.join(totals, "phrase_id").select(
+        "phrase_id",
+        "phrase",
+        "rk",
+        "doc_id",
+        "n_occurrences",
+        "n_docs_matched",
+        "n_total_occurrences",
+    ).orderBy("phrase_id", "rk")

@@ -128,6 +128,7 @@ DRIVER_WINDOW: list[str] = [
     "merge_snapshot_table_diff",
     "window_rolling_median_exact",
     "graph_common_neighbor_linkpred",
+    "text_phrase_search_nword",
     # --- changed this round (hash-manifest rule): phrase-search token
     # prefilter (verdict r10 weak fix), LPA radix guard (ADVICE r10),
     # bigram single-token-doc guard (ADVICE r10) ------------------------
@@ -164,7 +165,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_exact_median_iqr",
     "agg_pivot_linestatus",
     "agg_rollup_daily_type",
-    "agg_stats_unpivot",
 ]
 
 
