@@ -531,6 +531,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # 1-row P75-threshold scalar onto the pair-count frame + the
         # 1-row candidate-count certificate onto the top-20
         "graph_common_neighbor_linkpred",
+        # probe-panel broadcast scoring (the recall report's shape) +
+        # the 1-row probe-count scalar; the corpus side still joins on
+        # the equi bucket key
+        "sim_ivf_nprobe_sweep",
     }
     bad = []
     for name in sorted(REGISTRY):

@@ -6317,3 +6317,220 @@ def text_hapax_diversity(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning sweep (round 11)
+# ---------------------------------------------------------------------------
+
+_SWEEP_NPROBES = (1, 2, 4, 8, 16)
+_SWEEP_K = 10
+
+
+def _probe_panel_vectors(sf_dir: str) -> list[tuple[int, list[float]]]:
+    """(qid, qvec) for the deterministic probe panel (every 50th id),
+    fetched driver-side with pyarrow — probe vectors are REQUEST
+    input in a serving path, not corpus data; the panel is bounded
+    (|corpus|/50 rows of index metadata-scale bytes)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_pylist()
+    vecs = tbl["embedding"].to_pylist()
+    return [
+        (int(i), [float(v) for v in vv])
+        for i, vv in zip(ids, vecs)
+        if int(i) % 50 == 0
+    ]
+
+
+def _ivf_nprobe_sweep_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle for the nprobe sweep: bucket ASSIGNMENT and the
+    per-probe bucket RANKING are re-derived outside the engine (the
+    deterministic-pipeline contract of `_derive_ivf_assignment` /
+    `rank_probe_buckets`) and frozen as VALUES; DuckDB itself computes
+    both the exact brute-force top-10 and the IVF top-10 within the
+    frozen candidate memberships, then the recall curve."""
+    from trafik_etl_modular_spark.llmdata.similarity import rank_probe_buckets
+
+    ids, vecs, assign, centers = _derive_ivf_assignment(sf_dir)
+    centroid_rows = [(j, [float(v) for v in centers[j]]) for j in range(len(centers))]
+    id_to_idx = {int(i): j for j, i in enumerate(ids)}
+    br_vals = []
+    for qid, qvec in _probe_panel_vectors(sf_dir):
+        assert qid in id_to_idx
+        order = rank_probe_buckets(centroid_rows, qvec, len(centroid_rows))
+        br_vals += [(qid, r + 1, int(b)) for r, b in enumerate(order)]
+    a_vals = ",".join(f"({int(i)},{int(b)})" for i, b in zip(ids, assign))
+    br = ",".join(f"({q},{r},{b})" for q, r, b in br_vals)
+    nps = ",".join(f"({n})" for n in _SWEEP_NPROBES)
+    return f"""
+WITH a(vec_id, bucket) AS (VALUES {a_vals}),
+br(qid, rk, bucket) AS (VALUES {br}),
+nps(nprobe) AS (VALUES {nps}),
+p AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+exact AS (
+  SELECT p.qid, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.qid
+           ORDER BY {_cos_sql('e.embedding', 'p.qvec')} DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e JOIN p ON e.vec_id <> p.qid
+),
+ex10 AS (SELECT qid, vec_id FROM exact WHERE rn <= {_SWEEP_K}),
+cand AS (
+  SELECT br.qid, nps.nprobe, a.vec_id
+  FROM br JOIN nps ON br.rk <= nps.nprobe
+  JOIN a ON a.bucket = br.bucket
+  WHERE a.vec_id <> br.qid
+),
+scored AS (
+  SELECT c.qid, c.nprobe, c.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.qid, c.nprobe
+           ORDER BY {_cos_sql('e.embedding', 'p.qvec')} DESC, c.vec_id
+         ) AS rn
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN p ON p.qid = c.qid
+),
+iv10 AS (SELECT qid, nprobe, vec_id FROM scored WHERE rn <= {_SWEEP_K}),
+hits AS (
+  SELECT i.nprobe, CAST(COUNT(*) AS BIGINT) AS sum_hits
+  FROM iv10 i JOIN ex10 x ON x.qid = i.qid AND x.vec_id = i.vec_id
+  GROUP BY i.nprobe
+),
+cvol AS (
+  SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY nprobe
+),
+nq AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_probes FROM br)
+SELECT c.nprobe, nq.n_probes,
+       CAST(COALESCE(h.sum_hits, 0) AS BIGINT) AS sum_hits,
+       CAST((COALESCE(h.sum_hits, 0) * 1000000) // ({_SWEEP_K} * nq.n_probes)
+            AS BIGINT) AS recall_e6,
+       c.n_candidates,
+       (COALESCE(h.sum_hits, 0) >=
+        COALESCE(LAG(COALESCE(h.sum_hits, 0)) OVER (ORDER BY c.nprobe), 0))
+         AS monotone_vs_prev
+FROM cvol c LEFT JOIN hits h ON h.nprobe = c.nprobe CROSS JOIN nq
+ORDER BY c.nprobe
+"""
+
+
+@query(
+    "sim_ivf_nprobe_sweep",
+    sql=_ivf_nprobe_sweep_oracle_sql,
+    tags=("llmdata", "similarity", "topk"),
+)
+def sim_ivf_nprobe_sweep(spark, sf_dir):
+    """IVF nprobe TUNING CURVE — the recall-vs-cost sweep an ANN
+    deployment publishes before picking its operating point: for
+    nprobe ∈ {sweep}, recall@10 of the bucket-pruned search against
+    exact brute force over the deterministic probe panel, plus the
+    candidate volume each nprobe actually scans (the cost axis).  At
+    nprobe = n_centroids the candidate set is the corpus, so the last
+    row is a structural recall=1 certificate; `monotone_vs_prev` pins
+    the nesting property (top-n bucket sets grow with n, so recall
+    can never decrease).  Bucket ranking per probe runs driver-side
+    over the 16 stored centroids (index metadata — the same
+    rank_probe_buckets fold the serving probe uses), so Spark and the
+    derived oracle share it by construction.
+
+    Scale: the exact side is panel × corpus map-side scoring (the
+    recall report's plan); the IVF side scans Σ_np (nprobe/k) of the
+    corpus per probe through the bucket equi-join — the sweep costs
+    roughly 2× one full brute-force pass, ONCE per index build, to
+    buy the operating point every subsequent query benefits from."""
+    from pyspark.sql import Window
+
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        cosine,
+        rank_probe_buckets,
+        to_double_array,
+    )
+
+    assigned, _centroids, rows = _ivf_ensure_index(spark, sf_dir)
+    panel = _probe_panel_vectors(sf_dir)
+    br_rows = []
+    for qid, qvec in panel:
+        order = rank_probe_buckets(rows, qvec, len(rows))
+        br_rows += [(qid, r + 1, int(b)) for r, b in enumerate(order)]
+    br = spark.createDataFrame(br_rows, "qid bigint, rk int, bucket int")
+    nps = spark.createDataFrame(
+        [(n,) for n in _SWEEP_NPROBES], "nprobe int"
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), to_double_array("embedding").alias("qvec")
+    )
+    corpus = assigned.select("vec_id", "__vec", "ivf_bucket")
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ex10 = (
+        corpus.join(F.broadcast(probes), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("__vec"), F.col("qvec")).alias("cosine"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _SWEEP_K)
+        .select("qid", "vec_id")
+    )
+    probe_buckets = br.join(F.broadcast(nps), F.col("rk") <= F.col("nprobe")).select(
+        "qid", "nprobe", "bucket"
+    )
+    cand = corpus.join(
+        F.broadcast(probe_buckets),
+        (F.col("ivf_bucket") == F.col("bucket")) & (F.col("vec_id") != F.col("qid")),
+    ).select("qid", "nprobe", "vec_id", "__vec")
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    # cand feeds the scoring leg and the volume leg
+    cand = pin(cand, eager=False)
+    wqn = Window.partitionBy("qid", "nprobe").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    iv10 = (
+        cand.join(F.broadcast(probes), "qid")
+        .select(
+            "qid",
+            "nprobe",
+            "vec_id",
+            cosine(F.col("__vec"), F.col("qvec")).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(wqn))
+        .filter(F.col("rn") <= _SWEEP_K)
+        .select("qid", "nprobe", "vec_id")
+    )
+    hits = iv10.join(ex10, ["qid", "vec_id"]).groupBy("nprobe").agg(
+        F.count("*").cast("bigint").alias("sum_hits")
+    )
+    cvol = cand.groupBy("nprobe").agg(
+        F.count("*").cast("bigint").alias("n_candidates")
+    )
+    nq = br.agg(F.countDistinct("qid").cast("bigint").alias("n_probes"))
+    z = F.lit(0).cast("bigint")
+    out = (
+        cvol.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "nprobe",
+            "n_probes",
+            F.coalesce("sum_hits", z).alias("sum_hits"),
+            F.expr(f"(coalesce(sum_hits, CAST(0 AS BIGINT)) * 1000000)"
+                   f" div ({_SWEEP_K} * n_probes)")
+            .cast("bigint")
+            .alias("recall_e6"),
+            "n_candidates",
+        )
+    )
+    wlag = Window.orderBy("nprobe")
+    return out.withColumn(
+        "monotone_vs_prev",
+        F.col("sum_hits") >= F.coalesce(F.lag("sum_hits").over(wlag), z),
+    ).orderBy("nprobe")
+
+
+sim_ivf_nprobe_sweep.__doc__ = sim_ivf_nprobe_sweep.__doc__.replace(
+    "{sweep}", str(_SWEEP_NPROBES)
+)

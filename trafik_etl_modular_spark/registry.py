@@ -129,6 +129,7 @@ DRIVER_WINDOW: list[str] = [
     "window_rolling_median_exact",
     "graph_common_neighbor_linkpred",
     "text_phrase_search_nword",
+    "sim_ivf_nprobe_sweep",
     # --- changed this round (hash-manifest rule): phrase-search token
     # prefilter (verdict r10 weak fix), LPA radix guard (ADVICE r10),
     # bigram single-token-doc guard (ADVICE r10) ------------------------
@@ -164,7 +165,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_cube_flag_status",
     "agg_exact_median_iqr",
     "agg_pivot_linestatus",
-    "agg_rollup_daily_type",
 ]
 
 
