@@ -350,3 +350,19 @@ def test_linkpred_matches_python_recompute(spark):
     ]
     assert got == want
     assert all(r["n_candidates"] == len(cand) for r in rows)
+
+
+def test_nprobe_sweep_structural_certificates(spark):
+    """nprobe = n_centroids must reproduce brute force exactly
+    (recall 1.0) and recall must be monotone in nprobe (bucket sets
+    nest); candidate volume must strictly grow with nprobe."""
+    rows = sorted(
+        _q("sim_ivf_nprobe_sweep")(spark, SF).collect(), key=lambda r: r["nprobe"]
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8, 16]
+    assert rows[-1]["recall_e6"] == 1_000_000
+    assert all(r["monotone_vs_prev"] for r in rows)
+    hits = [r["sum_hits"] for r in rows]
+    assert hits == sorted(hits)
+    vols = [r["n_candidates"] for r in rows]
+    assert vols == sorted(vols) and len(set(vols)) == len(vols)
