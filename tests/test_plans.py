@@ -535,6 +535,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # the 1-row probe-count scalar; the corpus side still joins on
         # the equi bucket key
         "sim_ivf_nprobe_sweep",
+        # |types|×|dows| marginal cross (≤35 cells) + the 1-row N and
+        # chi2-total scalars
+        "dq_chi2_independence",
+        # 1-row moment frame × 1-row vertex-count certificate
+        "graph_degree_assortativity",
     }
     bad = []
     for name in sorted(REGISTRY):

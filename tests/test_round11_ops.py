@@ -366,3 +366,94 @@ def test_nprobe_sweep_structural_certificates(spark):
     assert hits == sorted(hits)
     vols = [r["n_candidates"] for r in rows]
     assert vols == sorted(vols) and len(set(vols)) == len(vols)
+
+
+def test_agg_ivm_deletes_matches_python_and_retires_groups(spark):
+    rows = _duck(
+        """SELECT event_type, CAST(ts AS DATE), event_id,
+           CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) FROM events"""
+    )
+    from collections import defaultdict
+
+    final = defaultdict(lambda: [0, 0])
+    for et, day, eid, cents in rows:
+        old = eid % 10 != 0
+        keep = (old and eid % 7 != 0) or not old
+        if keep:
+            k = (et, day)
+            final[k][0] += 1
+            final[k][1] += cents
+    got = {
+        (r["event_type"], r["day"]): (r["cnt_ivm"], r["sum_ivm_cents"])
+        for r in _q("merge_agg_ivm_deletes")(spark, SF).collect()
+    }
+    want = {k: tuple(v) for k, v in final.items() if v[0] > 0}
+    assert got == want
+    all_match = _q("merge_agg_ivm_deletes")(spark, SF).collect()
+    assert all(r["ivm_matches"] for r in all_match)
+
+
+def test_burstiness_is_integer_rational_of_moments(spark):
+    from collections import defaultdict
+
+    tf = defaultdict(lambda: [0, 0, 0])
+    for doc_id, text in _duck("SELECT doc_id, text FROM documents"):
+        from collections import Counter
+
+        for w, c in Counter(x for x in text.split(" ") if x).items():
+            tf[w][0] += 1
+            tf[w][1] += c
+            tf[w][2] += c * c
+    scored = {
+        w: ((df * s2 - s * s) * 1_000_000) // (df * s)
+        for w, (df, s, s2) in tf.items()
+        if df >= 5
+    }
+    want = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = _q("vocab_term_burstiness")(spark, SF).collect()
+    assert [(r["term"], r["vmr_e6"]) for r in rows] == want
+
+
+def test_assortativity_matches_numpy(spark):
+    import numpy as np
+
+    edges = _duck(
+        """SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+    )
+    sym = edges + [(v, u) for u, v in edges]
+    deg = {}
+    for u, _v in sym:
+        deg[u] = deg.get(u, 0) + 1
+    xs = np.array([deg[u] for u, v in sym], dtype=np.float64)
+    ys = np.array([deg[v] for u, v in sym], dtype=np.float64)
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    r = _q("graph_degree_assortativity")(spark, SF).collect()[0]
+    assert r["n_directed_edges"] == len(sym)
+    assert abs(r["assortativity_q"] - want) < 1e-6
+    # bipartite purchase graph: hubs attach to leaves
+    assert r["assortativity_q"] < 0
+
+
+def test_chi2_independence_uniform_does_not_reject(spark, tmp_path):
+    """A planted perfectly-independent table must not reject; the
+    contributions of a zero-deviation cell are 0."""
+    import datetime
+
+    rows = []
+    eid = 0
+    # 4 weeks x 7 days x 5 types x constant count -> exact independence
+    for d in range(28):
+        day = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+        for et in ("a", "b", "c", "d", "e"):
+            for _ in range(3):
+                rows.append((eid, day, 1, et, 1.0, "{}"))
+                eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(f"{d}/events.parquet")
+    out = _q("dq_chi2_independence")(spark, d).collect()
+    assert len(out) == 35
+    assert all(not r["independence_reject"] for r in out)
+    assert all(r["chi2_contrib"] == 0.0 for r in out)

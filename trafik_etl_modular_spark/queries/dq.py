@@ -952,3 +952,143 @@ def dq_cusum_changepoint(spark, sf_dir):
         s.alias("s_e6"),
         (s > F.lit(2) * F.col("mean_e6")).alias("changepoint"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (round 11)
+# ---------------------------------------------------------------------------
+
+# 0.05 critical value at df = (5 types − 1)(7 dows − 1) = 24
+_CHI2_INDEP_CRIT = 36.415
+
+_CHI2_INDEP_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS dow
+  FROM events
+),
+obs AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM base GROUP BY event_type, dow
+),
+rowt AS (SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS r FROM obs GROUP BY event_type),
+colt AS (SELECT dow, CAST(SUM(n_obs) AS BIGINT) AS c FROM obs GROUP BY dow),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT rt.event_type, ct.dow,
+         COALESCE(o.n_obs, 0) AS n_obs,
+         (rt.r * ct.c * 1000000000) // t.n AS expected_e9
+  FROM rowt rt CROSS JOIN colt ct CROSS JOIN tot t
+  LEFT JOIN obs o ON o.event_type = rt.event_type AND o.dow = ct.dow
+),
+contrib AS (
+  SELECT event_type, dow, n_obs, expected_e9,
+         (CAST(ROUND(((CAST(n_obs * 1000000000 - expected_e9 AS DOUBLE) / 1e9)
+          * (CAST(n_obs * 1000000000 - expected_e9 AS DOUBLE) / 1e9)
+          / (CAST(expected_e9 AS DOUBLE) / 1e9)) * 1e9) AS BIGINT) / 1e9)
+           AS chi2_contrib
+  FROM cells
+),
+total AS (
+  SELECT CAST(SUM(CAST(chi2_contrib AS DECIMAL(38,9))) AS DOUBLE) AS chi2_total
+  FROM contrib
+)
+SELECT c.event_type, c.dow, c.n_obs, c.expected_e9, c.chi2_contrib,
+       t2.chi2_total,
+       (t2.chi2_total > CAST(36.415 AS DOUBLE)) AS independence_reject
+FROM contrib c CROSS JOIN total t2
+ORDER BY c.event_type, c.dow
+"""
+
+
+@query("dq_chi2_independence", sql=_CHI2_INDEP_SQL, tags=("quality", "agg"))
+def dq_chi2_independence(spark, sf_dir):
+    """Chi-square test of INDEPENDENCE between event type and
+    day-of-week — the contingency-table companion of the Benford
+    goodness-of-fit screen: expected cell counts from the marginal
+    products (r·c/N, floored onto the e9 integer grid — identical
+    integer division in both engines), per-cell contributions built
+    from exact-in-double integers with two IEEE ops then
+    fquant-snapped, exact-decimal total, reject verdict at the 0.05 /
+    df=24 critical value ({crit}).  A synthetic uniform event stream
+    should NOT reject; a real product's signups spiking on Mondays
+    would — the drift detector for categorical-mix-by-time.
+
+    Determinism: dow is epoch-day mod 7 (the seasonal-decompose
+    lesson — engine weekday builtins disagree on numbering), and the
+    whole statistic follows the proven Benford recipe.  Scale: one
+    hash aggregation to the |types|×|dows| table; marginals and the
+    total are aggregations OF THE CELLS, never rescans; everything
+    after is arithmetic on ≤35 rows.  The exact-in-double premise
+    holds while r·c < 2^53/1e9 ≈ 9·10^6 per marginal pair — past
+    that, the contributions move to DECIMAL(38,9) unchanged."""
+    from pyspark.sql import types as T
+
+    from trafik_etl_modular_spark.functions.scalars import fquant
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    ev = t(spark, sf_dir, "events")
+    obs = pin(
+        ev.select(
+            "event_type",
+            (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7)
+            .cast("bigint")
+            .alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").cast("bigint").alias("n_obs")),
+        eager=True,
+    )
+    rowt = obs.groupBy("event_type").agg(F.sum("n_obs").cast("bigint").alias("r"))
+    colt = obs.groupBy("dow").agg(F.sum("n_obs").cast("bigint").alias("c"))
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    cells = (
+        rowt.crossJoin(F.broadcast(colt))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            F.coalesce("n_obs", F.lit(0).cast("bigint")).alias("n_obs"),
+            F.expr("(r * c * 1000000000) div n").alias("expected_e9"),
+        )
+    )
+    dev = (
+        F.col("n_obs") * F.lit(1000000000) - F.col("expected_e9")
+    ).cast("double") / F.lit(1e9)
+    exp_d = F.col("expected_e9").cast("double") / F.lit(1e9)
+    contrib = cells.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        "expected_e9",
+        fquant(dev * dev / exp_d).alias("chi2_contrib"),
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin as _pin
+
+    contrib = _pin(contrib, eager=False)
+    total = contrib.agg(
+        F.sum(F.col("chi2_contrib").cast(T.DecimalType(38, 9)))
+        .cast("double")
+        .alias("chi2_total")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "dow",
+            "n_obs",
+            "expected_e9",
+            "chi2_contrib",
+            "chi2_total",
+            (F.col("chi2_total") > F.lit(_CHI2_INDEP_CRIT)).alias(
+                "independence_reject"
+            ),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+dq_chi2_independence.__doc__ = dq_chi2_independence.__doc__.format(
+    crit=_CHI2_INDEP_CRIT
+)

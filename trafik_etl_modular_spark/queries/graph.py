@@ -1091,3 +1091,86 @@ def graph_common_neighbor_linkpred(spark, sf_dir):
         .select("rk", "supp_a", "supp_b", "n_common", "n_candidates")
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (round 11)
+# ---------------------------------------------------------------------------
+
+_ASSORT_SQL = f"""
+WITH {_EDGE_SQL},
+deg AS (SELECT u AS x, CAST(COUNT(*) AS BIGINT) AS d FROM ee GROUP BY u),
+pairs AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM ee JOIN deg du ON du.x = ee.u JOIN deg dv ON dv.x = ee.v
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(dx) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(dy) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(dx * dx) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(dy * dy) AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(dx * dy) AS DECIMAL(38,0)) AS sxy
+  FROM pairs
+),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM deg)
+SELECT nv.n_vertices,
+       CAST(m.n AS BIGINT) AS n_directed_edges,
+       (CAST(ROUND((CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+         / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                * CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE))) * 1e9) AS BIGINT) / 1e9)
+         AS assortativity_q
+FROM m CROSS JOIN nv
+"""
+
+
+@query("graph_degree_assortativity", sql=_ASSORT_SQL, tags=("graph", "analytics"))
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity coefficient (Newman 2002, public
+    literature): the Pearson correlation of endpoint degrees over the
+    directed-edge list (the symmetric table counts each undirected
+    edge in both orientations — exactly Newman's summation).  Negative
+    on this bipartite purchase graph (hubs attach to leaves), positive
+    on social graphs — the one-number mixing diagnostic.  Computed
+    with the exact-integer-moment recipe (degrees are BIGINTs, all
+    six moments exact DECIMAL(38,0), doubles only in the final
+    divide/sqrt, e9-quantized).
+
+    Scale: one degree aggregation + two vertex-key equi-joins
+    decorating each edge with its endpoint degrees (the triangle
+    counter's first stage), then ONE map-side-combined moment pass —
+    no windows, no global sorts, output is 1 row."""
+    from pyspark.sql import types as T
+
+    from trafik_etl_modular_spark.functions.scalars import fquant
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    ee, _ = _edges_and_count(spark, sf_dir)
+    deg = pin(
+        ee.groupBy("u").agg(F.count("*").cast("bigint").alias("d")), eager=True
+    )
+    pairs = (
+        ee.join(deg.withColumnRenamed("u", "__u").withColumnRenamed("d", "dx"),
+                F.col("u") == F.col("__u"))
+        .join(deg.withColumnRenamed("u", "__v").withColumnRenamed("d", "dy"),
+              F.col("v") == F.col("__v"))
+        .select("dx", "dy")
+    )
+    dec = T.DecimalType(38, 0)
+    m = pairs.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("dx").cast(dec).alias("sx"),
+        F.sum("dy").cast(dec).alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast(dec).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast(dec).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast(dec).alias("sxy"),
+    )
+    nv = deg.agg(F.count("*").cast("bigint").alias("n_vertices"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.crossJoin(F.broadcast(nv)).select(
+        "n_vertices",
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        fquant(num / F.sqrt(dx * dy)).alias("assortativity_q"),
+    )

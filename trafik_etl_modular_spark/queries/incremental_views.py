@@ -349,3 +349,138 @@ def merge_snapshot_table_diff(spark, sf_dir) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-view IVM with deletes (round 11)
+# ---------------------------------------------------------------------------
+
+_AGG_IVM_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+         CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+old AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+view_old AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(cents) AS BIGINT) AS s
+  FROM old GROUP BY event_type, day
+),
+delta AS (
+  SELECT event_type, day, 1 AS mult, cents FROM ev WHERE event_id % 10 = 0
+  UNION ALL
+  SELECT event_type, day, -1 AS mult, cents FROM old WHERE event_id % 7 = 0
+),
+dagg AS (
+  SELECT event_type, day, CAST(SUM(mult) AS BIGINT) AS dm,
+         CAST(SUM(mult * cents) AS BIGINT) AS ds
+  FROM delta GROUP BY event_type, day
+),
+merged AS (
+  SELECT COALESCE(v.event_type, d.event_type) AS event_type,
+         COALESCE(v.day, d.day) AS day,
+         COALESCE(v.cnt, 0) + COALESCE(d.dm, 0) AS cnt,
+         COALESCE(v.s, 0) + COALESCE(d.ds, 0) AS s
+  FROM view_old v FULL OUTER JOIN dagg d
+    ON d.event_type = v.event_type AND d.day = v.day
+),
+final_state AS (
+  SELECT * FROM old WHERE event_id % 7 <> 0
+  UNION ALL
+  SELECT * FROM ev WHERE event_id % 10 = 0
+),
+recomp AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(cents) AS BIGINT) AS s
+  FROM final_state GROUP BY event_type, day
+)
+SELECT m.event_type, m.day,
+       CAST(m.cnt AS BIGINT) AS cnt_ivm, r.cnt AS cnt_recomputed,
+       CAST(m.s AS BIGINT) AS sum_ivm_cents, r.s AS sum_recomputed_cents,
+       (m.cnt = r.cnt AND m.s = r.s) AS ivm_matches
+FROM merged m JOIN recomp r ON r.event_type = m.event_type AND r.day = m.day
+WHERE m.cnt > 0
+ORDER BY m.event_type, m.day
+"""
+
+
+@query("merge_agg_ivm_deletes", sql=_AGG_IVM_SQL, tags=("merge", "incremental"))
+def merge_agg_ivm_deletes(spark, sf_dir) -> DataFrame:
+    """Incremental maintenance of an AGGREGATE view under a changelog
+    with INSERTS AND DELETES — the counting algorithm (Blakeley /
+    Gupta-Mumick, public literature) the join-IVM query doesn't
+    exercise: each delta row carries a signed multiplicity, the delta
+    batch folds to per-key (Σ mult, Σ mult·value), and the maintained
+    view is old ⊕ delta with zero-count groups retired.  Unlike the
+    append-only folds (BM25 df, Bloom bit_or), counts here can
+    DECREASE — the algebra needs the signed form, not a semilattice
+    merge.  Certified per group against a full recompute of the
+    post-state (`ivm_matches`, oracle-recomputed).
+
+    Scale: maintenance cost is one hash agg over the DELTA plus a
+    key-partitioned outer merge against the stored view — work ∝
+    batch + touched keys, never a fact-table rescan; the recompute
+    leg exists only to notarize."""
+    from pyspark.sql import types as T
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "event_id",
+        (F.col("value").cast(T.DecimalType(38, 2)) * 100).cast("long").alias("cents"),
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    ev = pin(ev, eager=True)
+    old = ev.where(F.col("event_id") % 10 != 0)
+    view_old = old.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    delta = ev.where(F.col("event_id") % 10 == 0).select(
+        "event_type", "day", F.lit(1).alias("mult"), "cents"
+    ).unionByName(
+        old.where(F.col("event_id") % 7 == 0).select(
+            "event_type", "day", F.lit(-1).alias("mult"), "cents"
+        )
+    )
+    dagg = delta.groupBy("event_type", "day").agg(
+        F.sum("mult").cast("bigint").alias("dm"),
+        F.sum(F.col("mult") * F.col("cents")).cast("bigint").alias("ds"),
+    )
+    z = F.lit(0).cast("bigint")
+    merged = (
+        view_old.alias("v")
+        .join(dagg.alias("d"), ["event_type", "day"], "full_outer")
+        .select(
+            "event_type",
+            "day",
+            (F.coalesce("cnt", z) + F.coalesce("dm", z)).alias("cnt"),
+            (F.coalesce("s", z) + F.coalesce("ds", z)).alias("s"),
+        )
+    )
+    final_state = old.where(F.col("event_id") % 7 != 0).unionByName(
+        ev.where(F.col("event_id") % 10 == 0)
+    )
+    recomp = final_state.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("cnt_recomputed"),
+        F.sum("cents").cast("bigint").alias("sum_recomputed_cents"),
+    )
+    return (
+        merged.where(F.col("cnt") > 0)
+        .join(recomp, ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            F.col("cnt").cast("bigint").alias("cnt_ivm"),
+            "cnt_recomputed",
+            F.col("s").cast("bigint").alias("sum_ivm_cents"),
+            "sum_recomputed_cents",
+            (
+                (F.col("cnt") == F.col("cnt_recomputed"))
+                & (F.col("s") == F.col("sum_recomputed_cents"))
+            ).alias("ivm_matches"),
+        )
+        .orderBy("event_type", "day")
+    )

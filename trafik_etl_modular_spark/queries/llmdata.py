@@ -6534,3 +6534,76 @@ def sim_ivf_nprobe_sweep(spark, sf_dir):
 sim_ivf_nprobe_sweep.__doc__ = sim_ivf_nprobe_sweep.__doc__.replace(
     "{sweep}", str(_SWEEP_NPROBES)
 )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (round 11)
+# ---------------------------------------------------------------------------
+
+_BURST_TOP = 20
+_BURST_MIN_DF = 5
+
+_BURST_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, t.u AS w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u FROM documents) t
+  WHERE t.u <> '' GROUP BY doc_id, t.u
+),
+stats AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(tf) AS BIGINT) AS sum_tf,
+         CAST(SUM(tf * tf) AS BIGINT) AS sum_tf2
+  FROM tf GROUP BY w
+),
+scored AS (
+  SELECT w AS term, df, sum_tf,
+         CAST(((df * sum_tf2 - sum_tf * sum_tf) * 1000000)
+              // (df * sum_tf) AS BIGINT) AS vmr_e6
+  FROM stats WHERE df >= {_BURST_MIN_DF}
+)
+SELECT term, df, sum_tf, vmr_e6
+FROM scored
+ORDER BY vmr_e6 DESC, term
+LIMIT {_BURST_TOP}
+"""
+
+
+@query("vocab_term_burstiness", sql=_BURST_SQL, tags=("llmdata", "text", "quality"))
+def vocab_term_burstiness(spark, sf_dir):
+    """Term BURSTINESS: the variance-to-mean ratio of each term's
+    per-document frequency over the documents that contain it (Church
+    & Gale 1995, public literature) — content words clump (VMR ≫ 1),
+    function words spread (VMR ≈ expectation), and boilerplate
+    repeats pathologically — the signal that separates topical
+    vocabulary from glue for stopword induction and keyword scoring.
+    The whole statistic stays EXACT INTEGER: population variance /
+    mean folds to (df·Σtf² − (Σtf)²) / (df·Σtf), emitted as e6 floor
+    division — no doubles anywhere.  Top-{top} burstiest terms with
+    df ≥ {mindf}, deterministic tiebreak.
+
+    Scale: the postings pass is the BM25 df table's (one tokenize +
+    one hash agg, vocab-bounded shuffle); the three moments ride the
+    SAME aggregation; the head is a distributed top-k."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    from trafik_etl_modular_spark.queries.retrieval import build_postings
+
+    tf = build_postings(docs)
+    stats = tf.groupBy(F.col("w").alias("term")).agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("sum_tf"),
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("sum_tf2"),
+    )
+    scored = stats.where(F.col("df") >= _BURST_MIN_DF).select(
+        "term",
+        "df",
+        "sum_tf",
+        F.expr("((df * sum_tf2 - sum_tf * sum_tf) * 1000000) div (df * sum_tf)")
+        .cast("bigint")
+        .alias("vmr_e6"),
+    )
+    return scored.orderBy(F.desc("vmr_e6"), "term").limit(_BURST_TOP)
+
+
+vocab_term_burstiness.__doc__ = vocab_term_burstiness.__doc__.format(
+    top=_BURST_TOP, mindf=_BURST_MIN_DF
+)

@@ -130,6 +130,10 @@ DRIVER_WINDOW: list[str] = [
     "graph_common_neighbor_linkpred",
     "text_phrase_search_nword",
     "sim_ivf_nprobe_sweep",
+    "dq_chi2_independence",
+    "graph_degree_assortativity",
+    "vocab_term_burstiness",
+    "merge_agg_ivm_deletes",
     # --- changed this round (hash-manifest rule): phrase-search token
     # prefilter (verdict r10 weak fix), LPA radix guard (ADVICE r10),
     # bigram single-token-doc guard (ADVICE r10) ------------------------
@@ -161,10 +165,6 @@ DRIVER_WINDOW: list[str] = [
     "sim_pq_recall",
     "text_host_quality_policy",
     # --- fill: soonest-deadline matures (planner order) ----------------
-    "inc_daily_trend_gapfill",
-    "agg_cube_flag_status",
-    "agg_exact_median_iqr",
-    "agg_pivot_linestatus",
 ]
 
 
