@@ -141,3 +141,109 @@ def test_bloom_membership_never_false_negative(keys, probes, m_words):
         )
         if k in keys:
             assert hit
+
+
+@_SETTINGS
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),  # key
+            st.sampled_from([1, -1]),  # multiplicity
+            st.integers(min_value=-1000, max_value=1000),  # value
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    base=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+)
+def test_signed_multiplicity_ivm_identity(base, ops):
+    """For ANY base state and ANY insert/delete changelog (deletes
+    only of present rows), merged = old-view ⊕ Σ(mult, mult·value)
+    equals a recompute of the post-state — the counting-algorithm
+    identity merge_agg_ivm_deletes plans.  Deletes are constrained to
+    rows actually present (a changelog invariant, not an algebra
+    one)."""
+    from collections import Counter, defaultdict
+
+    present = Counter()
+    for k, v in base:
+        present[(k, v)] += 1
+    applied = []
+    for k, m, v in ops:
+        if m == -1:
+            if present[(k, v)] <= 0:
+                continue  # delete of an absent row is not a legal changelog
+            present[(k, v)] -= 1
+        else:
+            present[(k, v)] += 1
+        applied.append((k, m, v))
+    # view maintenance
+    view = defaultdict(lambda: [0, 0])
+    for k, v in base:
+        view[k][0] += 1
+        view[k][1] += v
+    for k, m, v in applied:
+        view[k][0] += m
+        view[k][1] += m * v
+    merged = {k: tuple(s) for k, s in view.items() if s[0] > 0}
+    # recompute from the post-state
+    recomp = defaultdict(lambda: [0, 0])
+    for (k, v), c in present.items():
+        recomp[k][0] += c
+        recomp[k][1] += c * v
+    want = {k: tuple(s) for k, s in recomp.items() if s[0] > 0}
+    assert merged == want
+
+
+@_SETTINGS
+@given(
+    tfs=st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=50)
+)
+def test_burstiness_rational_equals_vmr(tfs):
+    """(df·Σtf² − (Σtf)²) / (df·Σtf) equals population-variance/mean
+    exactly — the integer fold vocab_term_burstiness emits (checked
+    against the Fraction-exact definition, not floats)."""
+    from fractions import Fraction
+
+    df = len(tfs)
+    s, s2 = sum(tfs), sum(x * x for x in tfs)
+    mean = Fraction(s, df)
+    var = Fraction(s2, df) - mean * mean
+    want = var / mean
+    got = Fraction(df * s2 - s * s, df * s)
+    assert got == want
+    # and the e6 floor emission is the floor of the exact rational
+    assert ((df * s2 - s * s) * 1_000_000) // (df * s) == (want * 1_000_000).__floor__()
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(st.integers(min_value=1, max_value=10**4), min_size=1, max_size=8),
+    cols=st.lists(st.integers(min_value=1, max_value=10**4), min_size=1, max_size=9),
+)
+def test_chi2_expected_cells_bounded_and_near_exhaustive(rows, cols):
+    """Expected-cell floors (r·c·1e9 div N) never exceed the exact
+    rational and their total falls short of N·1e9 by less than the
+    cell count — the floor-grid discrepancy bound that keeps the
+    dq_chi2_independence statistic within one snap-grid step of the
+    real-valued chi-square."""
+    n = sum(rows) * 1  # treat rows as row totals of a table whose col
+    # totals are scaled to the same grand total
+    # construct a consistent table: grand total = sum(rows)*sum(cols)
+    grand = sum(rows) * sum(cols)
+    total_e9 = 0
+    for r in rows:
+        for c in cols:
+            # row marginal = r*sum(cols), col marginal = c*sum(rows)
+            rm, cm = r * sum(cols), c * sum(rows)
+            e = (rm * cm * 1_000_000_000) // grand
+            assert e <= rm * cm * 1_000_000_000 / grand
+            total_e9 += e
+    assert grand * 1_000_000_000 - total_e9 < len(rows) * len(cols)
