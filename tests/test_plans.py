@@ -540,6 +540,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "dq_chi2_independence",
         # 1-row moment frame × 1-row vertex-count certificate
         "graph_degree_assortativity",
+        # six 1-row volume/orphan-count certificate legs
+        "dq_referential_integrity",
+        # |langs|×|vocab| cell expansion (vocabulary-bounded) + the
+        # 1-row corpus-total scalar
+        "text_lang_divergence_tv",
     }
     bad = []
     for name in sorted(REGISTRY):

@@ -1092,3 +1092,104 @@ def dq_chi2_independence(spark, sf_dir):
 dq_chi2_independence.__doc__ = dq_chi2_independence.__doc__.format(
     crit=_CHI2_INDEP_CRIT
 )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (round 11)
+# ---------------------------------------------------------------------------
+
+_REF_INTEGRITY_SQL = """
+WITH o_orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+),
+l_orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+),
+c_orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+),
+dormant AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+),
+vol AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitems,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_customers
+)
+SELECT v.n_orders, v.n_lineitems, v.n_customers,
+       o.n AS n_childless_orders,
+       l.n AS n_orphan_lineitems,
+       c.n AS n_orders_bad_custkey,
+       d.n AS n_dormant_customers,
+       (l.n = 0 AND c.n = 0) AS fk_integrity_ok
+FROM vol v CROSS JOIN o_orphans o CROSS JOIN l_orphans l
+CROSS JOIN c_orphans c CROSS JOIN dormant d
+"""
+
+
+@query("dq_referential_integrity", sql=_REF_INTEGRITY_SQL, tags=("quality", "join"))
+def dq_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit across the fact/dimension FK paths
+    — the lakehouse has no FOREIGN KEY enforcement, so this query IS
+    the constraint: orphan lineitems (child without parent — a real
+    violation), orders with dangling custkeys (violation), childless
+    orders and dormant customers (legal but reported), plus the
+    `fk_integrity_ok` verdict over the two true constraints.  The
+    audit every ingest pipeline schedules after a backfill.
+
+    Scale: each orphan check is one ANTI join on the key (Spark plans
+    left_anti — no row fan-out, shuffle on the key, map-side
+    distinct-able); volumes are metadata-cheap counts; output is 1
+    row.  On partitioned tables the anti joins prune to the
+    backfilled partitions first."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    o_orphans = orders.join(
+        li.select("l_orderkey").distinct(),
+        orders["o_orderkey"] == F.col("l_orderkey"),
+        "left_anti",
+    ).agg(F.count("*").cast("bigint").alias("n_childless_orders"))
+    l_orphans = li.join(
+        orders.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count("*").cast("bigint").alias("n_orphan_lineitems"))
+    c_orphans = orders.join(
+        cust.select("c_custkey"),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count("*").cast("bigint").alias("n_orders_bad_custkey"))
+    dormant = cust.join(
+        orders.select("o_custkey").distinct(),
+        cust["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    ).agg(F.count("*").cast("bigint").alias("n_dormant_customers"))
+    vol = (
+        orders.agg(F.count("*").cast("bigint").alias("n_orders"))
+        .crossJoin(li.agg(F.count("*").cast("bigint").alias("n_lineitems")))
+        .crossJoin(cust.agg(F.count("*").cast("bigint").alias("n_customers")))
+    )
+    return (
+        vol.crossJoin(F.broadcast(o_orphans))
+        .crossJoin(F.broadcast(l_orphans))
+        .crossJoin(F.broadcast(c_orphans))
+        .crossJoin(F.broadcast(dormant))
+        .select(
+            "n_orders",
+            "n_lineitems",
+            "n_customers",
+            "n_childless_orders",
+            "n_orphan_lineitems",
+            "n_orders_bad_custkey",
+            "n_dormant_customers",
+            (
+                (F.col("n_orphan_lineitems") == 0)
+                & (F.col("n_orders_bad_custkey") == 0)
+            ).alias("fk_integrity_ok"),
+        )
+    )

@@ -6607,3 +6607,88 @@ def vocab_term_burstiness(spark, sf_dir):
 vocab_term_burstiness.__doc__ = vocab_term_burstiness.__doc__.format(
     top=_BURST_TOP, mindf=_BURST_MIN_DF
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-language vocabulary divergence (round 11)
+# ---------------------------------------------------------------------------
+
+_TV_DIV_SQL = """
+WITH tf AS (
+  SELECT lang, t.u AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS u FROM documents) t
+  WHERE t.u <> '' GROUP BY lang, t.u
+),
+corpus AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cc FROM tf GROUP BY w),
+lt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nl FROM tf GROUP BY lang),
+tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM corpus),
+cells AS (
+  SELECT l.lang, co.w, l.nl, t.n,
+         COALESCE(f.c, 0) AS cl, co.cc
+  FROM lt l CROSS JOIN corpus co CROSS JOIN tot t
+  LEFT JOIN tf f ON f.lang = l.lang AND f.w = co.w
+)
+SELECT lang, CAST(MAX(nl) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_corpus_types,
+       CAST((SUM(ABS(cl * n - cc * nl)) * 1000000)
+            // (2 * MAX(nl) * MAX(n)) AS BIGINT) AS tv_divergence_e6
+FROM cells GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("text_lang_divergence_tv", sql=_TV_DIV_SQL, tags=("llmdata", "text", "quality"))
+def text_lang_divergence_tv(spark, sf_dir):
+    """Total-variation distance between each language's unigram
+    distribution and the corpus mix — the drift gauge for per-source
+    vocabulary skew (KL/JSD need logs, banned on oracle surfaces; TV
+    = ½ Σ |p − q| folds to EXACT integers over the common denominator:
+    Σ |c_lang·N − c_corpus·N_lang| div (2·N_lang·N), e6 floor).  A
+    language whose vocabulary matches the corpus mix scores near 0; a
+    domain-skewed slice drifts toward 1 — the signal for per-source
+    sampling-weight correction.
+
+    Scale: one (lang, word) hash agg (the hapax pass), marginals
+    aggregated FROM it, and one vocab×langs cell expansion (|V|·|L|
+    rows — vocabulary-bounded, never corpus-bounded).  The integer
+    products stay in 64 bits while c·N < 2^63 (~10^9 tokens at 10^9
+    count ceilings); past that the identical expression moves to
+    DECIMAL(38,0))."""
+    docs = t(spark, sf_dir, "documents").select("lang", "text")
+    tf = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("u"))
+        .where(F.col("u") != "")
+        .groupBy("lang", F.col("u").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    tf = pin(tf, eager=True)
+    corpus = tf.groupBy("w").agg(F.sum("c").cast("bigint").alias("cc"))
+    lt = tf.groupBy("lang").agg(F.sum("c").cast("bigint").alias("nl"))
+    tot = corpus.agg(F.sum("cc").cast("bigint").alias("n"))
+    cells = (
+        lt.crossJoin(corpus)
+        .crossJoin(F.broadcast(tot))
+        .join(tf, ["lang", "w"], "left")
+        .select(
+            "lang",
+            "w",
+            "nl",
+            "n",
+            F.coalesce("c", F.lit(0).cast("bigint")).alias("cl"),
+            "cc",
+        )
+    )
+    return (
+        cells.groupBy("lang")
+        .agg(
+            F.max("nl").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_corpus_types"),
+            F.expr(
+                "CAST((SUM(ABS(cl * n - cc * nl)) * 1000000)"
+                " div (2 * MAX(nl) * MAX(n)) AS BIGINT)"
+            ).alias("tv_divergence_e6"),
+        )
+        .orderBy("lang")
+    )

@@ -134,6 +134,8 @@ DRIVER_WINDOW: list[str] = [
     "graph_degree_assortativity",
     "vocab_term_burstiness",
     "merge_agg_ivm_deletes",
+    "dq_referential_integrity",
+    "text_lang_divergence_tv",
     # --- changed this round (hash-manifest rule): phrase-search token
     # prefilter (verdict r10 weak fix), LPA radix guard (ADVICE r10),
     # bigram single-token-doc guard (ADVICE r10) ------------------------
@@ -162,8 +164,6 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_dedup_perceptual",
     "sim_ann_ivf_pq_probe",
     "sim_ivf_compact",
-    "sim_pq_recall",
-    "text_host_quality_policy",
     # --- fill: soonest-deadline matures (planner order) ----------------
 ]
 
