@@ -121,6 +121,28 @@ def _write_local_artifact(
             for p in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
         ]
         rnd = (max(rounds) if rounds else 0) + 1
+        # Verdict r11 ask #6: the driver's CLOSING bench runs right
+        # after it writes CORRECTNESS_rN at the same HEAD, so max+1
+        # stamped the NEXT round's counter (r11's closing artifact
+        # landed as BENCH_FULL_r12.json).  Detect that case by the
+        # window itself: if the newest ledger's checked-key set is
+        # exactly the CURRENT DRIVER_WINDOW, that ledger describes
+        # this HEAD and the bench belongs to the round being closed.
+        # Mid-round benches see the PREVIOUS round's window in the
+        # ledger (the window always changes round-over-round) and
+        # keep max+1.
+        if rounds:
+            try:
+                with open(
+                    os.path.join(repo, f"CORRECTNESS_r{max(rounds):02d}.json")
+                ) as f:
+                    led = json.load(f)
+                from trafik_etl_modular_spark.registry import DRIVER_WINDOW
+
+                if isinstance(led, dict) and set(led) == set(DRIVER_WINDOW):
+                    rnd = max(rounds)
+            except Exception:  # noqa: BLE001 — stamp detection is best-effort
+                pass
         full_path = os.path.join(repo, f"BENCH_FULL_r{rnd:02d}.json")
         # read-merge-write (ADVICE r10): a round that benches multiple
         # scale factors must keep EVERY sf key, not just the last run's

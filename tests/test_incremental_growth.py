@@ -209,3 +209,60 @@ def test_bm25_postings_growth_linear_in_batch(spark):
     half = N_BATCHES // 2
     ratio = _median(times[half:]) / max(_median(times[:half]), 1e-9)
     assert ratio < MEDIAN_RATIO_BOUND, (times, ratio)
+
+
+def test_bm25_postings_shrink_fold_matches_rebuild(spark):
+    """The SHRINK case (verdict r11 ask #2): build the df table from
+    the full corpus, then retract 3 of the 10 batches with signed
+    folds (sign=-1).  After each retraction Σ df drops by exactly the
+    batch's postings count, terms whose df reaches zero RETIRE (no
+    zero/negative rows survive), and the final folded table lands
+    EXACTLY on a from-scratch rebuild over the surviving docs."""
+    from trafik_etl_modular_spark.queries.retrieval import (
+        build_postings,
+        fold_df_table,
+    )
+
+    # plant one doc with a vocabulary-unique term in retraction batch
+    # 0 (id ≡ 0 mod N_BATCHES) so the zero-df retirement branch is
+    # EXERCISED even at this fixture's 31-term vocabulary
+    planted = spark.createDataFrame(
+        [(1_000_000_000, "plantedretiredterm the")], "doc_id long, text string"
+    )
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    dftab = fold_df_table(None, build_postings(docs)).localCheckpoint(eager=True)
+    mass = dftab.agg(F.sum("df")).first()[0]
+    for i in range(3):
+        bdocs = docs.where(F.col("doc_id") % N_BATCHES == i).localCheckpoint(
+            eager=True
+        )
+        bpost = build_postings(bdocs).localCheckpoint(eager=True)
+        batch_mass = bpost.count()
+        dftab = fold_df_table(dftab, bpost, sign=-1).coalesce(8).localCheckpoint(
+            eager=True
+        )
+        # Σ df shrank by exactly the batch's postings count — the
+        # signed fold never recounts history
+        total_df = dftab.agg(F.coalesce(F.sum("df"), F.lit(0))).first()[0]
+        assert total_df == mass - batch_mass
+        mass = total_df
+        # retirement invariant: the merge keeps strictly positive rows
+        assert dftab.where(F.col("df") <= 0).count() == 0
+
+    survivors = docs.where(F.col("doc_id") % N_BATCHES >= 3)
+    rebuilt = (
+        build_postings(survivors)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    assert dftab.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(dftab).count() == 0
+    # the retraction genuinely retired the planted last-posting term
+    # (the zero-retirement branch is exercised, not vacuous)
+    assert dftab.where(F.col("w") == "plantedretiredterm").count() == 0
+    full_vocab = fold_df_table(None, build_postings(docs)).count()
+    assert dftab.count() < full_vocab

@@ -631,6 +631,79 @@ def ivf_compact(
     return report
 
 
+def ivf_purge(
+    spark,
+    path: str,
+    tombstones: DataFrame,
+    out_path: str | None = None,
+    id_col: str = "vec_id",
+) -> list[tuple[int, int]]:
+    """PHYSICALLY purge tombstoned vectors from a persisted IVF index
+    — the DELETE half of the vector lifecycle (verdict r11 ask #3):
+    between a takedown and this op, probes stay correct through the
+    tombstone anti-join (:func:`ivf_topk` ``tombstones=``); this op
+    retires the rows from the layout so storage and candidate volume
+    shrink back.
+
+    Plan shape, and why it scales: the planner first locates the
+    tombstoned rows' buckets with ONE id+bucket projection of the
+    index semi-joined to the (broadcast) tombstone set — column-
+    pruned, never the vectors.  ONLY those buckets are rewritten
+    (partition-pruned ``ivf_bucket IN (…)`` read, anti-join against
+    the tombstones, one shuffle partition per bucket, one file each);
+    untouched buckets are never read.  A bucket whose every vector is
+    tombstoned disappears from the layout entirely (directory-level
+    retirement, the zero-count rule of the signed-fold family).
+
+    ``out_path=None`` purges IN PLACE with the same atomic directory
+    swap as :func:`ivf_compact`; with ``out_path`` the purged buckets
+    materialize side-by-side (the registered report query uses this
+    so the shared fixture index stays immutable).
+
+    Returns [(bucket, n_tombstoned)] for touched buckets, sorted.
+    """
+    import os
+    import shutil
+    import uuid
+
+    src = spark.read.parquet(f"{path}/assigned")
+    tomb = tombstones.select(F.col(id_col))
+    touched = (
+        src.select(id_col, "ivf_bucket")
+        .join(F.broadcast(tomb), id_col, "leftsemi")
+        .groupBy("ivf_bucket")
+        .agg(F.count("*").alias("n_tombstoned"))
+        .collect()
+    )
+    report = sorted(
+        (int(r["ivf_bucket"]), int(r["n_tombstoned"])) for r in touched
+    )
+    over = [b for b, _ in report]
+    dest = out_path if out_path is not None else path
+    if over:
+        tmp = f"{dest}/.purge-{uuid.uuid4().hex[:8]}"
+        (
+            src.filter(F.col("ivf_bucket").isin(over))
+            .join(F.broadcast(tomb), id_col, "left_anti")
+            .repartition(len(over), "ivf_bucket")
+            .write.mode("overwrite")
+            .partitionBy("ivf_bucket")
+            .parquet(f"{tmp}/assigned")
+        )
+        os.makedirs(f"{dest}/assigned", exist_ok=True)
+        for b in over:
+            new_dir = f"{tmp}/assigned/ivf_bucket={b}"
+            cur_dir = f"{dest}/assigned/ivf_bucket={b}"
+            if os.path.exists(cur_dir):  # in-place: swap old dir out
+                os.rename(cur_dir, f"{tmp}/old-{b}")
+            if os.path.exists(new_dir):
+                os.rename(new_dir, cur_dir)
+            # else: the bucket was fully tombstoned — it retires from
+            # the layout (no directory at all)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return report
+
+
 def ivf_write_index(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -719,10 +792,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroid_rows: list[tuple[int, list[float]]] | None = None,
     query_point: tuple[object, list[float]] | None = None,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe: rank the stored centroids against the query, take
     the nprobe nearest buckets, exact-cosine rerank ONLY inside those
-    buckets.  Candidate volume ≈ nprobe/k of the corpus; with
+    buckets.
+
+    ``tombstones``: optional 1-column (id) frame of RETRACTED vectors
+    (takedowns/decontamination, verdict r11 ask #3) — anti-joined
+    against the candidate stage BEFORE the rerank, so deleted vectors
+    can never surface between a logical delete and the next physical
+    purge (:func:`ivf_purge`).  The anti-join is candidate-sized
+    (nprobe buckets), never corpus-sized, and a small tombstone set
+    broadcasts.  Candidate volume ≈ nprobe/k of the corpus; with
     `nprobe == n_centroids` the result is exactly brute force
     (asserted in tests — the pruning is the ONLY approximation).
 
@@ -770,6 +852,10 @@ def ivf_topk(
     cands = assigned.filter(
         F.col("ivf_bucket").isin(probe_buckets) & (F.col(id_col) != F.lit(qid))
     )
+    if tombstones is not None:
+        cands = cands.join(
+            F.broadcast(tombstones.select(F.col(id_col))), id_col, "left_anti"
+        )
     return (
         cands.select(
             F.col(id_col),

@@ -977,7 +977,8 @@ tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
 cells AS (
   SELECT rt.event_type, ct.dow,
          COALESCE(o.n_obs, 0) AS n_obs,
-         (rt.r * ct.c * 1000000000) // t.n AS expected_e9
+         CAST((CAST(rt.r AS HUGEINT) * ct.c * 1000000000) // t.n AS BIGINT)
+           AS expected_e9
   FROM rowt rt CROSS JOIN colt ct CROSS JOIN tot t
   LEFT JOIN obs o ON o.event_type = rt.event_type AND o.dow = ct.dow
 ),
@@ -1019,9 +1020,14 @@ def dq_chi2_independence(spark, sf_dir):
     whole statistic follows the proven Benford recipe.  Scale: one
     hash aggregation to the |types|×|dows| table; marginals and the
     total are aggregations OF THE CELLS, never rescans; everything
-    after is arithmetic on ≤35 rows.  The exact-in-double premise
-    holds while r·c < 2^53/1e9 ≈ 9·10^6 per marginal pair — past
-    that, the contributions move to DECIMAL(38,9) unchanged."""
+    after is arithmetic on ≤35 rows.  Overflow (ADVICE r11): the
+    r·c·1e9 product is computed in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) so it can never wrap; the remaining int64 boundary is
+    the expected_e9 QUOTIENT itself (≤ min(r,c)·1e9), loudly guarded
+    below at min(max_r, max_c) < 2^63/1e9 ≈ 9.2e9 events per
+    smallest-side marginal — past that the e9 grid itself must widen.
+    The exact-in-double premise for the contributions holds on the
+    same guarded bound."""
     from pyspark.sql import types as T
 
     from trafik_etl_modular_spark.functions.scalars import fquant
@@ -1042,6 +1048,19 @@ def dq_chi2_independence(spark, sf_dir):
     rowt = obs.groupBy("event_type").agg(F.sum("n_obs").cast("bigint").alias("r"))
     colt = obs.groupBy("dow").agg(F.sum("n_obs").cast("bigint").alias("c"))
     tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    # Loud quotient guard (ADVICE r11, the _check_lpa_radix pattern):
+    # expected_e9 ≤ min(r,c)·1e9 must fit a signed long on the Spark
+    # leg (DuckDB would raise on the BIGINT cast; Spark's `div` wraps
+    # silently).  One tiny job over the pinned ≤35-row cell frame.
+    _m = rowt.agg(F.max("r").alias("mr")).crossJoin(
+        colt.agg(F.max("c").alias("mc"))
+    ).first()
+    if _m["mr"] is not None and min(_m["mr"], _m["mc"]) >= (1 << 63) // 10**9:
+        raise ValueError(
+            "dq_chi2_independence: smallest-side marginal "
+            f"{min(_m['mr'], _m['mc'])} puts expected_e9 past int64; "
+            "widen the e9 grid to DECIMAL(38,9) on both engines"
+        )
     cells = (
         rowt.crossJoin(F.broadcast(colt))
         .crossJoin(F.broadcast(tot))
@@ -1050,7 +1069,9 @@ def dq_chi2_independence(spark, sf_dir):
             "event_type",
             "dow",
             F.coalesce("n_obs", F.lit(0).cast("bigint")).alias("n_obs"),
-            F.expr("(r * c * 1000000000) div n").alias("expected_e9"),
+            F.expr("(CAST(r AS DECIMAL(38,0)) * c * 1000000000) div n").alias(
+                "expected_e9"
+            ),
         )
     )
     dev = (

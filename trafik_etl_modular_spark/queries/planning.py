@@ -68,12 +68,12 @@ stats AS (
 )
 SELECT s.n_left, s.d_left, s.n_right, s.d_right, s.n_mcv,
        a.actual_rows, m.mcv_rows,
-       m.mcv_rows
-         + ((s.n_left - s.nl_mcv) * (s.n_right - m.nr_mcv))
+       CAST(m.mcv_rows
+         + (CAST(s.n_left - s.nl_mcv AS HUGEINT) * (s.n_right - m.nr_mcv))
            // GREATEST(s.d_left - s.n_mcv, s.d_right - m.d_mcv_right, 1)
-         AS est_rows,
+         AS BIGINT) AS est_rows,
        CAST(((m.mcv_rows
-         + ((s.n_left - s.nl_mcv) * (s.n_right - m.nr_mcv))
+         + (CAST(s.n_left - s.nl_mcv AS HUGEINT) * (s.n_right - m.nr_mcv))
            // GREATEST(s.d_left - s.n_mcv, s.d_right - m.d_mcv_right, 1))
          * 1000000) // GREATEST(a.actual_rows, 1) AS BIGINT) AS est_ratio_e6
 FROM stats s CROSS JOIN actual a CROSS JOIN mcvp m
@@ -147,8 +147,12 @@ def join_cardinality_estimate(spark, sf_dir) -> DataFrame:
         )
     )
     out = stats.crossJoin(F.broadcast(actual)).crossJoin(F.broadcast(mcvp))
+    # the uniform-remainder product multiplies two table-cardinality-
+    # sized BIGINTs — widened to DECIMAL(38,0)/HUGEINT (ADVICE r11) so
+    # ~1e9-row sides cannot silently wrap; the est_rows QUOTIENT fits
+    # int64 whenever the estimate itself does (it is a row count)
     est = F.expr(
-        "mcv_rows + ((n_left - nl_mcv) * (n_right - nr_mcv))"
+        "mcv_rows + (CAST(n_left - nl_mcv AS DECIMAL(38,0)) * (n_right - nr_mcv))"
         " div greatest(d_left - n_mcv, d_right - d_mcv_right, CAST(1 AS BIGINT))"
     )
     return out.select(
@@ -161,8 +165,10 @@ def join_cardinality_estimate(spark, sf_dir) -> DataFrame:
         "mcv_rows",
         est.cast("bigint").alias("est_rows"),
         F.expr(
-            "((mcv_rows + ((n_left - nl_mcv) * (n_right - nr_mcv))"
-            " div greatest(d_left - n_mcv, d_right - d_mcv_right, CAST(1 AS BIGINT)))"
+            "(CAST(mcv_rows + (CAST(n_left - nl_mcv AS DECIMAL(38,0))"
+            " * (n_right - nr_mcv))"
+            " div greatest(d_left - n_mcv, d_right - d_mcv_right, CAST(1 AS BIGINT))"
+            " AS DECIMAL(38,0))"
             " * 1000000) div greatest(actual_rows, CAST(1 AS BIGINT))"
         )
         .cast("bigint")

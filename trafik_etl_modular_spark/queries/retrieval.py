@@ -138,17 +138,29 @@ def build_postings(docs: DataFrame) -> DataFrame:
     return toks.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
 
 
-def fold_df_table(base: DataFrame | None, batch_postings: DataFrame) -> DataFrame:
-    """Additive document-frequency fold: df(w) += batch's df(w).
-    Appending a batch costs one hash agg over the BATCH's postings
-    plus a vocab-bounded additive merge — never a re-count of history
-    (df is a sum of disjoint per-batch contributions, associative
-    like the Bloom bit_or / HLL merges)."""
-    bdf = batch_postings.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+def fold_df_table(
+    base: DataFrame | None, batch_postings: DataFrame, sign: int = 1
+) -> DataFrame:
+    """SIGNED document-frequency fold: df(w) += sign · batch's df(w)
+    — the counting algebra of merge_agg_ivm_deletes applied to the
+    postings index (verdict r11 ask #2).  Appends (sign=+1) cost one
+    hash agg over the BATCH's postings plus a vocab-bounded additive
+    merge; retractions (sign=−1, takedowns/decontamination) fold the
+    SAME way with negated multiplicities, and terms whose df reaches
+    zero RETIRE (the df table never keeps zero/negative rows, so the
+    folded index is always ≡ a rebuild over surviving docs).  Never a
+    re-count of history — df is a sum of disjoint per-batch signed
+    contributions, associative like the Bloom bit_or / HLL merges."""
+    bdf = batch_postings.groupBy("w").agg(
+        (F.lit(sign) * F.count("*")).cast("bigint").alias("df")
+    )
     if base is None:
         return bdf
     return (
-        base.unionByName(bdf).groupBy("w").agg(F.sum("df").cast("bigint").alias("df"))
+        base.unionByName(bdf)
+        .groupBy("w")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .where(F.col("df") > 0)
     )
 
 
@@ -481,6 +493,190 @@ def text_bm25_append(spark, sf_dir) -> DataFrame:
                 (F.col("n_docs_base") + F.col("n_docs_delta") == F.col("n_docs_rebuilt"))
                 & (F.col("tok_base") + F.col("tok_delta") == F.col("tok_rebuilt"))
             ).alias("corpus_matches"),
+        )
+        .orderBy("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Postings DELETE maintenance (round 12)
+# ---------------------------------------------------------------------------
+
+# the retraction batch: 20% of docs (ids ≡ 0,1 mod 10) — a takedown /
+# decontamination wave large enough that some rare terms lose their
+# LAST posting and must retire from the df table
+_DELETE_MOD = 10
+_DELETE_BELOW = 2
+
+_BM25_DELETE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {_DELETE_MOD} < {_DELETE_BELOW} AS is_del,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+terms AS (
+  SELECT doc_id, is_del, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE w <> '' GROUP BY doc_id, is_del, w
+),
+dlens AS (SELECT doc_id, is_del, SUM(tf) AS dl FROM terms GROUP BY doc_id, is_del),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_full,
+         CAST(SUM(dl) AS BIGINT) AS tok_full,
+         CAST(SUM(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_del,
+         CAST(SUM(CASE WHEN is_del THEN dl ELSE 0 END) AS BIGINT) AS tok_del,
+         CAST(SUM(CASE WHEN NOT is_del THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_rebuilt,
+         CAST(SUM(CASE WHEN NOT is_del THEN dl ELSE 0 END) AS BIGINT) AS tok_rebuilt
+  FROM dlens
+),
+retired AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms_retired
+  FROM (
+    SELECT w FROM terms GROUP BY w
+    HAVING SUM(CASE WHEN is_del THEN 1 ELSE 0 END) > 0
+       AND SUM(CASE WHEN NOT is_del THEN 1 ELSE 0 END) = 0
+  )
+),
+panel_terms(term) AS (VALUES {_PANEL_TERMS_SQL}),
+per_term AS (
+  SELECT p.term,
+         CAST(COALESCE(COUNT(t2.w), 0) AS BIGINT) AS df_full,
+         CAST(COALESCE(SUM(CASE WHEN t2.is_del THEN 1 ELSE 0 END), 0) AS BIGINT) AS df_del,
+         CAST(COALESCE(SUM(CASE WHEN NOT t2.is_del THEN 1 ELSE 0 END), 0) AS BIGINT) AS df_rebuilt,
+         CAST(COALESCE(SUM(CASE WHEN t2.is_del THEN t2.tf ELSE 0 END), 0) AS BIGINT) AS tf_del,
+         CAST(COALESCE(SUM(t2.tf), 0) AS BIGINT) AS tf_full,
+         CAST(COALESCE(SUM(CASE WHEN NOT t2.is_del THEN t2.tf ELSE 0 END), 0) AS BIGINT) AS tf_rebuilt
+  FROM panel_terms p LEFT JOIN terms t2 ON t2.w = p.term
+  GROUP BY p.term
+)
+SELECT pt.term, pt.df_full, pt.df_del,
+       pt.df_full - pt.df_del AS df_folded,
+       pt.df_rebuilt,
+       (pt.df_full - pt.df_del = pt.df_rebuilt) AS df_matches,
+       pt.tf_full - pt.tf_del AS tf_folded,
+       pt.tf_rebuilt,
+       (pt.tf_full - pt.tf_del = pt.tf_rebuilt) AS tf_matches,
+       s.n_docs_full - s.n_docs_del AS n_docs_folded,
+       s.n_docs_rebuilt,
+       s.tok_full - s.tok_del AS tok_folded,
+       s.tok_rebuilt,
+       (s.n_docs_full - s.n_docs_del = s.n_docs_rebuilt
+        AND s.tok_full - s.tok_del = s.tok_rebuilt) AS corpus_matches,
+       r.n_terms_retired
+FROM per_term pt CROSS JOIN stats s CROSS JOIN retired r
+ORDER BY pt.term
+"""
+
+
+@query(
+    "text_bm25_delete", sql=_BM25_DELETE_SQL, tags=("retrieval", "text", "incremental")
+)
+def text_bm25_delete(spark, sf_dir) -> DataFrame:
+    """Postings DELETE maintenance — the retraction half of the index
+    lifecycle (verdict r11 ask #2; `text_bm25_append` is the other
+    half): a takedown/decontamination batch folds SIGNED df/tf/N/T
+    deltas into the persisted index (the `merge_agg_ivm_deletes`
+    counting algebra applied to postings — df(t) −= batch df(t), the
+    corpus constants subtract the batch's doc/token mass), and terms
+    whose df reaches zero RETIRE from the df table.  Emits one row
+    per BM25-panel term with df/tf from the full index, the deleted
+    batch, their signed fold, and a from-scratch rebuild over the
+    SURVIVING docs, plus per-term / corpus-level `*_matches`
+    certificates and the corpus-wide `n_terms_retired` count (terms
+    whose last posting died with the batch) — all recomputed
+    independently by the oracle.
+
+    Scale: retracting a batch costs one hash aggregation over the
+    BATCH's tokens plus a vocab-bounded signed merge into the stored
+    df table (`fold_df_table(…, sign=-1)`) — never a re-tokenize of
+    history; N and T are a 2-integer update; retirement is the df>0
+    filter ON the merge, not a separate pass.  The rebuild leg here
+    exists only to notarize deleted≡rebuilt: the tokenize runs ONCE
+    over the corpus with an is_del tag and conditional aggregation
+    splits every leg."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % _DELETE_MOD < _DELETE_BELOW).alias("is_del"),
+    )
+    toks = docs.select(
+        "doc_id", "is_del", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    terms = toks.groupBy("doc_id", "is_del", "w").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    # the tagged postings feed four legs (doc lengths, the per-term
+    # certificate, the corpus totals, retirement) — pin once
+    terms = pin(terms, eager=True)
+    dlens = terms.groupBy("doc_id", "is_del").agg(
+        F.sum("tf").cast("bigint").alias("dl")
+    )
+    stats = dlens.agg(
+        F.count("*").cast("bigint").alias("n_docs_full"),
+        F.sum("dl").cast("bigint").alias("tok_full"),
+        F.sum(F.when(F.col("is_del"), 1).otherwise(0)).cast("bigint").alias("n_docs_del"),
+        F.sum(F.when(F.col("is_del"), F.col("dl")).otherwise(0)).cast("bigint").alias("tok_del"),
+        F.sum(F.when(~F.col("is_del"), 1).otherwise(0)).cast("bigint").alias("n_docs_rebuilt"),
+        F.sum(F.when(~F.col("is_del"), F.col("dl")).otherwise(0)).cast("bigint").alias("tok_rebuilt"),
+    )
+    retired = (
+        terms.groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("is_del"), 1).otherwise(0)).alias("d"),
+            F.sum(F.when(~F.col("is_del"), 1).otherwise(0)).alias("s"),
+        )
+        .where((F.col("d") > 0) & (F.col("s") == 0))
+        .agg(F.count("*").cast("bigint").alias("n_terms_retired"))
+    )
+    panel_terms = spark.createDataFrame([(w,) for w in _PANEL_TERMS], "term string")
+    per_term = (
+        F.broadcast(panel_terms)
+        .join(terms, terms["w"] == panel_terms["term"], "left")
+        .groupBy("term")
+        .agg(
+            F.count("w").cast("bigint").alias("df_full"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_del"), 1).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias("df_del"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_del"), 1).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias("df_rebuilt"),
+            F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("tf_full"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_del"), F.col("tf")).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias("tf_del"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_del"), F.col("tf")).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias("tf_rebuilt"),
+        )
+    )
+    return (
+        per_term.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(retired))
+        .select(
+            "term",
+            "df_full",
+            "df_del",
+            (F.col("df_full") - F.col("df_del")).alias("df_folded"),
+            "df_rebuilt",
+            (F.col("df_full") - F.col("df_del") == F.col("df_rebuilt")).alias(
+                "df_matches"
+            ),
+            (F.col("tf_full") - F.col("tf_del")).alias("tf_folded"),
+            "tf_rebuilt",
+            (F.col("tf_full") - F.col("tf_del") == F.col("tf_rebuilt")).alias(
+                "tf_matches"
+            ),
+            (F.col("n_docs_full") - F.col("n_docs_del")).alias("n_docs_folded"),
+            "n_docs_rebuilt",
+            (F.col("tok_full") - F.col("tok_del")).alias("tok_folded"),
+            "tok_rebuilt",
+            (
+                (F.col("n_docs_full") - F.col("n_docs_del") == F.col("n_docs_rebuilt"))
+                & (F.col("tok_full") - F.col("tok_del") == F.col("tok_rebuilt"))
+            ).alias("corpus_matches"),
+            "n_terms_retired",
         )
         .orderBy("term")
     )

@@ -116,8 +116,13 @@ _EPOCH_H = oracle_nhash(
     "CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)", "shuffle-epoch"
 )
 
+# the epoch list is GENERATED from N_EPOCHS (ADVICE r11): a hardcoded
+# VALUES tuple silently desynchronizes the oracle when the constant
+# changes, since only the Spark leg reads range(N_EPOCHS)
+_EPOCH_VALUES = ", ".join(f"({e})" for e in range(N_EPOCHS))
+
 _EPOCH_SHUFFLE_SQL = f"""
-WITH ep(epoch) AS (VALUES (0), (1), (2)),
+WITH ep(epoch) AS (VALUES {_EPOCH_VALUES}),
 keyed AS (
   SELECT ep.epoch, d.doc_id, {_EPOCH_H} AS h
   FROM documents d CROSS JOIN ep
