@@ -127,3 +127,77 @@ def test_bm25_delete_certificates_all_true(spark):
     assert len(out) > 0
     for r in out:
         assert r["df_matches"] and r["tf_matches"] and r["corpus_matches"]
+
+
+def test_bpe_merge_rounds_planted_corpus(spark):
+    """Pin the exact merge order on a hand-computed corpus: round 1
+    merges the dominant pair, later rounds fall back to the pair-ASC
+    tiebreak among count-1 pairs; token mass shrinks by pair_count
+    each round and the vocabulary evolves exactly as fused tokens
+    appear and exhausted parts vanish."""
+    from trafik_etl_modular_spark.queries.llmdata import bpe_merge_rounds_frame
+
+    docs = spark.createDataFrame(
+        [
+            ("the cat sat on the mat",),
+            ("the cat ate the cat food",),
+            ("a cat the cat",),
+        ],
+        "text string",
+    )
+    rows = [tuple(r) for r in bpe_merge_rounds_frame(docs).collect()]
+    assert rows == [
+        # round, merged_pair, pair_count, n_tokens_after, n_vocab_after
+        (1, "the cat", 4, 12, 9),
+        (2, "a cat", 1, 11, 8),
+        (3, "a_cat the_cat", 1, 10, 8),
+    ]
+
+
+def test_bpe_merge_apply_disjoint_equals_token_merge(spark):
+    """The two-pass replace on space-sharing chains merges EVERY
+    adjacent (a,b) occurrence — 'a b a b a b' fuses all three — and a
+    self-pair can never be selected."""
+    from trafik_etl_modular_spark.queries.llmdata import bpe_merge_rounds_frame
+
+    docs = spark.createDataFrame(
+        [("a b a b a b",), ("b b b b",)], "text string"
+    )
+    rows = [tuple(r) for r in bpe_merge_rounds_frame(docs, n_rounds=1).collect()]
+    # "b b" (count 3) is a self-pair and excluded; "a b" (count 3)
+    # wins; all three occurrences fuse: 10 tokens -> 7, and "a" is
+    # exhausted so the vocabulary is exactly {a_b, b}
+    assert rows == [(1, "a b", 3, 7, 2)]
+
+
+def test_watermark_lateness_listener_capture(spark):
+    """The MetricsListener surfaces the same per-batch dropped-late
+    counts the report is built from, and flags the late batch with a
+    warning — the row-volume guard's event-time sibling is live, not
+    just post-hoc."""
+    import time
+
+    from trafik_etl_modular_spark.streaming.observability import MetricsListener
+    from trafik_etl_modular_spark.streaming.pipeline import watermark_lateness_run
+
+    listener = MetricsListener()
+    out = watermark_lateness_run(spark, SF, listener=listener).collect()
+    assert sum(r["n_dropped_late"] for r in out) > 0
+    assert all(r["n_admitted"] > 0 for r in out)
+
+    # listener delivery is async — poll briefly for the data batches
+    prog = []
+    for _ in range(50):
+        prog = [
+            e
+            for e in listener.events
+            if e["stage"] == "progress" and e["num_input_rows"]
+        ]
+        if len(prog) >= len(out):
+            break
+        time.sleep(0.2)
+    assert sum(e["rows_dropped_by_watermark"] for e in prog) == sum(
+        r["n_dropped_late"] for r in out
+    )
+    warned = [e for e in prog if e["warning"] and "watermark" in e["warning"]]
+    assert warned

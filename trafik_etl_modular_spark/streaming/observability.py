@@ -87,11 +87,24 @@ class MetricsListener(StreamingQueryListener):
         warning = None
         if rows:
             warning = check_row_volume(rows, *self._expect)
+        # Event-time sibling of the row-volume guard (verdict r11 ask
+        # #5): rows silently discarded as too-late by the watermark
+        # are the OTHER way a pipeline loses data without erroring —
+        # surfaced per micro-batch from the state operators' progress.
+        dropped = 0
+        try:
+            for op in p.stateOperators or []:
+                dropped += int(op.numRowsDroppedByWatermark or 0)
+        except Exception:  # noqa: BLE001 — stateless queries have no operators
+            dropped = 0
+        if dropped and warning is None:
+            warning = f"{dropped} rows dropped as too late by the watermark"
         self._emit(
             "progress",
             query_id=str(p.id),
             batch_id=p.batchId,
             num_input_rows=rows,
+            rows_dropped_by_watermark=dropped,
             duration_ms=p.durationMs.get("triggerExecution"),
             warning=warning,
         )

