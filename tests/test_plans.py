@@ -545,6 +545,35 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # |langs|×|vocab| cell expansion (vocabulary-bounded) + the
         # 1-row corpus-total scalar
         "text_lang_divergence_tv",
+        # --- round 12 -------------------------------------------------
+        # 1-row corpus stats + 1-row retired-terms certificate onto the
+        # ≤13-row per-term frame
+        "text_bm25_delete",
+        # per-round 1-row argmax-pair broadcast into the rewrite
+        # projection + 1-row token/vocab stat frames
+        "vocab_bpe_merge_rounds",
+        # 1-row S statistic × 1-row (n, variance) certificate legs over
+        # the pinned daily frame
+        "events_mann_kendall_trend",
+        # 1-row moment frame over the daily aggregate
+        "dq_poisson_dispersion",
+        # 1-row (n, Σx, rank-moment) frame × 1-row top-decile mass —
+        # both derived from the counts-of-counts histogram
+        "events_user_gini",
+        # 1-row max-day anchor broadcast under the per-user agg
+        "events_rfm_scores",
+        # 1-row fold-balance certificate onto the ≤25-cell frame
+        "sample_kfold_assignment",
+        # 1-row pair-total normalizer onto the top-20 lift head
+        "text_skipgram_lift",
+        # 1-row day-span cursor broadcast + the 2×|types| marginal
+        # cross (≤10 cells) and 1-row chi2-total scalar
+        "dq_chi2_homogeneity",
+        # 1-row exact-P75 threshold scalar onto the pair-count frame
+        # (the common-neighbor linkpred's edge rule)
+        "graph_jaccard_linkpred",
+        # 1-row day-span cursor broadcast under the value histogram
+        "dq_ks_two_sample",
     }
     bad = []
     for name in sorted(REGISTRY):

@@ -780,3 +780,158 @@ def agg_exact_percentile_grid(spark, sf_dir):
         .agg(F.max("n").cast("bigint").alias("n_events"), *picks)
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (round 12)
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_SQL = """
+WITH g AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(38,2)) AS price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS w
+  FROM lineitem
+  GROUP BY l_returnflag, CAST(l_extendedprice AS DECIMAL(38,2))
+),
+c AS (
+  SELECT l_returnflag, price, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM g
+)
+SELECT l_returnflag,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN price END) AS DOUBLE)
+         AS weighted_median_price,
+       CAST(MAX(tw) AS DOUBLE) AS total_weight,
+       CAST(COUNT(*) AS BIGINT) AS n_price_points
+FROM c
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_weighted_median", sql=_WMEDIAN_SQL, tags=("agg",))
+def agg_weighted_median(spark, sf_dir):
+    """WEIGHTED MEDIAN of line-item price, weighted by quantity, per
+    return flag — the order statistic where each row votes its mass
+    (the unweighted exact median family ignores volume; a price list
+    where one SKU ships 100× as many units should be centered on
+    it).  Definition: the smallest price whose cumulative weight
+    reaches half the total (lower weighted median — deterministic, no
+    interpolation).  Prices and weights fold through exact
+    DECIMAL(38,2): duplicate prices collapse FIRST (the counts-of-
+    counts discipline), the cumulative weights run over the collapsed
+    per-price frame, and the 2·cw ≥ tw threshold is exact-decimal
+    arithmetic; doubles appear only in the display casts.
+
+    Scale: one hash agg to (flag, price) — distinct-price-bounded —
+    then per-flag windows over that collapsed frame, never the raw
+    rows; the final per-flag fold is an aggregation of the same."""
+    from pyspark.sql import Window
+
+    g = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_returnflag",
+            F.expr("CAST(l_extendedprice AS DECIMAL(38,2))").alias("price"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(38,2))"))
+            .cast("decimal(38,2)")
+            .alias("w")
+        )
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.lit(2) * F.col("cw") >= F.col("tw"), F.col("price")))
+            .cast("double")
+            .alias("weighted_median_price"),
+            F.max("tw").cast("double").alias("total_weight"),
+            F.count("*").cast("bigint").alias("n_price_points"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact mode per group (round 12)
+# ---------------------------------------------------------------------------
+
+_MODE_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+),
+ranked AS (
+  SELECT l_returnflag, qty, n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, qty) AS rk,
+         CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT)
+           AS n_distinct
+  FROM counts
+)
+SELECT l_returnflag, qty AS mode_qty, n AS mode_count, n_rows, n_distinct,
+       CAST((n * 1000000) // n_rows AS BIGINT) AS mode_share_e6
+FROM ranked WHERE rk = 1
+ORDER BY l_returnflag
+"""
+
+
+@query("agg_mode_per_group", sql=_MODE_SQL, tags=("agg",))
+def agg_mode_per_group(spark, sf_dir):
+    """EXACT MODE per group — the most frequent line-item quantity per
+    return flag with a deterministic tiebreak (count DESC, value ASC),
+    plus the group mass, distinct-value count, and the mode's e6
+    share: the categorical central-tendency the median/percentile
+    family doesn't cover (a bimodal quantity mix has a useless median
+    but a meaningful mode), and the 1-row-per-group reduction of
+    dq_histogram_value.
+
+    Scale: one (flag, value) hash agg — distinct-value-bounded — then
+    windows over THAT collapsed frame (counts-of-counts discipline);
+    the raw rows are scanned once."""
+    from pyspark.sql import Window
+
+    counts = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.expr("CAST(l_quantity AS BIGINT)").alias("qty"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w_rk = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("qty"))
+    w_all = Window.partitionBy("l_returnflag")
+    ranked = counts.select(
+        "l_returnflag",
+        "qty",
+        "n",
+        F.row_number().over(w_rk).alias("rk"),
+        F.sum("n").over(w_all).cast("bigint").alias("n_rows"),
+        F.count("*").over(w_all).cast("bigint").alias("n_distinct"),
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+            "n_rows",
+            "n_distinct",
+            F.expr("(n * 1000000) div n_rows").cast("bigint").alias("mode_share_e6"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1214,3 +1214,284 @@ def dq_referential_integrity(spark, sf_dir):
             ).alias("fk_integrity_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of homogeneity (round 12)
+# ---------------------------------------------------------------------------
+
+# 0.05 critical value at df = (2 periods − 1)(5 types − 1) = 4
+_CHI2_HOMOG_CRIT = 9.488
+
+_CHI2_HOMOG_SQL = """
+WITH span AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS dmax FROM events),
+base AS (
+  SELECT CASE WHEN CAST(e.ts AS DATE) < s.d0 + CAST((s.dmax - s.d0 + 1) // 2 AS INTEGER)
+              THEN 'early' ELSE 'late' END AS period,
+         e.event_type
+  FROM events e CROSS JOIN span s
+),
+obs AS (
+  SELECT period, event_type, CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM base GROUP BY period, event_type
+),
+rowt AS (SELECT period, CAST(SUM(n_obs) AS BIGINT) AS r FROM obs GROUP BY period),
+colt AS (SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS c FROM obs GROUP BY event_type),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT rt.period, ct.event_type,
+         COALESCE(o.n_obs, 0) AS n_obs,
+         CAST((CAST(rt.r AS HUGEINT) * ct.c * 1000000000) // t.n AS BIGINT)
+           AS expected_e9
+  FROM rowt rt CROSS JOIN colt ct CROSS JOIN tot t
+  LEFT JOIN obs o ON o.period = rt.period AND o.event_type = ct.event_type
+),
+contrib AS (
+  SELECT period, event_type, n_obs, expected_e9,
+         (CAST(ROUND(((CAST(n_obs * 1000000000 - expected_e9 AS DOUBLE) / 1e9)
+          * (CAST(n_obs * 1000000000 - expected_e9 AS DOUBLE) / 1e9)
+          / (CAST(expected_e9 AS DOUBLE) / 1e9)) * 1e9) AS BIGINT) / 1e9)
+           AS chi2_contrib
+  FROM cells
+),
+total AS (
+  SELECT CAST(SUM(CAST(chi2_contrib AS DECIMAL(38,9))) AS DOUBLE) AS chi2_total
+  FROM contrib
+)
+SELECT c.period, c.event_type, c.n_obs, c.expected_e9, c.chi2_contrib,
+       t2.chi2_total,
+       (t2.chi2_total > CAST(9.488 AS DOUBLE)) AS drift_reject
+FROM contrib c CROSS JOIN total t2
+ORDER BY c.period, c.event_type
+"""
+
+
+@query("dq_chi2_homogeneity", sql=_CHI2_HOMOG_SQL, tags=("quality", "agg"))
+def dq_chi2_homogeneity(spark, sf_dir):
+    """Chi-square test of HOMOGENEITY between the event-type mixes of
+    the first and second halves of the day span — the TWO-SAMPLE
+    drift test (the log-free stand-in for PSI, whose ln() is banned
+    on oracle surfaces): same contingency machinery as
+    dq_chi2_independence but with the samples (periods) as the row
+    dimension, answering "did the categorical mix CHANGE?" rather
+    than "are the dimensions associated?".  Expected counts on the e9
+    integer grid with HUGEINT/DECIMAL(38,0) products from birth (the
+    ADVICE r11 widening), contributions exact-in-double then
+    fquant-snapped, exact-decimal total, verdict at the 0.05 / df=4
+    critical value ({crit}).
+
+    Scale: one hash aggregation to the 2×|types| table (the period
+    split rides a broadcast 1-row span frame); marginals and the
+    total aggregate THE CELLS; arithmetic on ≤10 rows after."""
+    from pyspark.sql import types as T
+
+    from trafik_etl_modular_spark.functions.scalars import fquant
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    ev = t(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("dmax")
+    )
+    obs = pin(
+        ev.crossJoin(F.broadcast(span))
+        .select(
+            F.when(
+                F.to_date("ts")
+                < F.expr("d0 + CAST((datediff(dmax, d0) + 1) div 2 AS INT)"),
+                F.lit("early"),
+            )
+            .otherwise(F.lit("late"))
+            .alias("period"),
+            "event_type",
+        )
+        .groupBy("period", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_obs")),
+        eager=True,
+    )
+    rowt = obs.groupBy("period").agg(F.sum("n_obs").cast("bigint").alias("r"))
+    colt = obs.groupBy("event_type").agg(F.sum("n_obs").cast("bigint").alias("c"))
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    cells = (
+        rowt.crossJoin(F.broadcast(colt))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["period", "event_type"], "left")
+        .select(
+            "period",
+            "event_type",
+            F.coalesce("n_obs", F.lit(0).cast("bigint")).alias("n_obs"),
+            F.expr("(CAST(r AS DECIMAL(38,0)) * c * 1000000000) div n").alias(
+                "expected_e9"
+            ),
+        )
+    )
+    dev = (
+        F.col("n_obs") * F.lit(1000000000) - F.col("expected_e9")
+    ).cast("double") / F.lit(1e9)
+    exp_d = F.col("expected_e9").cast("double") / F.lit(1e9)
+    contrib = pin(
+        cells.select(
+            "period",
+            "event_type",
+            "n_obs",
+            "expected_e9",
+            fquant(dev * dev / exp_d).alias("chi2_contrib"),
+        ),
+        eager=False,
+    )
+    total = contrib.agg(
+        F.sum(F.col("chi2_contrib").cast(T.DecimalType(38, 9)))
+        .cast("double")
+        .alias("chi2_total")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(total))
+        .select(
+            "period",
+            "event_type",
+            "n_obs",
+            "expected_e9",
+            "chi2_contrib",
+            "chi2_total",
+            (F.col("chi2_total") > F.lit(_CHI2_HOMOG_CRIT)).alias("drift_reject"),
+        )
+        .orderBy("period", "event_type")
+    )
+
+
+dq_chi2_homogeneity.__doc__ = dq_chi2_homogeneity.__doc__.format(
+    crit=_CHI2_HOMOG_CRIT
+)
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample test (round 12)
+# ---------------------------------------------------------------------------
+
+_KS_SQL = """
+WITH span AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS dmax FROM events),
+tagged AS (
+  SELECT CAST(e.value AS DECIMAL(38,2)) AS v,
+         CASE WHEN CAST(e.ts AS DATE)
+                   < s.d0 + CAST((s.dmax - s.d0 + 1) // 2 AS INTEGER)
+              THEN 1 ELSE 0 END AS early
+  FROM events e CROSS JOIN span s
+),
+hist AS (
+  SELECT v,
+         CAST(SUM(early) AS BIGINT) AS c1,
+         CAST(SUM(1 - early) AS BIGINT) AS c2
+  FROM tagged GROUP BY v
+),
+cum AS (
+  SELECT v,
+         SUM(c1) OVER (ORDER BY v) AS f1,
+         SUM(c2) OVER (ORDER BY v) AS f2,
+         (SELECT SUM(c1) FROM hist) AS n1,
+         (SELECT SUM(c2) FROM hist) AS n2
+  FROM hist
+),
+d AS (
+  SELECT CAST(MAX(n1) AS BIGINT) AS n_early,
+         CAST(MAX(n2) AS BIGINT) AS n_late,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_values,
+         CAST(MAX((ABS(CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1)
+                   * 1000000)
+                  // (CAST(n1 AS HUGEINT) * n2)) AS BIGINT) AS ks_d_e6
+  FROM cum
+)
+SELECT n_early, n_late, n_distinct_values, ks_d_e6,
+       (CAST(ROUND((CAST(1.36 AS DOUBLE)
+         * sqrt((CAST(n_early AS DOUBLE) + CAST(n_late AS DOUBLE))
+                / (CAST(n_early AS DOUBLE) * CAST(n_late AS DOUBLE)))) * 1e9)
+         AS BIGINT) / 1e9) AS crit_q,
+       (CAST(ks_d_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        > (CAST(ROUND((CAST(1.36 AS DOUBLE)
+           * sqrt((CAST(n_early AS DOUBLE) + CAST(n_late AS DOUBLE))
+                  / (CAST(n_early AS DOUBLE) * CAST(n_late AS DOUBLE)))) * 1e9)
+           AS BIGINT) / 1e9)) AS distributions_differ
+FROM d
+"""
+
+
+@query("dq_ks_two_sample", sql=_KS_SQL, tags=("quality", "agg"))
+def dq_ks_two_sample(spark, sf_dir):
+    """KOLMOGOROV–SMIRNOV two-sample test on the event-value
+    distribution, first half of the day span vs the second — the
+    CONTINUOUS-column drift detector beside dq_chi2_homogeneity's
+    categorical one: D = max |F̂₁(v) − F̂₂(v)| over the merged ECDF,
+    computed as the EXACT integer max of |f₁·n₂ − f₂·n₁| over the
+    common denominator n₁·n₂ (e6 floor, HUGEINT/DECIMAL(38,0)
+    products), so the supremum cannot be blurred by float
+    accumulation.  Values land on the cents grid (DECIMAL(38,2)) so
+    both engines group and order identically.  Verdict at the
+    α=0.05 large-sample critical value 1.36·√((n₁+n₂)/(n₁n₂)) — the
+    only doubles, cast/·/√ then the e9 grid.
+
+    Scale: one (value, period) hash agg to the VALUE HISTOGRAM
+    (cents-domain-bounded), cumulative windows over that histogram —
+    never the raw rows; at lake scale a continuous column pre-bins to
+    a fixed grid first and D is exact on the binned ECDF."""
+    from pyspark.sql import Window as W
+
+    from trafik_etl_modular_spark.functions.scalars import fquant
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    ev = t(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("dmax")
+    )
+    tagged = ev.crossJoin(F.broadcast(span)).select(
+        F.expr("CAST(value AS DECIMAL(38,2))").alias("v"),
+        F.when(
+            F.to_date("ts")
+            < F.expr("d0 + CAST((datediff(dmax, d0) + 1) div 2 AS INT)"),
+            1,
+        )
+        .otherwise(0)
+        .alias("early"),
+    )
+    hist = pin(
+        tagged.groupBy("v").agg(
+            F.sum("early").cast("bigint").alias("c1"),
+            F.sum(F.lit(1) - F.col("early")).cast("bigint").alias("c2"),
+        ),
+        eager=True,
+    )
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        F.sum("c1").over(wv).alias("f1"),
+        F.sum("c2").over(wv).alias("f2"),
+        F.sum("c1").over(W.partitionBy()).alias("n1"),
+        F.sum("c2").over(W.partitionBy()).alias("n2"),
+    )
+    d = cum.agg(
+        F.max("n1").cast("bigint").alias("n_early"),
+        F.max("n2").cast("bigint").alias("n_late"),
+        F.count("*").cast("bigint").alias("n_distinct_values"),
+        F.max(
+            F.expr(
+                "(ABS(CAST(f1 AS DECIMAL(38,0)) * n2"
+                " - CAST(f2 AS DECIMAL(38,0)) * n1) * 1000000)"
+                " div (CAST(n1 AS DECIMAL(38,0)) * n2)"
+            )
+        )
+        .cast("bigint")
+        .alias("ks_d_e6"),
+    )
+    crit = fquant(
+        F.lit(1.36).cast("double")
+        * F.sqrt(
+            (F.col("n_early").cast("double") + F.col("n_late").cast("double"))
+            / (F.col("n_early").cast("double") * F.col("n_late").cast("double"))
+        )
+    )
+    return d.select(
+        "n_early",
+        "n_late",
+        "n_distinct_values",
+        "ks_d_e6",
+        crit.alias("crit_q"),
+        (
+            F.col("ks_d_e6").cast("double") / F.lit(1000000).cast("double") > crit
+        ).alias("distributions_differ"),
+    )

@@ -425,3 +425,202 @@ def events_transition_matrix(spark, sf_dir):
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# User-concentration Gini (round 12)
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = """
+WITH ux AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY user_id
+),
+cc AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS g FROM ux GROUP BY x),
+cum AS (
+  SELECT x, g,
+         COALESCE(SUM(g) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         COALESCE(SUM(g) OVER (ORDER BY x DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbd
+  FROM cc
+),
+m AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS n,
+         CAST(SUM(g * x) AS BIGINT) AS sx,
+         SUM(CAST(x AS HUGEINT)
+             * (2 * CAST(g AS HUGEINT) * cb
+                + CAST(g AS HUGEINT) * (g + 1))) AS six2
+  FROM cum
+),
+topd AS (
+  SELECT CAST(SUM(LEAST(c.g, GREATEST((m.n + 9) // 10 - c.cbd, 0)) * c.x)
+              AS BIGINT) AS top_x
+  FROM cum c CROSS JOIN m
+)
+SELECT m.n AS n_users, m.sx AS n_events,
+       CAST(((m.six2 - (CAST(m.n AS HUGEINT) + 1) * m.sx) * 1000000)
+            // (CAST(m.n AS HUGEINT) * m.sx) AS BIGINT) AS gini_e6,
+       CAST((CAST(t.top_x AS HUGEINT) * 1000000) // m.sx AS BIGINT)
+         AS top_decile_share_e6
+FROM m CROSS JOIN topd t
+"""
+
+
+@query("events_user_gini", sql=_GINI_SQL, tags=("analytics", "agg"))
+def events_user_gini(spark, sf_dir):
+    """GINI COEFFICIENT of per-user event concentration plus the
+    top-decile share — the Lorenz-curve numbers behind "how much of
+    the corpus comes from how few sources", the concentration gauge a
+    sampling policy (sample_per_source_cap) is tuned against.
+    Everything is EXACT integer: ranks never materialize per user —
+    the rank moment folds through the counts-of-counts histogram
+    (Σ 2·i·x_i = Σ_x x·(2·g·cum_before + g(g+1)) since tied ranks sum
+    to a closed form; perf lesson 9: exact order statistics over
+    low-cardinality values ride the histogram, never a global
+    row_number), with HUGEINT/DECIMAL(38,0) products so no corpus
+    size can wrap.  The top-decile mass takes ⌈n/10⌉ users from the
+    descending histogram with an exact partial-group term.
+
+    Scale: one per-user hash agg, one counts-of-counts agg (distinct-
+    value-bounded), windows only over the tiny histogram."""
+    from pyspark.sql import Window
+
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    ux = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    cc = pin(
+        ux.groupBy("x").agg(F.count("*").cast("bigint").alias("g")), eager=True
+    )
+    z = F.lit(0).cast("bigint")
+    w_asc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    w_desc = Window.orderBy(F.desc("x")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = pin(
+        cc.select(
+            "x",
+            "g",
+            F.coalesce(F.sum("g").over(w_asc), z).alias("cb"),
+            F.coalesce(F.sum("g").over(w_desc), z).alias("cbd"),
+        ),
+        eager=True,
+    )
+    m = cum.agg(
+        F.sum("g").cast("bigint").alias("n"),
+        F.sum(F.col("g") * F.col("x")).cast("bigint").alias("sx"),
+        F.sum(
+            F.expr(
+                "CAST(x AS DECIMAL(38,0))"
+                " * (2 * CAST(g AS DECIMAL(38,0)) * cb"
+                "    + CAST(g AS DECIMAL(38,0)) * (g + 1))"
+            )
+        ).alias("six2"),
+    )
+    topd = cum.crossJoin(F.broadcast(m.select("n"))).agg(
+        F.sum(
+            F.expr("LEAST(g, GREATEST((n + 9) div 10 - cbd, CAST(0 AS BIGINT))) * x")
+        )
+        .cast("bigint")
+        .alias("top_x")
+    )
+    return m.crossJoin(F.broadcast(topd)).select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("n_events"),
+        F.expr(
+            "CAST(((six2 - (CAST(n AS DECIMAL(38,0)) + 1) * sx) * 1000000)"
+            " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)"
+        ).alias("gini_e6"),
+        F.expr(
+            "CAST((CAST(top_x AS DECIMAL(38,0)) * 1000000) div sx AS BIGINT)"
+        ).alias("top_decile_share_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (round 12)
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+u AS (
+  SELECT e.user_id,
+         CAST(a.dmax - MAX(CAST(e.ts AS DATE)) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(e.value AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS monetary
+  FROM events e CROSS JOIN anchor a
+  GROUP BY e.user_id, a.dmax
+),
+scored AS (
+  SELECT user_id,
+         CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS INTEGER)
+           AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS INTEGER)
+           AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY monetary ASC, user_id) AS INTEGER)
+           AS m_score
+  FROM u
+)
+SELECT r_score, f_score, m_score, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+@query("events_rfm_scores", sql=_RFM_SQL, tags=("analytics", "window"))
+def events_rfm_scores(spark, sf_dir):
+    """RFM SEGMENTATION (recency / frequency / monetary quintiles —
+    the classic CRM cell grid): per user, days since last event
+    anchored at the corpus max day (data-derived, no wall clock),
+    event count, and exact-decimal revenue; each dimension scored
+    1–5 by NTILE over a TOTAL order (value, then user_id — quintile
+    boundaries cannot drift between engines), higher = better
+    (recency sorts DESC so the most recent users land in bucket 5).
+    Output is the ≤125-cell segment census a campaign targets.
+
+    Scale: one per-user hash agg; the three NTILEs are global windows
+    ABOVE that aggregate (the allowed shape) — at 10⁹ users the same
+    scores come from exact quintile thresholds off the counts
+    histogram (agg_exact_percentile_grid's recipe) instead of a
+    global sort; the cell census is ≤125 rows either way."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("dmax"))
+    u = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "dmax")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.expr("CAST(value AS DECIMAL(38,2))"))
+            .cast("decimal(38,2)")
+            .alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.datediff("dmax", "last_day").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = u.select(
+        "user_id",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), F.asc("user_id")))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("user_id")))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary"), F.asc("user_id")))
+        .cast("int")
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

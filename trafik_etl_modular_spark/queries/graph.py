@@ -1174,3 +1174,272 @@ def graph_degree_assortativity(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_directed_edges"),
         fquant(num / F.sqrt(dx * dy)).alias("assortativity_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-vertex local clustering coefficient (round 12)
+# ---------------------------------------------------------------------------
+
+_LCC_TOP = 20
+
+_LCC_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+p AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+e AS (SELECT u, v FROM p GROUP BY u, v HAVING COUNT(*) >= 3),
+deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+  GROUP BY x
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tv AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT x AS w FROM tri UNION ALL SELECT y AS w FROM tri
+        UNION ALL SELECT z AS w FROM tri)
+  GROUP BY w
+)
+SELECT d.x AS vertex, d.d AS degree,
+       CAST(COALESCE(tv.t, 0) AS BIGINT) AS n_triangles,
+       CAST((2 * COALESCE(tv.t, 0) * 1000000) // (d.d * (d.d - 1)) AS BIGINT)
+         AS clustering_e6
+FROM deg d LEFT JOIN tv ON tv.w = d.x
+WHERE d.d >= 2
+ORDER BY clustering_e6 DESC, vertex
+LIMIT {_LCC_TOP}
+"""
+
+
+@query("graph_local_clustering", sql=_LCC_SQL, tags=("graph", "topk"))
+def graph_local_clustering(spark, sf_dir):
+    """PER-VERTEX local clustering coefficient over the co-supplier
+    graph (Watts–Strogatz 1998, public literature): c_v =
+    2·T_v / (d_v(d_v−1)) — how close each vertex's neighborhood is to
+    a clique, the node-level refinement of graph_triangle_count's
+    single global transitivity (a graph can have high transitivity
+    driven by a few dense pockets; the per-vertex view finds them).
+    Triangles are enumerated ONCE in id orientation (u<v<w, the
+    oracle-stable strategy) and each credits its three corners; the
+    coefficient is e6 integer division (quotient ≤ 1e6 by c ≤ 1).
+    Top-{top} vertices with degree ≥ 2, deterministic tiebreak.
+
+    Scale: same bounded shapes as the triangle query — per-order
+    supplier pairs (order-width-bounded), one wedge equi-join closed
+    by a second; the per-corner credit is an explode of the triangle
+    set; degrees and the final join are vertex-bounded aggregations;
+    the head is a distributed top-k."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count("*").alias("supp"))
+        .where(F.col("supp") >= 3)
+        .select("u", "v")
+    )
+    # feeds degrees + three legs of the triangle join — pin once
+    edges = edges.localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+        )
+    )
+    corners = (
+        tri.select(F.col("x").alias("w"))
+        .unionAll(tri.select(F.col("y").alias("w")))
+        .unionAll(tri.select(F.col("z").alias("w")))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(corners, deg["x"] == corners["w"], "left")
+        .select(
+            F.col("x").alias("vertex"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", z).alias("n_triangles"),
+            F.expr(
+                "CAST((2 * COALESCE(t, 0) * 1000000) div (d * (d - 1)) AS BIGINT)"
+            ).alias("clustering_e6"),
+        )
+        .orderBy(F.desc("clustering_e6"), F.asc("vertex"))
+        .limit(_LCC_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard link prediction (round 12)
+# ---------------------------------------------------------------------------
+
+_JACC_SQL = f"""
+WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pr AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM p a JOIN p b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+),
+hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS f FROM pr GROUP BY c),
+cum AS (
+  SELECT c, SUM(f) OVER (ORDER BY c) AS cf,
+         (SELECT SUM(f) FROM hist) AS n
+  FROM hist
+),
+thr AS (SELECT MIN(c) AS t FROM cum WHERE cf >= (n * {_LINKPRED_PCT} + 99) // 100),
+e AS (SELECT u, v FROM pr CROSS JOIN thr WHERE c > thr.t),
+sym AS (SELECT u AS s, t FROM (SELECT u, v AS t FROM e UNION ALL SELECT v AS u, u AS t FROM e) q(u, t)),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY s),
+cn AS (
+  SELECT a.t AS pa, b.t AS pb, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sym a JOIN sym b ON a.s = b.s AND a.t < b.t
+  GROUP BY a.t, b.t
+),
+cand AS (
+  SELECT c.pa, c.pb, c.n_common
+  FROM cn c LEFT JOIN e ON e.u = c.pa AND e.v = c.pb
+  WHERE e.u IS NULL
+),
+scored AS (
+  SELECT c.pa, c.pb, c.n_common, da.d AS deg_a, db.d AS deg_b,
+         CAST((c.n_common * 1000000) // (da.d + db.d - c.n_common) AS BIGINT)
+           AS jaccard_e6
+  FROM cand c JOIN deg da ON da.s = c.pa JOIN deg db ON db.s = c.pb
+),
+ranked AS (
+  SELECT pa, pb, n_common, deg_a, deg_b, jaccard_e6,
+         CAST(ROW_NUMBER() OVER (ORDER BY jaccard_e6 DESC, pa, pb) AS INTEGER)
+           AS rk
+  FROM scored
+)
+SELECT rk, pa AS supp_a, pb AS supp_b, n_common, deg_a, deg_b, jaccard_e6
+FROM ranked
+WHERE rk <= {{top}}
+ORDER BY rk
+""".format(top=20)
+
+
+@query("graph_jaccard_linkpred", sql=_JACC_SQL, tags=("graph", "topk"))
+def graph_jaccard_linkpred(spark, sf_dir):
+    """JACCARD link prediction over the co-supplier projection — the
+    degree-normalized sibling of graph_common_neighbor_linkpred:
+    J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| demotes the hub pairs that
+    raw common-neighbor counts promote (two hubs share many
+    neighbors by mass alone; Jaccard asks what FRACTION of their
+    combined neighborhood is shared — the normalization MinHash
+    estimates, computed exactly here).  Same exact-P75 edge rule
+    (scale-robust threshold), same wedge machinery; the score is the
+    pure integer rational (∩·10⁶) div (d_u + d_v − ∩).  Top-20
+    non-adjacent pairs, deterministic tiebreak.
+
+    Scale: identical budget to the common-neighbor query plus one
+    vertex-bounded degree join; the head is a distributed top-k."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    pr = pin(pr, eager=True)  # feeds the histogram AND the edge cut
+    hist = pr.groupBy("c").agg(F.count("*").cast("bigint").alias("f"))
+    wc = W.orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "c",
+        F.sum("f").over(wc).alias("cf"),
+        F.sum("f").over(W.partitionBy()).alias("n"),
+    )
+    thr = cum.where(
+        F.col("cf") >= F.expr(f"(n * {_LINKPRED_PCT} + 99) div 100")
+    ).agg(F.min("c").alias("t"))
+    e = pin(
+        pr.crossJoin(F.broadcast(thr)).where(F.col("c") > F.col("t")).select("u", "v"),
+        eager=True,  # feeds sym (twice), the adjacency exclusion
+    )
+    sym = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        e.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    sym = pin(sym, eager=True)  # wedge legs + degrees
+    deg = sym.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
+    sa, sb = sym.alias("sa"), sym.alias("sb")
+    cn = (
+        sa.join(
+            sb,
+            (F.col("sa.s") == F.col("sb.s")) & (F.col("sa.t") < F.col("sb.t")),
+        )
+        .groupBy(F.col("sa.t").alias("pa"), F.col("sb.t").alias("pb"))
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    cand = cn.join(
+        e, (e["u"] == cn["pa"]) & (e["v"] == cn["pb"]), "left_anti"
+    )
+    scored = (
+        cand.join(deg.withColumnRenamed("d", "deg_a"), cand["pa"] == deg["s"])
+        .drop("s")
+        .join(
+            deg.withColumnRenamed("d", "deg_b").withColumnRenamed("s", "s2"),
+            F.col("pb") == F.col("s2"),
+        )
+        .drop("s2")
+        .select(
+            "pa",
+            "pb",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CAST((n_common * 1000000) div (deg_a + deg_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_e6"),
+        )
+    )
+    top = scored.orderBy(F.desc("jaccard_e6"), "pa", "pb").limit(20)
+    return (
+        top.select(
+            F.row_number()
+            .over(W.orderBy(F.desc("jaccard_e6"), "pa", "pb"))
+            .cast("int")
+            .alias("rk"),
+            F.col("pa").alias("supp_a"),
+            F.col("pb").alias("supp_b"),
+            "n_common",
+            "deg_a",
+            "deg_b",
+            "jaccard_e6",
+        )
+        .orderBy("rk")
+    )

@@ -484,3 +484,126 @@ def merge_agg_ivm_deletes(spark, sf_dir) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# COUNT DISTINCT IVM under inserts + deletes (round 12)
+# ---------------------------------------------------------------------------
+
+_DISTINCT_IVM_SQL = """
+WITH ev AS (SELECT event_type, user_id, event_id FROM events),
+old AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+view_old AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM old GROUP BY event_type, user_id
+),
+delta AS (
+  SELECT event_type, user_id, 1 AS mult FROM ev WHERE event_id % 10 = 0
+  UNION ALL
+  SELECT event_type, user_id, -1 AS mult FROM old WHERE event_id % 7 = 0
+),
+dagg AS (
+  SELECT event_type, user_id, CAST(SUM(mult) AS BIGINT) AS dm
+  FROM delta GROUP BY event_type, user_id
+),
+merged AS (
+  SELECT COALESCE(v.event_type, d.event_type) AS event_type,
+         COALESCE(v.user_id, d.user_id) AS user_id,
+         COALESCE(v.cnt, 0) + COALESCE(d.dm, 0) AS cnt
+  FROM view_old v
+  FULL OUTER JOIN dagg d
+    ON d.event_type = v.event_type AND d.user_id = v.user_id
+),
+ivm AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_ivm,
+         CAST(SUM(CASE WHEN cnt <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_keys_retired
+  FROM merged GROUP BY event_type
+),
+final_state AS (
+  SELECT event_type, user_id FROM old WHERE event_id % 7 <> 0
+  UNION ALL
+  SELECT event_type, user_id FROM ev WHERE event_id % 10 = 0
+),
+recomp AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+           AS n_users_recomputed
+  FROM final_state GROUP BY event_type
+)
+SELECT i.event_type, i.n_users_ivm, r.n_users_recomputed, i.n_keys_retired,
+       (i.n_users_ivm = r.n_users_recomputed) AS ivm_matches
+FROM ivm i JOIN recomp r ON r.event_type = i.event_type
+ORDER BY i.event_type
+"""
+
+
+@query("merge_distinct_ivm", sql=_DISTINCT_IVM_SQL, tags=("merge", "incremental"))
+def merge_distinct_ivm(spark, sf_dir) -> DataFrame:
+    """Incremental maintenance of a COUNT DISTINCT view under inserts
+    AND deletes — the aggregate the signed-sum algebra of
+    merge_agg_ivm_deletes cannot express directly (distinct is not a
+    sum): the standard two-level counting rewrite (Gupta–Mumick)
+    keeps an INNER state of per-(group, user) signed multiplicities;
+    a delete decrements its key, a key at zero retires, and the
+    distinct count is simply the live-key count per group — exact,
+    no sketch, fully retractable (the HLL rollup can merge but never
+    forget; this view can).  Certified per group against a full
+    recompute of the post-changelog state, with the retired-key count
+    made visible.
+
+    Scale: maintenance is one hash agg over the DELTA plus a
+    key-partitioned outer merge against the stored inner state —
+    work ∝ batch + touched (group, user) keys; the per-group distinct
+    is an aggregation OF the inner state, never a fact rescan."""
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id", "event_id")
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    ev = pin(ev, eager=True)
+    old = ev.where(F.col("event_id") % 10 != 0)
+    view_old = old.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    delta = old.where(F.col("event_id") % 7 == 0).select(
+        "event_type", "user_id", F.lit(-1).alias("mult")
+    ).unionByName(
+        ev.where(F.col("event_id") % 10 == 0).select(
+            "event_type", "user_id", F.lit(1).alias("mult")
+        )
+    )
+    dagg = delta.groupBy("event_type", "user_id").agg(
+        F.sum("mult").cast("bigint").alias("dm")
+    )
+    z = F.lit(0).cast("bigint")
+    merged = view_old.join(dagg, ["event_type", "user_id"], "full_outer").select(
+        "event_type",
+        "user_id",
+        (F.coalesce("cnt", z) + F.coalesce("dm", z)).alias("cnt"),
+    )
+    ivm = merged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("cnt") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_users_ivm"),
+        F.sum(F.when(F.col("cnt") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keys_retired"),
+    )
+    final_state = old.where(F.col("event_id") % 7 != 0).unionByName(
+        ev.where(F.col("event_id") % 10 == 0)
+    )
+    recomp = final_state.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users_recomputed")
+    )
+    return (
+        ivm.join(recomp, "event_type")
+        .select(
+            "event_type",
+            "n_users_ivm",
+            "n_users_recomputed",
+            "n_keys_retired",
+            (F.col("n_users_ivm") == F.col("n_users_recomputed")).alias(
+                "ivm_matches"
+            ),
+        )
+        .orderBy("event_type")
+    )

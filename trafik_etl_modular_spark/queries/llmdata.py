@@ -7186,3 +7186,179 @@ def text_lang_divergence_tv(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram co-occurrence lift (round 12)
+# ---------------------------------------------------------------------------
+
+_SKIPGRAM_MIN_COUNT = 5
+_SKIPGRAM_TOP = 20
+
+_SKIPGRAM_SQL = f"""
+WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+pairs AS (
+  SELECT unnest(list_concat(
+           list_transform(list_zip(tk[1:len(tk)-1], tk[2:len(tk)]),
+                          p -> p[1] || ' ' || p[2]),
+           list_transform(list_zip(tk[1:len(tk)-2], tk[3:len(tk)]),
+                          p -> p[1] || ' ' || p[2]))) AS pair
+  FROM tk
+),
+pc AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pair FROM pairs GROUP BY pair),
+np AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_total FROM pc),
+ca AS (
+  SELECT string_split(pair, ' ')[1] AS w, CAST(SUM(n_pair) AS BIGINT) AS n
+  FROM pc GROUP BY 1
+),
+cb AS (
+  SELECT string_split(pair, ' ')[2] AS w, CAST(SUM(n_pair) AS BIGINT) AS n
+  FROM pc GROUP BY 1
+)
+SELECT pc.pair, pc.n_pair, ca.n AS n_first, cb.n AS n_second,
+       CAST((CAST(pc.n_pair AS HUGEINT) * np.n_total * 1000000)
+            // (CAST(ca.n AS HUGEINT) * cb.n) AS BIGINT) AS lift_e6
+FROM pc
+JOIN ca ON ca.w = string_split(pc.pair, ' ')[1]
+JOIN cb ON cb.w = string_split(pc.pair, ' ')[2]
+CROSS JOIN np
+WHERE pc.n_pair >= {_SKIPGRAM_MIN_COUNT}
+ORDER BY lift_e6 DESC, pair
+LIMIT {_SKIPGRAM_TOP}
+"""
+
+
+@query("text_skipgram_lift", sql=_SKIPGRAM_SQL, tags=("llmdata", "text", "agg"))
+def text_skipgram_lift(spark, sf_dir):
+    """SKIP-GRAM CO-OCCURRENCE LIFT: ordered token pairs within a
+    ±2 window (adjacent + skip-one, the word2vec-style context) scored
+    by lift = P(a,b) / (P(a)·P(b)) over the pair space — PMI's exact
+    log-free core (PMI = log lift; the engine's float-hazard rule
+    bans ln on oracle surfaces, and ranking by lift IS ranking by
+    PMI).  Marginals come from the pair table itself (first-slot and
+    second-slot masses), so the statistic is a pure integer rational,
+    e6 floor division with HUGEINT/DECIMAL(38,0) products (the r11
+    overflow lesson applied from birth).  Top-{top} pairs with
+    count ≥ {minc}, deterministic tiebreak — the collocation detector
+    one notch wider than text_bigram_collocations' adjacent window.
+
+    Scale: pair building is two per-row zip_with HOFs (zero shuffle,
+    codegen); ONE hash agg to the pair table (map-side combine,
+    shuffle ∝ distinct pairs); marginals are vocab-bounded re-aggs OF
+    that table; the head is a distributed top-k."""
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    docs = t(spark, sf_dir, "documents")
+    arr = tokens("text")
+    n = F.size(arr)
+    p2 = F.when(
+        n >= 3,
+        F.zip_with(
+            F.slice(arr, 1, n - 2),
+            F.slice(arr, 3, n - 2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = docs.select(
+        F.explode(F.concat(bigrams("text"), p2)).alias("pair")
+    )
+    pc = pin(
+        pairs.groupBy("pair").agg(F.count("*").cast("bigint").alias("n_pair")),
+        eager=True,  # feeds the total, both marginals, and the join
+    )
+    np_ = pc.agg(F.sum("n_pair").cast("bigint").alias("n_total"))
+    w1 = F.element_at(F.split("pair", " "), 1)
+    w2 = F.element_at(F.split("pair", " "), 2)
+    ca = pc.groupBy(w1.alias("w")).agg(F.sum("n_pair").cast("bigint").alias("n"))
+    cb = pc.groupBy(w2.alias("w")).agg(F.sum("n_pair").cast("bigint").alias("n"))
+    return (
+        pc.where(F.col("n_pair") >= _SKIPGRAM_MIN_COUNT)
+        .join(ca.withColumnRenamed("n", "n_first"), w1 == ca["w"])
+        .drop("w")
+        .join(cb.withColumnRenamed("n", "n_second"), w2 == cb["w"])
+        .drop("w")
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "pair",
+            "n_pair",
+            "n_first",
+            "n_second",
+            F.expr(
+                "CAST((CAST(n_pair AS DECIMAL(38,0)) * n_total * 1000000)"
+                " div (CAST(n_first AS DECIMAL(38,0)) * n_second) AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+        .orderBy(F.desc("lift_e6"), F.asc("pair"))
+        .limit(_SKIPGRAM_TOP)
+    )
+
+
+text_skipgram_lift.__doc__ = text_skipgram_lift.__doc__.format(
+    top=_SKIPGRAM_TOP, minc=_SKIPGRAM_MIN_COUNT
+)
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity (round 12)
+# ---------------------------------------------------------------------------
+
+_SIMPSON_SQL = """
+WITH tf AS (
+  SELECT lang, t.u AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS u FROM documents) t
+  WHERE t.u <> '' GROUP BY lang, t.u
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(((CAST(SUM(c) AS HUGEINT) * SUM(c)
+              - SUM(CAST(c AS HUGEINT) * c)) * 1000000)
+            // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT)
+         AS simpson_impurity_e6,
+       CAST((CAST(SUM(c) AS HUGEINT) * SUM(c) * 1000000)
+            // SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS inv_simpson_e6
+FROM tf
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("text_simpson_diversity", sql=_SIMPSON_SQL, tags=("llmdata", "text", "quality"))
+def text_simpson_diversity(spark, sf_dir):
+    """SIMPSON DIVERSITY of each language's unigram distribution —
+    the log-free entropy stand-in (Simpson 1949; the engine bans ln
+    on oracle surfaces, and 1 − Σp² / 1/Σp² carry the same diversity
+    ordering as Shannon for curation triage): impurity = probability
+    two random tokens differ = (N² − Σc²)/N², and the inverse-Simpson
+    "effective vocabulary size" N²/Σc² — the number that falls off a
+    cliff when a source degenerates into boilerplate, complementing
+    hapax share (tail mass) and burstiness (per-term clumping).  Both
+    are exact integer rationals on the e6 grid with HUGEINT/
+    DECIMAL(38,0) products from birth.
+
+    Scale: one (lang, word) hash agg; both statistics ride the SAME
+    per-lang aggregation of it — no second scan, no cell expansion."""
+    docs = t(spark, sf_dir, "documents").select("lang", "text")
+    tf = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("u"))
+        .where(F.col("u") != "")
+        .groupBy("lang", F.col("u").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return (
+        tf.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.expr(
+                "CAST(((CAST(SUM(c) AS DECIMAL(38,0)) * SUM(c)"
+                " - SUM(CAST(c AS DECIMAL(38,0)) * c)) * 1000000)"
+                " div (CAST(SUM(c) AS DECIMAL(38,0)) * SUM(c)) AS BIGINT)"
+            ).alias("simpson_impurity_e6"),
+            F.expr(
+                "CAST((CAST(SUM(c) AS DECIMAL(38,0)) * SUM(c) * 1000000)"
+                " div SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT)"
+            ).alias("inv_simpson_e6"),
+        )
+        .orderBy("lang")
+    )

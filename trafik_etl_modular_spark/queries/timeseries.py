@@ -304,3 +304,196 @@ def events_attribution_touch(spark, sf_dir) -> DataFrame:
 events_attribution_touch.__doc__ = events_attribution_touch.__doc__.format(
     conv=_CONVERSION
 )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (round 12)
+# ---------------------------------------------------------------------------
+
+_MK_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON b.d > a.d
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY c
+        HAVING COUNT(*) > 1)
+),
+v AS (
+  SELECT nn.n,
+         nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS var_s_x18
+  FROM nn CROSS JOIN ties
+)
+SELECT v.n AS n_days, s.s_stat, v.var_s_x18,
+       (CAST(ROUND((CAST(s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                                         WHEN s.s_stat < 0 THEN -1
+                                         ELSE 0 END AS DOUBLE)
+         / sqrt(CAST(v.var_s_x18 AS DOUBLE) / CAST(18 AS DOUBLE))) * 1e9)
+         AS BIGINT) / 1e9) AS z_q,
+       (s.s_stat > 0) AS trend_increasing,
+       (ABS(CAST(ROUND((CAST(s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                                             WHEN s.s_stat < 0 THEN -1
+                                             ELSE 0 END AS DOUBLE)
+         / sqrt(CAST(v.var_s_x18 AS DOUBLE) / CAST(18 AS DOUBLE))) * 1e9)
+         AS BIGINT) / 1e9) > CAST(1.96 AS DOUBLE)) AS trend_significant
+FROM s CROSS JOIN v
+"""
+
+
+@query("events_mann_kendall_trend", sql=_MK_SQL, tags=("analytics", "timeseries", "quality"))
+def events_mann_kendall_trend(spark, sf_dir) -> DataFrame:
+    """MANN-KENDALL trend test on the daily event-volume series (Mann
+    1945 / Kendall — public literature): S = Σ_{i<j} sign(c_j − c_i)
+    over day-ordered pairs, the rank-based monotone-trend detector
+    that needs no distributional assumption — the standing question
+    every volume dashboard answers ("is traffic actually growing?").
+    S and the tie-corrected variance (kept as the EXACT integer
+    18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) are pure BIGINT;
+    doubles appear only in the final continuity-corrected z =
+    (S∓1)/√(Var) — the ACF recipe — then the e9 grid; verdict at
+    |z| > 1.96.
+
+    Scale: ONE hash agg to the daily frame, then an O(days²)
+    self-join on the tiny aggregate (900 rows at a 30-day span; for a
+    decade-long series switch to the O(n log n) rank formulation —
+    S = Σ sign folds to 2·Σrank − pairs under distinct values)."""
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    daily = pin(daily, eager=True)  # feeds the pair join (twice) + n + ties
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, F.col("b.d") > F.col("a.d"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    v = nn.crossJoin(F.broadcast(ties)).select(
+        "n",
+        F.expr("n * (n - 1) * (2 * n + 5) - tie_term").alias("var_s_x18"),
+    )
+    sadj = F.expr(
+        "CAST(s_stat - CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1"
+        " ELSE 0 END AS DOUBLE)"
+    )
+    zq = fquant(
+        sadj / F.sqrt(F.col("var_s_x18").cast("double") / F.lit(18).cast("double"))
+    )
+    return (
+        s.crossJoin(F.broadcast(v))
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            "var_s_x18",
+            zq.alias("z_q"),
+            (F.col("s_stat") > 0).alias("trend_increasing"),
+            (F.abs(zq) > F.lit(1.96)).alias("trend_significant"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson dispersion test (round 12)
+# ---------------------------------------------------------------------------
+
+_DISPERSION_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sum_c,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sum_c2
+  FROM daily
+)
+SELECT n AS n_days, sum_c AS n_events,
+       CAST(((n * sum_c2 - CAST(sum_c AS HUGEINT) * sum_c) * 1000000)
+            // sum_c AS BIGINT) AS dispersion_e6,
+       (CAST(ROUND(((CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))
+         + CAST(1.96 AS DOUBLE)
+           * sqrt(CAST(2 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))))
+         * 1e9) AS BIGINT) / 1e9) AS crit_q,
+       (CAST(CAST(((n * sum_c2 - CAST(sum_c AS HUGEINT) * sum_c) * 1000000)
+             // sum_c AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        > (CAST(ROUND(((CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))
+           + CAST(1.96 AS DOUBLE)
+             * sqrt(CAST(2 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))))
+           * 1e9) AS BIGINT) / 1e9)) AS overdispersed
+FROM m
+"""
+
+
+@query("dq_poisson_dispersion", sql=_DISPERSION_SQL, tags=("quality", "timeseries"))
+def dq_poisson_dispersion(spark, sf_dir) -> DataFrame:
+    """POISSON DISPERSION test on daily event volumes — the per-day
+    sibling of vocab_term_burstiness's VMR: under a Poisson arrival
+    model the dispersion statistic D = (n−1)·s²/x̄ folds to the EXACT
+    integer rational (n·Σc² − (Σc)²)/Σc ~ χ²(n−1); a bursty or
+    campaign-driven feed overdisperses (D ≫ n−1), a rate-limited one
+    underdisperses — the modeling-assumption gate for anomaly
+    thresholds built on √mean bands.  The statistic is e6 floor
+    division with the products widened to DECIMAL(38,0)/HUGEINT (the
+    r11 overflow lesson applied from birth); only the Wilson–Hilferty
+    style normal-approx critical value (n−1) + 1.96·√(2(n−1)) is
+    IEEE double (cast/·/√ only), e9-quantized on both engines.
+
+    Scale: one hash agg to the daily frame; the moments ride the same
+    aggregate; everything after is arithmetic on one row."""
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    m = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sum_c"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sum_c2"),
+    )
+    disp = F.expr(
+        "CAST(((n * sum_c2 - CAST(sum_c AS DECIMAL(38,0)) * sum_c) * 1000000)"
+        " div sum_c AS BIGINT)"
+    )
+    crit = fquant(
+        (F.col("n").cast("double") - F.lit(1).cast("double"))
+        + F.lit(1.96).cast("double")
+        * F.sqrt(
+            F.lit(2).cast("double")
+            * (F.col("n").cast("double") - F.lit(1).cast("double"))
+        )
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("sum_c").alias("n_events"),
+        disp.alias("dispersion_e6"),
+        crit.alias("crit_q"),
+        (
+            disp.cast("double") / F.lit(1000000).cast("double") > crit
+        ).alias("overdispersed"),
+    )

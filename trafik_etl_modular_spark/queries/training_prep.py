@@ -429,3 +429,93 @@ def sample_temporal_split_leakage(spark, sf_dir) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold cross-validation assignment (round 12)
+# ---------------------------------------------------------------------------
+
+N_FOLDS = 5
+
+_KFOLD_H = oracle_nhash("doc_id", "kfold")
+
+_KFOLD_SQL = f"""
+WITH assigned AS (
+  SELECT doc_id, lang, {_KFOLD_H} % {N_FOLDS} AS fold FROM documents
+),
+cell AS (
+  SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM assigned GROUP BY fold, lang
+),
+per_fold AS (SELECT fold, CAST(SUM(n_docs) AS BIGINT) AS n_fold FROM cell GROUP BY fold),
+tot AS (
+  SELECT CAST(SUM(n_fold) AS BIGINT) AS n_total,
+         CAST(MIN(n_fold) AS BIGINT) AS min_fold,
+         CAST(MAX(n_fold) AS BIGINT) AS max_fold
+  FROM per_fold
+)
+SELECT CAST(c.fold AS BIGINT) AS fold, c.lang, c.n_docs,
+       p.n_fold, t.n_total,
+       CAST((p.n_fold * 1000000) // t.n_total AS BIGINT) AS fold_share_e6,
+       CAST((t.min_fold * 1000000) // t.max_fold AS BIGINT) AS balance_e6
+FROM cell c
+JOIN per_fold p ON p.fold = c.fold
+CROSS JOIN tot t
+ORDER BY fold, lang
+"""
+
+
+@query("sample_kfold_assignment", sql=_KFOLD_SQL, tags=("llmdata", "sampling"))
+def sample_kfold_assignment(spark, sf_dir) -> DataFrame:
+    """Deterministic {k}-FOLD cross-validation assignment: fold =
+    nhash(doc_id) mod {k} — stateless, reproducible from the id alone
+    (the shuffle-shards contract applied to evaluation), so any
+    worker can recompute membership without a lookup table and folds
+    never drift between runs.  The manifest certifies the three
+    properties an eval harness assumes: PARTITION (Σ per-fold = total
+    on every row), per-language stratification cells (hash folds are
+    language-blind, so cells track the corpus mix), and global
+    balance (min/max fold mass as an e6 ratio — hash-uniformity made
+    visible).
+
+    Scale: fold assignment is a map-side hash; ONE (fold, lang) hash
+    agg; everything after aggregates the ≤{k}·|langs| cell table."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    assigned = docs.select(
+        "lang", (nhash("doc_id", "kfold") % N_FOLDS).alias("fold")
+    )
+    cell = assigned.groupBy("fold", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    cell = pin(cell, eager=True)
+    per_fold = cell.groupBy("fold").agg(
+        F.sum("n_docs").cast("bigint").alias("n_fold")
+    )
+    tot = per_fold.agg(
+        F.sum("n_fold").cast("bigint").alias("n_total"),
+        F.min("n_fold").cast("bigint").alias("min_fold"),
+        F.max("n_fold").cast("bigint").alias("max_fold"),
+    )
+    return (
+        cell.join(per_fold, "fold")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            "lang",
+            "n_docs",
+            "n_fold",
+            "n_total",
+            F.expr("(n_fold * 1000000) div n_total")
+            .cast("bigint")
+            .alias("fold_share_e6"),
+            F.expr("(min_fold * 1000000) div max_fold")
+            .cast("bigint")
+            .alias("balance_e6"),
+        )
+        .orderBy("fold", "lang")
+    )
+
+
+sample_kfold_assignment.__doc__ = sample_kfold_assignment.__doc__.format(k=N_FOLDS)

@@ -541,3 +541,104 @@ def window_rolling_median_exact(spark, sf_dir):
 window_rolling_median_exact.__doc__ = window_rolling_median_exact.__doc__.format(
     d=_ROLL_MED_DAYS
 )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown (round 12)
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_SQL = """
+WITH daily AS (
+  SELECT c.c_mktsegment AS mktsegment, o.o_orderdate AS d,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment, o.o_orderdate
+),
+curve AS (
+  SELECT mktsegment, d,
+         SUM(rev) OVER (PARTITION BY mktsegment ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM daily
+),
+dd AS (
+  SELECT mktsegment, d, cum,
+         MAX(cum) OVER (PARTITION BY mktsegment ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cum AS drawdown
+  FROM curve
+),
+mx AS (
+  SELECT mktsegment, CAST(COUNT(*) AS BIGINT) AS n_days,
+         MAX(drawdown) AS max_dd
+  FROM dd GROUP BY mktsegment
+)
+SELECT m.mktsegment AS mktsegment, m.n_days,
+       CAST(m.max_dd AS DOUBLE) AS max_drawdown,
+       MIN(x.d) AS drawdown_day
+FROM mx m JOIN dd x ON x.mktsegment = m.mktsegment AND x.drawdown = m.max_dd
+GROUP BY m.mktsegment, m.n_days, m.max_dd
+ORDER BY mktsegment
+"""
+
+
+@query("window_max_drawdown", sql=_DRAWDOWN_SQL, tags=("window", "analytics"))
+def window_max_drawdown(spark, sf_dir):
+    """MAXIMUM DRAWDOWN of the cumulative daily revenue curve per
+    market segment — the peak-to-trough window composite (running
+    SUM, running MAX over it, their gap, then the per-group max and
+    its FIRST day): the risk metric every monitoring dashboard puts
+    next to the trend line, and a window shape (window-over-window)
+    none of the existing rank/frame queries exercise.  Revenue folds
+    through exact DECIMAL(38,2) so the running sums, the running
+    peaks, and the max-equality day lookup are bit-identical across
+    engines; doubles appear only in the final display cast.
+
+    Scale: one join + daily hash agg, then per-segment windows over
+    the DAILY frame (O(segments × days) rows); the day lookup is an
+    equi-join on the tiny per-segment max — no second scan of
+    orders."""
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"), F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(38,2))"))
+            .cast(T.DecimalType(38, 2))
+            .alias("rev")
+        )
+    )
+    w_cum = (
+        Window.partitionBy("mktsegment")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = daily.select("mktsegment", "d", F.sum("rev").over(w_cum).alias("cum"))
+    dd = pin(
+        curve.select(
+            "mktsegment",
+            "d",
+            (F.max("cum").over(w_cum) - F.col("cum")).alias("drawdown"),
+        ),
+        eager=True,  # feeds the per-segment max AND the day lookup
+    )
+    mx = dd.groupBy("mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max("drawdown").alias("max_dd"),
+    )
+    return (
+        mx.join(
+            dd.withColumnRenamed("drawdown", "max_dd"),
+            ["mktsegment", "max_dd"],
+        )
+        .groupBy("mktsegment", "n_days", "max_dd")
+        .agg(F.min("d").alias("drawdown_day"))
+        .select(
+            "mktsegment",
+            "n_days",
+            F.col("max_dd").cast("double").alias("max_drawdown"),
+            "drawdown_day",
+        )
+        .orderBy("mktsegment")
+    )

@@ -99,72 +99,71 @@ _QUERY_MODULES = [
 # and changed-since-stamp queries always enter the next window.
 # `python tools/stamps.py --plan-next` prints each round's exact
 # obligation; tests/test_contract.py::test_window_covers_stale_stamps
-# enforces it from the same module.  Round 11: the MANDATORY cohort is
-# ZERO (end-of-r10 --plan-next), so the 50 slots carry (1) every query
-# ADDED this round (never-stamped rule), (2) every query whose
-# function/oracle CHANGED this round (hash-manifest rule: the phrase-
-# search prefilter, the LPA radix guard, the bigram 1-token guard),
-# (3) the 6 r07 single-stamp actives whose deadline hits at r12, then
-# (4) oldest-tier-deadline fill: the r08/r09 single-stamp actives and
-# the soonest-due matures, exactly in --plan-next's printed order.
+# enforces it from the same module.  Round 12: the MANDATORY cohort is
+# again ZERO (end-of-r11 --plan-next), so the 50 slots carry (1) the
+# 15 queries ADDED this round (never-stamped rule), (2) the 7 whose
+# function/oracle CHANGED this round (hash-manifest rule: the ADVICE
+# r11 overflow widenings and the staged-parquet oracle rewrites), then
+# (3) oldest-tier-deadline fill — the r09/r10 single-stamp actives,
+# the r05 mature, and the soonest-due r06 matures — exactly in
+# --plan-next's printed order.
 DRIVER_WINDOW: list[str] = [
-    # --- never-stamped: round-11 additions -----------------------------
-    "text_bm25_append",
-    "sample_shuffle_epochs",
-    "graph_kcore_peel",
-    "graph_hits_scores",
-    "events_autocorrelation",
-    "events_interarrival_histogram",
-    "events_attribution_touch",
-    "join_cardinality_estimate",
-    "join_bloom_semi_prefilter",
-    "dedup_blocking_quality",
-    "dq_partition_skew_audit",
-    "vocab_zipf_rank_curve",
-    "text_hapax_diversity",
-    "window_activity_islands",
-    "agg_exact_percentile_grid",
-    "streaming_bitmap_distinct_monitor",
-    "merge_snapshot_table_diff",
-    "window_rolling_median_exact",
-    "graph_common_neighbor_linkpred",
-    "text_phrase_search_nword",
-    "sim_ivf_nprobe_sweep",
+    # --- never-stamped: round-12 additions -----------------------------
+    "text_bm25_delete",
+    "sim_ivf_delete_probe",
+    "sim_ivf_purge_compact",
+    "vocab_bpe_merge_rounds",
+    "streaming_watermark_lateness",
+    "events_mann_kendall_trend",
+    "dq_poisson_dispersion",
+    "events_user_gini",
+    "events_rfm_scores",
+    "window_max_drawdown",
+    "agg_weighted_median",
+    "text_skipgram_lift",
+    "sample_kfold_assignment",
+    "dq_chi2_homogeneity",
+    "graph_local_clustering",
+    "text_simpson_diversity",
+    "agg_mode_per_group",
+    "graph_jaccard_linkpred",
+    "dq_ks_two_sample",
+    "merge_distinct_ivm",
+    # --- changed this round (hash-manifest rule): DECIMAL/HUGEINT
+    # overflow widenings (ADVICE r11 items 1/2/4) and the staged-
+    # parquet derived-oracle rewrites (ADVICE r11 item 5) ---------------
     "dq_chi2_independence",
-    "graph_degree_assortativity",
-    "vocab_term_burstiness",
-    "merge_agg_ivm_deletes",
-    "dq_referential_integrity",
     "text_lang_divergence_tv",
-    # --- changed this round (hash-manifest rule): phrase-search token
-    # prefilter (verdict r10 weak fix), LPA radix guard (ADVICE r10),
-    # bigram single-token-doc guard (ADVICE r10) ------------------------
-    "text_phrase_search",
-    "graph_label_propagation",
-    "text_bigram_collocations",
-    # --- r07 single-stamp actives: deadline r12, re-windowed now -------
-    "events_hourly_locf",
-    "graph_bfs_3hop",
-    "inc_nearest_center",
-    "join_nearest_click_tolerance",
-    "sim_rank_fusion_rrf",
-    "window_ntile_cume_dist",
-    # --- fill: r08/r09 single-stamp actives (planner order) ------------
-    "dedup_lsh_calibration",
-    "dedup_simhash_calibration",
-    "dq_embedding_profile",
+    "join_cardinality_estimate",
+    "sim_ivf_nprobe_sweep",
     "sim_ivf_incremental_append",
     "sim_ivf_retrain_reassignment",
-    "dedup_url_canonical",
-    "dq_benford_digit_test",
-    "join_spatial_knn_probes",
-    "merge_cdc_apply_tombstones",
-    "merge_join_ivm",
-    "multimodal_dedup_incremental",
-    "multimodal_dedup_perceptual",
-    "sim_ann_ivf_pq_probe",
     "sim_ivf_compact",
-    # --- fill: soonest-deadline matures (planner order) ----------------
+    # --- fill: r09/r10 single-stamp actives (planner order) ------------
+    "sim_pq_recall",
+    "text_host_quality_policy",
+    "agg_bitmap_distinct_rollup",
+    "agg_pearson_correlation",
+    "dq_cusum_changepoint",
+    "dq_seasonal_decompose",
+    "events_transition_matrix",
+    "inc_daily_trend_gapfill",
+    "sample_shuffle_shards",
+    "sample_temporal_split_leakage",
+    "sim_mmr_rerank",
+    "sim_random_projection_jl",
+    "streaming_cusum_monitor",
+    "text_bm25_maxscore_prune",
+    "text_bm25_topk",
+    "text_chunk_windows",
+    # --- fill: soonest-deadline r06 matures (planner order) ------------
+    "agg_cube_flag_status",
+    "agg_exact_median_iqr",
+    "agg_pivot_linestatus",
+    "agg_rollup_daily_type",
+    "agg_stats_unpivot",
+    "agg_value_stats",
+    "curation_pipeline_v2",
 ]
 
 
