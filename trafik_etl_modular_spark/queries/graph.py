@@ -1226,16 +1226,20 @@ def graph_local_clustering(spark, sf_dir):
     a clique, the node-level refinement of graph_triangle_count's
     single global transitivity (a graph can have high transitivity
     driven by a few dense pockets; the per-vertex view finds them).
-    Triangles are enumerated ONCE in id orientation (u<v<w, the
-    oracle-stable strategy) and each credits its three corners; the
-    coefficient is e6 integer division (quotient ≤ 1e6 by c ≤ 1).
-    Top-{top} vertices with degree ≥ 2, deterministic tiebreak.
+    The engine enumerates each triangle ONCE by DEGREE ORIENTATION
+    (the triangle counter's Chiba–Nishizeki machinery — O(m·α) wedges
+    instead of the Σ deg² a naive id-oriented triple join pays;
+    measured 12.2 s → ~2.5 s at sf0.1) and credits its three corners;
+    the corner MULTISET is strategy-independent, so the oracle
+    verifies with the simpler id-ordered join.  The coefficient is e6
+    integer division (quotient ≤ 1e6 by c ≤ 1).  Top-{top} vertices
+    with degree ≥ 2, deterministic tiebreak.
 
     Scale: same bounded shapes as the triangle query — per-order
-    supplier pairs (order-width-bounded), one wedge equi-join closed
-    by a second; the per-corner credit is an explode of the triangle
-    set; degrees and the final join are vertex-bounded aggregations;
-    the head is a distributed top-k."""
+    supplier pairs (order-width-bounded), oriented wedge join closed
+    map-side under the edge-broadcast gate; the per-corner credit is
+    an explode of the triangle set; degrees and the final join are
+    vertex-bounded; the head is a distributed top-k."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     pairs = a.join(
@@ -1249,29 +1253,66 @@ def graph_local_clustering(spark, sf_dir):
         .where(F.col("supp") >= 3)
         .select("u", "v")
     )
-    # feeds degrees + three legs of the triangle join — pin once
+    # feeds degrees + the orientation + the closing join — pin once
     edges = edges.localCheckpoint(eager=True)
+    _e = edges.agg(
+        F.count("*").alias("n"), F.max(F.greatest("u", "v")).alias("maxid")
+    ).first()
+    if _e["maxid"] is not None and _e["maxid"] >= _PACK:
+        raise ValueError(
+            f"graph_local_clustering: vertex id {_e['maxid']} exceeds the "
+            f"(degree,id) packing radix {_PACK}; widen _PACK"
+        )
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count("*").cast("bigint").alias("d"))
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
-        )
+    deg = deg.localCheckpoint(eager=True)  # feeds orientation + output
+    ed = (
+        edges.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
         .select(
-            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("s"),
+                    (F.col("dv") * F.lit(_PACK) + F.col("v")).alias("kt"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("s"),
+                    (F.col("du") * F.lit(_PACK) + F.col("u")).alias("kt"),
+                )
+            )
+            .alias("o")
         )
+        .select("o.s", "o.kt")
     )
+    ed = ed.repartition(32, "s")  # the triangle counter's width pin
+    w1, w2 = ed.alias("w1"), ed.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.s") == F.col("w2.s")) & (F.col("w1.kt") < F.col("w2.kt")),
+    ).select(
+        F.col("w1.s").alias("x"),
+        (F.col("w1.kt") % _PACK).alias("y"),
+        (F.col("w2.kt") % _PACK).alias("z"),
+        (
+            (F.col("w1.kt") % _PACK) * F.lit(_PACK) + (F.col("w2.kt") % _PACK)
+        ).alias("bc"),
+    )
+    closing = ed.select(
+        ((F.col("s") * F.lit(_PACK)) + (F.col("kt") % _PACK)).alias("bc")
+    )
+    if _e["n"] <= _EDGE_BROADCAST_LIMIT:
+        closing = F.broadcast(closing)
+    tri = wedges.join(closing, "bc").select("x", "y", "z")
     corners = (
-        tri.select(F.col("x").alias("w"))
-        .unionAll(tri.select(F.col("y").alias("w")))
-        .unionAll(tri.select(F.col("z").alias("w")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("t"))
     )
@@ -1393,7 +1434,10 @@ def graph_jaccard_linkpred(spark, sf_dir):
     sym = e.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         e.select(F.col("v").alias("s"), F.col("u").alias("t"))
     )
-    sym = pin(sym, eager=True)  # wedge legs + degrees
+    # pin + explicit width (the triangle counter's repartition lesson:
+    # AQE coalesces the tiny symmetric frame to ONE partition and the
+    # deg² wedge blow-up runs single-threaded without this)
+    sym = pin(sym, eager=True).repartition(32, "s")
     deg = sym.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
     sa, sb = sym.alias("sa"), sym.alias("sb")
     cn = (

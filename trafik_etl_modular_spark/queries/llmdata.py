@@ -7362,3 +7362,164 @@ def text_simpson_diversity(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding-parameter sweep (round 12)
+# ---------------------------------------------------------------------------
+
+# (bands, rows_per_band) operating points over the same 64-hash
+# signature: the S-curve P(cand) = 1 − (1 − j^r)^b steepens left to
+# right — more bands = more candidates = higher recall, lower
+# precision.  The sweep is the tuning certificate a dedup deployment
+# publishes before picking its point (the nprobe sweep's shape on the
+# dedup side).
+_LSH_SWEEP_CONFIGS = ((8, 8), (16, 4), (32, 2))
+_LSH_SWEEP_THRESHOLD = 0.6
+
+
+def _lsh_banding_sweep_oracle_sql(sf_dir: str) -> str:
+    """DERIVED oracle: per config only the xxhash64 candidate-pair
+    set is frozen (bounded by near-dup pair volume, never the
+    corpus); DuckDB recomputes exact shingle Jaccard for every
+    candidate, the inverted-index ground truth, and each config's
+    precision/recall row itself."""
+    from trafik_etl_modular_spark.llmdata.sketch_oracle import (
+        check_no_shingle_collisions,
+        derive_minhash_candidates,
+    )
+
+    check_no_shingle_collisions(sf_dir)
+    cand_ctes, selects = [], []
+    for b, r in _LSH_SWEEP_CONFIGS:
+        pairs = derive_minhash_candidates(sf_dir, bands=b, max_bucket_size=1000)
+        values = (
+            ",".join(f"({a},{x})" for a, x in pairs) if pairs else "(NULL, NULL)"
+        )
+        cand_ctes.append(f"c{b}(id_a, id_b) AS (VALUES {values})")
+        selects.append(f"""
+SELECT {b} AS bands, {r} AS rows_per_band,
+       CAST((SELECT COUNT(*) FROM c{b} WHERE id_a IS NOT NULL) AS BIGINT)
+         AS n_candidates,
+       CAST((SELECT COUNT(*) FROM c{b} c
+             JOIN szd a ON a.doc_id = c.id_a
+             JOIN szd b2 ON b2.doc_id = c.id_b
+             WHERE CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE)
+                   / (a.sz + b2.sz - len(list_intersect(a.s, b2.s)))
+                   >= CAST({_LSH_SWEEP_THRESHOLD} AS DOUBLE)) AS BIGINT)
+         AS n_hits,
+       (SELECT n FROM nt) AS n_true""")
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {",".join(cand_ctes)},
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(words) - 2, 0) + 1),
+             i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS s
+  FROM w
+),
+szd AS (SELECT doc_id, s, len(s) AS sz FROM sh WHERE len(s) > 0),
+inv AS (SELECT doc_id, sz, UNNEST(s) AS shingle FROM szd),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b,
+         COUNT(*) AS n_shared
+  FROM inv a
+  JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+nt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM shared
+  WHERE CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared)
+        >= CAST({_LSH_SWEEP_THRESHOLD} AS DOUBLE)
+)
+SELECT bands, rows_per_band, n_candidates, n_hits, n_true,
+       (CAST(ROUND(CASE WHEN n_candidates > 0
+          THEN CAST(n_hits AS DOUBLE) / n_candidates END * 1e9) AS BIGINT) / 1e9)
+         AS precision,
+       (CAST(ROUND(CASE WHEN n_true > 0
+          THEN CAST(n_hits AS DOUBLE) / n_true END * 1e9) AS BIGINT) / 1e9)
+         AS recall
+FROM ({body})
+ORDER BY bands
+"""
+
+
+@query(
+    "dedup_lsh_banding_sweep",
+    sql=_lsh_banding_sweep_oracle_sql,
+    tags=("llmdata", "dedup", "eval"),
+)
+def dedup_lsh_banding_sweep(spark, sf_dir):
+    """LSH BANDING-PARAMETER SWEEP — the (bands × rows) tuning curve
+    over one 64-hash MinHash signature (Broder/LSH S-curve
+    P(candidate) = 1 − (1 − j^r)^b): per operating point
+    {configs}, candidate volume (the cost axis), hits at exact
+    Jaccard ≥ {thr}, precision, and recall vs the inverted-index
+    exact ground truth — the nprobe sweep's certificate shape on the
+    dedup side, the evidence for choosing a banding before a lake-
+    scale run.  Ground truth is config-independent (ONE exact pass);
+    candidates re-bucket per config but each sweep leg is the same
+    banded equi-join, never corpus².
+
+    Scale: the signature is computed once per config over the corpus
+    scan (64 hash lanes, map-side); candidate volume ∝ bucket sizes
+    under the hot-bucket cap; the exact-verify legs are candidate-
+    bounded; the report is {n} rows."""
+    from trafik_etl_modular_spark.llmdata.dedup import (
+        minhash_near_dups,
+        ngram_jaccard_pairs,
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    docs = t(spark, sf_dir, "documents")
+    n_true = pin(
+        ngram_jaccard_pairs(docs, k=3, threshold=_LSH_SWEEP_THRESHOLD).agg(
+            F.count("*").cast("bigint").alias("n_true")
+        ),
+        eager=True,
+    )
+    out = None
+    for b, r in _LSH_SWEEP_CONFIGS:
+        cand = minhash_near_dups(
+            docs, threshold=0.0, bands=b, max_bucket_size=1000
+        )
+        row = (
+            cand.agg(
+                F.count("*").cast("bigint").alias("n_candidates"),
+                F.sum(
+                    F.when(F.col("jaccard") >= F.lit(_LSH_SWEEP_THRESHOLD), 1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_hits"),
+            )
+            .crossJoin(F.broadcast(n_true))
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_hits",
+                "n_true",
+                fquant(
+                    F.when(
+                        F.col("n_candidates") > 0,
+                        F.col("n_hits").cast("double") / F.col("n_candidates"),
+                    )
+                ).alias("precision"),
+                fquant(
+                    F.when(
+                        F.col("n_true") > 0,
+                        F.col("n_hits").cast("double") / F.col("n_true"),
+                    )
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bands")
+
+
+dedup_lsh_banding_sweep.__doc__ = dedup_lsh_banding_sweep.__doc__.format(
+    configs=_LSH_SWEEP_CONFIGS, thr=_LSH_SWEEP_THRESHOLD, n=len(_LSH_SWEEP_CONFIGS)
+)

@@ -129,6 +129,7 @@ DRIVER_WINDOW: list[str] = [
     "graph_jaccard_linkpred",
     "dq_ks_two_sample",
     "merge_distinct_ivm",
+    "dedup_lsh_banding_sweep",
     # --- changed this round (hash-manifest rule): DECIMAL/HUGEINT
     # overflow widenings (ADVICE r11 items 1/2/4) and the staged-
     # parquet derived-oracle rewrites (ADVICE r11 item 5) ---------------
@@ -163,7 +164,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_rollup_daily_type",
     "agg_stats_unpivot",
     "agg_value_stats",
-    "curation_pipeline_v2",
 ]
 
 
