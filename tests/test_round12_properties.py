@@ -1,0 +1,224 @@
+"""Property tests (hypothesis, pure math — no Spark session) for the
+algebraic identities the round-12 operators plan on: the SIGNED
+postings fold, the counts-of-counts Gini rank moment, Mann–Kendall's
+closed forms, the KS supremum's integer exactness, the two-level
+distinct-count IVM, and the disjointness of a≠b pair merges."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(max_examples=300, deadline=None)
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda d: d[0],
+    ),
+    data=st.data(),
+)
+def test_signed_df_fold_inverts_the_append(docs, data):
+    """fold(fold(base, +batch), −batch) == base with zero-df terms
+    retired — the involution text_bm25_delete's signed fold and the
+    shrink growth-test rely on (delete is the exact inverse of append
+    for a disjoint batch)."""
+    n = len(docs)
+    k = data.draw(st.integers(min_value=0, max_value=n))
+    batch, base = docs[:k], docs[k:]
+
+    def df(ds):
+        c = Counter()
+        for _id, toks in ds:
+            for w in set(toks):
+                c[w] += 1
+        return c
+
+    folded = df(base) + df(batch)  # append
+    for w, d in df(batch).items():  # signed delete fold
+        folded[w] -= d
+    folded = Counter({w: c for w, c in folded.items() if c > 0})
+    assert folded == df(base)
+
+
+@_SETTINGS
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60)
+)
+def test_gini_histogram_moment_equals_per_item_ranks(xs):
+    """Σ 2·i·x_i over ascending per-item ranks equals the
+    counts-of-counts closed form Σ_v v·(2·g·cum_before + g(g+1)) —
+    the identity that lets events_user_gini skip the global
+    row_number (perf lesson 9)."""
+    xs_sorted = sorted(xs)
+    per_item = sum(2 * (i + 1) * x for i, x in enumerate(xs_sorted))
+    cc = Counter(xs)
+    cum = 0
+    hist = 0
+    for v in sorted(cc):
+        g = cc[v]
+        hist += v * (2 * g * cum + g * (g + 1))
+        cum += g
+    assert per_item == hist
+
+
+@_SETTINGS
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=100), min_size=2, max_size=50
+    )
+)
+def test_mann_kendall_closed_forms(xs):
+    """S is antisymmetric (reversed series negates it), bounded by
+    n(n−1)/2, and EQUAL to the bound on a strictly increasing series;
+    the tie-corrected 18·Var(S) is nonnegative and zero iff all
+    values tie — the invariants events_mann_kendall_trend plans on."""
+    n = len(xs)
+
+    def s_stat(seq):
+        m = len(seq)
+        return sum(
+            (0 if seq[j] == seq[i] else (1 if seq[j] > seq[i] else -1))
+            for i in range(m)
+            for j in range(i + 1, m)
+        )
+
+    s = s_stat(xs)
+    assert s == -s_stat(xs[::-1])
+    assert abs(s) <= n * (n - 1) // 2
+    inc = sorted(set(xs))
+    if len(inc) >= 2:
+        m = len(inc)
+        assert s_stat(inc) == m * (m - 1) // 2
+    ties = Counter(xs)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+    )
+    assert var18 >= 0
+    assert (var18 == 0) == (len(ties) == 1)
+
+
+@_SETTINGS
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=40),
+    b=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=40),
+)
+def test_ks_integer_supremum_matches_float_ecdf(a, b):
+    """max |f1·n2 − f2·n1| / (n1·n2) over merged values equals the
+    float ECDF supremum (computed over the same support), and a
+    sample compared to itself gives exactly 0 — dq_ks_two_sample's
+    exactness claim."""
+    n1, n2 = len(a), len(b)
+    support = sorted(set(a) | set(b))
+    num = max(
+        abs(sum(1 for x in a if x <= v) * n2 - sum(1 for x in b if x <= v) * n1)
+        for v in support
+    )
+    d_float = max(
+        abs(
+            sum(1 for x in a if x <= v) / n1
+            - sum(1 for x in b if x <= v) / n2
+        )
+        for v in support
+    )
+    assert abs(num / (n1 * n2) - d_float) < 1e-12
+    same = max(
+        abs(sum(1 for x in a if x <= v) * n1 - sum(1 for x in a if x <= v) * n1)
+        for v in sorted(set(a))
+    )
+    assert same == 0
+
+
+@_SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # group
+            st.integers(min_value=0, max_value=15),  # user
+        ),
+        min_size=0,
+        max_size=80,
+    ),
+    data=st.data(),
+)
+def test_distinct_ivm_two_level_counting(events, data):
+    """distinct-after-changelog from the two-level signed state
+    equals a recompute over surviving rows, for ANY insert/delete
+    split — merge_distinct_ivm's counting algebra."""
+    n = len(events)
+    k = data.draw(st.integers(min_value=0, max_value=n))
+    base, inserts = events[:k], events[k:]
+    del_idx = data.draw(
+        st.sets(st.integers(min_value=0, max_value=max(k - 1, 0)), max_size=k)
+    )
+    deletes = [base[i] for i in del_idx if i < k]
+
+    state = Counter(base)
+    for e in inserts:
+        state[e] += 1
+    for e in deletes:
+        state[e] -= 1
+    ivm = Counter()
+    for (g, u), c in state.items():
+        if c > 0:
+            ivm[g] += 1
+
+    survivors = Counter(base)
+    for e in deletes:
+        survivors[e] -= 1
+    final = [e for e, c in survivors.items() for _ in range(c)] + inserts
+    truth = Counter()
+    for g in set(gr for gr, _ in final):
+        truth[g] = len({u for gr, u in final if gr == g})
+    assert ivm == truth
+
+
+@_SETTINGS
+@given(
+    toks=st.lists(st.sampled_from("abc"), min_size=0, max_size=30),
+    data=st.data(),
+)
+def test_pair_merge_disjoint_for_distinct_tokens(toks, data):
+    """For a pair (a, b) with a ≠ b, adjacent occurrences are
+    DISJOINT in token space (overlap forces a = b), so merge-all is
+    order-free: greedy left-to-right equals merging every occurrence
+    — vocab_bpe_merge_rounds' rewrite contract."""
+    a = data.draw(st.sampled_from("abc"))
+    b = data.draw(st.sampled_from([c for c in "abc" if c != a]))
+
+    # greedy left-to-right
+    out_greedy, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out_greedy.append(a + "_" + b)
+            i += 2
+        else:
+            out_greedy.append(toks[i])
+            i += 1
+
+    # merge-every-occurrence (mark all match starts, assert disjoint)
+    starts = [
+        i
+        for i in range(len(toks) - 1)
+        if toks[i] == a and toks[i + 1] == b
+    ]
+    assert all(j - i >= 2 for i, j in zip(starts, starts[1:]))
+    out_all, i = [], 0
+    sset = set(starts)
+    while i < len(toks):
+        if i in sset:
+            out_all.append(a + "_" + b)
+            i += 2
+        else:
+            out_all.append(toks[i])
+            i += 1
+    assert out_greedy == out_all
