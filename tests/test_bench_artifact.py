@@ -37,3 +37,29 @@ def test_artifact_sf_keys_do_not_clobber(tmp_path):
     assert doc["sf0.01"]["errors"] == {"error:qx": "boom"}
     # a cross-sf run never produces deltas against the other sf
     assert "prev" not in doc["sf0.01"]
+
+
+def test_round_artifact_stamps_closing_round_when_ledger_matches_window(tmp_path):
+    """Verdict r11 ask #6: the closing bench runs right after the
+    driver writes CORRECTNESS_rN at the same HEAD, so the round
+    artifact must stamp rN (not rN+1) exactly when the newest
+    ledger's checked-key set equals the CURRENT driver window; a
+    mid-round bench (ledger still holds the PREVIOUS window) keeps
+    stamping the next counter."""
+    import os
+
+    from trafik_etl_modular_spark.registry import DRIVER_WINDOW
+
+    path = str(tmp_path / "BENCH_LOCAL.json")
+    # closing-bench case: ledger keys == current window -> stamp r05
+    with open(tmp_path / "CORRECTNESS_r05.json", "w") as f:
+        json.dump({n: {"hash_match": True} for n in DRIVER_WINDOW}, f)
+    _write_local_artifact(0.1, {"q1": 1.0}, {}, 1.0, 0, path=path)
+    assert os.path.exists(tmp_path / "BENCH_FULL_r05.json")
+    assert not os.path.exists(tmp_path / "BENCH_FULL_r06.json")
+
+    # mid-round case: ledger describes a DIFFERENT window -> r07
+    with open(tmp_path / "CORRECTNESS_r06.json", "w") as f:
+        json.dump({"some_old_query": {"hash_match": True}}, f)
+    _write_local_artifact(0.1, {"q1": 1.0}, {}, 1.0, 0, path=path)
+    assert os.path.exists(tmp_path / "BENCH_FULL_r07.json")
