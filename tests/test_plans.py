@@ -574,6 +574,21 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "graph_jaccard_linkpred",
         # 1-row day-span cursor broadcast under the value histogram
         "dq_ks_two_sample",
+        # 1-row corpus-N scalar onto the ≤|brands|² rule frame
+        "basket_association_rules",
+        # 1-row revenue-total scalar under the dim-sized rank window
+        "agg_pareto_abc",
+        # |days|-row pinned daily series × 14-row weight panel (the
+        # ACF lag-panel shape; the contribution side still equi-joins
+        # on date arithmetic)
+        "events_ewma_volume",
+        # same lag-panel shape, 2-row {1,7} panel
+        "events_mase_seasonal",
+        # |days|² day-pair range join over the pinned daily aggregate
+        # (the Mann–Kendall shape — day-bounded by construction)
+        "events_theil_sen_slope",
+        # 1-row (n, S) total scalar under the |days|-row split scan
+        "events_changepoint_binseg",
     }
     bad = []
     for name in sorted(REGISTRY):

@@ -497,3 +497,487 @@ def dq_poisson_dispersion(spark, sf_dir) -> DataFrame:
             disp.cast("double") / F.lit(1000000).cast("double") > crit
         ).alias("overdispersed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness (round 12)
+# ---------------------------------------------------------------------------
+
+_STICKINESS_SQL = """
+WITH day_user AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+daily AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM day_user GROUP BY d
+),
+weekly_days AS (
+  SELECT CAST(date_trunc('week', d) AS DATE) AS week,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(dau) AS BIGINT) AS sum_dau
+  FROM daily GROUP BY 1
+),
+weekly_users AS (
+  SELECT CAST(date_trunc('week', d) AS DATE) AS week,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM day_user GROUP BY 1
+)
+SELECT d.week, d.n_days, d.sum_dau, u.wau,
+       CAST(CAST(d.sum_dau AS HUGEINT) * 1000000
+            // (CAST(d.n_days AS HUGEINT) * u.wau) AS BIGINT)
+         AS stickiness_e6
+FROM weekly_days d JOIN weekly_users u ON u.week = d.week
+ORDER BY d.week
+"""
+
+
+@query("events_dau_wau_stickiness", sql=_STICKINESS_SQL, tags=("analytics", "timeseries"))
+def events_dau_wau_stickiness(spark, sf_dir) -> DataFrame:
+    """DAU/WAU STICKINESS per ISO week — mean daily active users over
+    weekly active users, the engagement ratio every growth dashboard
+    tracks (1/7 ≙ users appear once a week; 1.0 ≙ every user, every
+    day).  stickiness = (Σ_day DAU / n_days) / WAU is kept as the ONE
+    exact rational Σdau·10⁶ // (n_days·WAU) — no float ever; both
+    engines Monday-truncate weeks via date_trunc('week').
+
+    Scale: the (day, user) dedup is one exact distinct over the
+    firehose (the same first shuffle window_cumulative_distinct_users
+    pays); everything after runs on |days| and |weeks|-sized frames.
+    The distinct frame is PINNED because both weekly legs fold from
+    it."""
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    day_user = pin(
+        t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct(),
+        eager=True,  # feeds the daily and the weekly-distinct legs
+    )
+    daily = day_user.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
+    week = F.to_date(F.date_trunc("week", F.col("d"))).alias("week")
+    weekly_days = daily.groupBy(week).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+    )
+    weekly_users = day_user.groupBy(week).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        weekly_days.join(weekly_users, "week")
+        .select(
+            "week",
+            "n_days",
+            "sum_dau",
+            "wau",
+            F.expr(
+                "CAST(CAST(sum_dau AS DECIMAL(38,0)) * 1000000"
+                " div (CAST(n_days AS DECIMAL(38,0)) * wau) AS BIGINT)"
+            ).alias("stickiness_e6"),
+        )
+        .orderBy("week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day (round 12)
+# ---------------------------------------------------------------------------
+
+_NEW_RETURNING_SQL = """
+WITH day_user AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+first_seen AS (
+  SELECT user_id, MIN(d) AS first_day FROM day_user GROUP BY user_id
+)
+SELECT du.d,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(SUM(CASE WHEN f.first_day = du.d THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(SUM(CASE WHEN f.first_day = du.d THEN 0 ELSE 1 END) AS BIGINT)
+         AS returning_users
+FROM day_user du JOIN first_seen f ON f.user_id = du.user_id
+GROUP BY du.d
+ORDER BY du.d
+"""
+
+
+@query("events_new_vs_returning", sql=_NEW_RETURNING_SQL, tags=("analytics", "timeseries"))
+def events_new_vs_returning(spark, sf_dir) -> DataFrame:
+    """NEW vs RETURNING user split per day — each active day of a user
+    is "new" iff it is their first-ever active day (the acquisition /
+    retention decomposition of the DAU curve; pairs with
+    events_cohort_retention, which follows the same users FORWARD).
+    Pure integer counting over an equi-join; no floats.
+
+    Scale: the same (day, user) exact distinct as the stickiness
+    query, then a min-agg to the USER dimension and one equi-join
+    back — both shuffles are on user_id and fold map-side first.  A
+    skewed power user contributes one row per active day, bounded by
+    the calendar."""
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    day_user = pin(
+        t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct(),
+        eager=True,  # feeds first-seen and the join probe
+    )
+    first_seen = day_user.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    return (
+        day_user.join(first_seen, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count("*").cast("bigint").alias("active_users"),
+            F.sum(F.when(F.col("first_day") == F.col("d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("first_day") == F.col("d"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Truncated-exact EWMA of daily volume (round 12)
+# ---------------------------------------------------------------------------
+
+# alpha = 1/4, truncated at K=14 lags; weight(k) = alpha(1-alpha)^k
+# \propto 3^k * 4^(K-1-k) over the common denominator 4^K.  The weights
+# are INLINED as integer literals so both engines aggregate identical
+# BIGINTs (POWER() returns doubles).
+_EWMA_K = 14
+_EWMA_WEIGHTS = [(k, 3**k * 4 ** (_EWMA_K - 1 - k)) for k in range(_EWMA_K)]
+
+_EWMA_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+lags(k, w) AS (VALUES {", ".join(f"({k}, {w})" for k, w in _EWMA_WEIGHTS)}),
+pairs AS (
+  SELECT a.d, l.k, l.w, b.c
+  FROM daily a
+  JOIN lags l ON TRUE
+  JOIN daily b ON b.d = a.d - l.k
+)
+SELECT d, CAST(COUNT(*) AS BIGINT) AS n_lags,
+       CAST(SUM(CAST(w AS HUGEINT)) AS BIGINT) AS weight_sum,
+       CAST(SUM(CAST(c AS HUGEINT) * w) * 1000000
+            // SUM(CAST(w AS HUGEINT)) AS BIGINT) AS ewma_e6
+FROM pairs GROUP BY d
+ORDER BY d
+"""
+
+
+@query("events_ewma_volume", sql=_EWMA_SQL, tags=("analytics", "timeseries"))
+def events_ewma_volume(spark, sf_dir) -> DataFrame:
+    """EXPONENTIALLY WEIGHTED moving average of daily event volume
+    (α = 1/4, truncated at {k} lags — the Roberts 1959 EWMA control
+    statistic): the smoother under every "trend line" on a volume
+    dashboard and the head of an EWMA control chart.  The geometric
+    weights are pre-scaled to the INTEGER lattice 3ᵏ·4^({k}−1−k)
+    (common denominator 4^{k}) and inlined as literals, so the whole
+    average is ONE exact HUGEINT/DECIMAL rational — truncation error
+    is renormalized away by dividing by the sum of the PRESENT
+    weights (early days simply average over fewer lags); floats never
+    appear, the output rides the e6 grid.
+
+    Scale: the firehose folds to |days| rows in one map-side-combined
+    hash agg; the lag expansion is |days|·{k} rows against a
+    broadcast 14-row panel (the ACF shape) — everything downstream is
+    day-bounded."""
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    daily = pin(daily, eager=True)  # anchor side + contribution side
+    lags = spark.createDataFrame(_EWMA_WEIGHTS, "k int, w long")
+    b = daily.select(F.col("d").alias("bd"), F.col("c").alias("bc"))
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(b, F.col("d") == F.date_add(F.col("bd"), F.col("k")))
+        .select("d", "k", "w", F.col("bc").alias("c"))
+    )
+    return (
+        pairs.groupBy("d")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lags"),
+            F.sum(F.col("w").cast(T.DecimalType(38, 0))).cast("bigint").alias("weight_sum"),
+            F.expr(
+                "CAST(SUM(CAST(c AS DECIMAL(38,0)) * w) * 1000000"
+                " div SUM(CAST(w AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("ewma_e6"),
+        )
+        .orderBy("d")
+    )
+
+
+events_ewma_volume.__doc__ = events_ewma_volume.__doc__.format(k=_EWMA_K)
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend slope (round 12)
+# ---------------------------------------------------------------------------
+
+_THEILSEN_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+slopes AS (
+  SELECT (CAST(ROUND((CAST(b.c - a.c AS DOUBLE)
+            / CAST(date_diff('day', a.d, b.d) AS DOUBLE)) * 1e9) AS BIGINT)
+          / 1e9) AS slope_q
+  FROM daily a JOIN daily b ON b.d > a.d
+),
+ranked AS (
+  SELECT slope_q,
+         ROW_NUMBER() OVER (ORDER BY slope_q) AS rn,
+         COUNT(*) OVER () AS n
+  FROM slopes
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+       (CAST(ROUND(AVG(slope_q) * 1e9) AS BIGINT) / 1e9) AS slope_med_q,
+       (AVG(slope_q) > CAST(0 AS DOUBLE)) AS trend_increasing
+FROM ranked
+WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+"""
+
+
+@query("events_theil_sen_slope", sql=_THEILSEN_SQL, tags=("analytics", "timeseries"))
+def events_theil_sen_slope(spark, sf_dir) -> DataFrame:
+    """THEIL–SEN robust trend slope of the daily volume series (Theil
+    1950 / Sen 1968, public literature): the MEDIAN of all pairwise
+    slopes (c_j−c_i)/(d_j−d_i) — the estimator Mann–Kendall's S only
+    signs; 29 % outlier-breakdown vs least squares' zero.  Each pair
+    slope is one double divide e9-QUANTIZED AT BIRTH, so the median
+    (order statistics ⌊(n+1)/2⌋, ⌈(n+1)/2⌉ over the sorted multiset,
+    averaged for even n and re-quantized) selects from integer-derived
+    values — both engines sort identical multisets.
+
+    Scale: one hash agg to |days|, then the O(days²) pair join on the
+    tiny aggregate (the Mann–Kendall shape — 435 pairs at a 30-day
+    span); for decade-long series switch to the repeated-median or
+    the O(n log n) randomized selection of Matoušek."""
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    daily = pin(daily, eager=True)  # both pair-join sides
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        fquant(
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / F.datediff(F.col("b.d"), F.col("a.d")).cast("double")
+        ).alias("slope_q")
+    )
+    wrank = Window.orderBy("slope_q")
+    ranked = slopes.select(
+        "slope_q",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    mid = ranked.where(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        fquant(F.avg("slope_q")).alias("slope_med_q"),
+        (F.avg("slope_q") > F.lit(0.0)).alias("trend_increasing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast skill (MASE ratio, round 12)
+# ---------------------------------------------------------------------------
+
+_MASE_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+lags(k) AS (VALUES (1), (7)),
+diffs AS (
+  SELECT l.k, ABS(a.c - b.c) AS abs_err
+  FROM daily a
+  JOIN lags l ON TRUE
+  JOIN daily b ON b.d = a.d - l.k
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN k = 1 THEN abs_err END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN k = 7 THEN abs_err END) AS BIGINT) AS s7,
+         CAST(SUM(CASE WHEN k = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n7
+  FROM diffs
+)
+SELECT n1 AS n_naive, s1 AS naive_abs_err,
+       n7 AS n_seasonal, s7 AS seasonal_abs_err,
+       CAST(CAST(s7 AS HUGEINT) * n1 * 1000000
+            // (CAST(n7 AS HUGEINT) * s1) AS BIGINT) AS mase_e6,
+       (CAST(s7 AS HUGEINT) * n1 < CAST(n7 AS HUGEINT) * s1)
+         AS seasonal_beats_naive
+FROM m
+"""
+
+
+@query("events_mase_seasonal", sql=_MASE_SQL, tags=("analytics", "timeseries"))
+def events_mase_seasonal(spark, sf_dir) -> DataFrame:
+    """MASE-style forecast skill of the SEASONAL-NAIVE predictor
+    (Hyndman–Koehler 2006's scaled-error recipe): the lag-7 forecast's
+    mean absolute error over the lag-1 naive forecast's — the
+    one-number answer to "does weekly seasonality actually predict
+    this series?" (< 1 ≙ yes; pairs with the lag-7 ACF peak).  Both
+    MAEs stay integer sums; the ratio is the exact cross-multiplied
+    rational s₇·n₁·10⁶ // (n₇·s₁), and the verdict is the EXACT
+    integer comparison s₇·n₁ < n₇·s₁ — no division ever decides it.
+
+    Scale: one hash agg to |days|, a 2-row broadcast lag panel, one
+    equi-join back on date arithmetic (the EWMA/ACF shape), one final
+    1-row fold."""
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    daily = pin(daily, eager=True)  # anchor and lag sides
+    lags = spark.createDataFrame([(1,), (7,)], "k int")
+    b = daily.select(F.col("d").alias("bd"), F.col("c").alias("bc"))
+    diffs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(b, F.col("d") == F.date_add(F.col("bd"), F.col("k")))
+        .select("k", F.abs(F.col("c") - F.col("bc")).alias("abs_err"))
+    )
+    m = diffs.agg(
+        F.sum(F.when(F.col("k") == 1, F.col("abs_err"))).cast("bigint").alias("s1"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("k") == 7, F.col("abs_err"))).cast("bigint").alias("s7"),
+        F.sum(F.when(F.col("k") == 7, 1).otherwise(0)).cast("bigint").alias("n7"),
+    )
+    return m.select(
+        F.col("n1").alias("n_naive"),
+        F.col("s1").alias("naive_abs_err"),
+        F.col("n7").alias("n_seasonal"),
+        F.col("s7").alias("seasonal_abs_err"),
+        F.expr(
+            "CAST(CAST(s7 AS DECIMAL(38,0)) * n1 * 1000000"
+            " div (CAST(n7 AS DECIMAL(38,0)) * s1) AS BIGINT)"
+        ).alias("mase_e6"),
+        F.expr(
+            "CAST(s7 AS DECIMAL(38,0)) * n1 < CAST(n7 AS DECIMAL(38,0)) * s1"
+        ).alias("seasonal_beats_naive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-changepoint detection by binary segmentation (round 12)
+# ---------------------------------------------------------------------------
+
+_BINSEG_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+ordered AS (
+  SELECT d, c,
+         ROW_NUMBER() OVER (ORDER BY d) AS i,
+         CAST(SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS s1
+  FROM daily
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+  FROM daily
+),
+scored AS (
+  SELECT o.d AS split_day, o.i AS n_left, t.n - o.i AS n_right,
+         o.s1 AS sum_left, t.s - o.s1 AS sum_right,
+         (CAST(ROUND((CAST(CAST(o.s1 AS HUGEINT) * (t.n - o.i)
+                       - CAST(t.s - o.s1 AS HUGEINT) * o.i AS DOUBLE)
+                      * CAST(CAST(o.s1 AS HUGEINT) * (t.n - o.i)
+                             - CAST(t.s - o.s1 AS HUGEINT) * o.i AS DOUBLE))
+                     / (CAST(o.i AS DOUBLE) * CAST(t.n - o.i AS DOUBLE)
+                        * CAST(t.n AS DOUBLE)) * 1e9) AS BIGINT) / 1e9)
+           AS gain_q
+  FROM ordered o CROSS JOIN tot t
+  WHERE o.i < t.n
+)
+SELECT split_day, n_left, n_right,
+       CAST(CAST(sum_left AS HUGEINT) * 1000000 // n_left AS BIGINT)
+         AS mean_left_e6,
+       CAST(CAST(sum_right AS HUGEINT) * 1000000 // n_right AS BIGINT)
+         AS mean_right_e6,
+       gain_q
+FROM scored
+ORDER BY gain_q DESC, split_day
+LIMIT 1
+"""
+
+
+@query("events_changepoint_binseg", sql=_BINSEG_SQL, tags=("analytics", "timeseries", "quality"))
+def events_changepoint_binseg(spark, sf_dir) -> DataFrame:
+    """SINGLE-CHANGEPOINT detection by binary segmentation (Scott &
+    Knott 1974; the first split of the CUSUM-family segmenters): pick
+    the day boundary τ maximizing the between-segment SSE reduction
+    Δ(τ) = (S₁·n₂ − S₂·n₁)² / (n₁·n₂·n) — the mean-shift locator that
+    complements dq_cusum_changepoint's sequential alarm with an
+    offline argmax.  The numerator difference is formed EXACTLY in
+    HUGEINT/DECIMAL(38,0) (S·n products overflow int64 at lake
+    scale), doubles enter only for the final square-and-divide, e9-
+    quantized; the argmax is a full-order sort (gain, then earliest
+    day).  Segment means ride the exact e6 grid.
+
+    Scale: one hash agg to |days|, one cumulative window over the
+    day-bounded frame, a 1-row (n, S) broadcast, and a top-1
+    TakeOrdered — no shuffle touches raw events after the first
+    fold."""
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    daily = pin(daily, eager=True)  # the window leg and the (n,S) scalar
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered = daily.select(
+        "d",
+        "c",
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        F.sum("c").over(w).cast("bigint").alias("s1"),
+    )
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("c").cast("bigint").alias("s")
+    )
+    num = F.expr(
+        "CAST(CAST(s1 AS DECIMAL(38,0)) * (n - i)"
+        " - CAST(s - s1 AS DECIMAL(38,0)) * i AS DOUBLE)"
+    )
+    gain = fquant(
+        num
+        * num
+        / (
+            F.col("i").cast("double")
+            * (F.col("n") - F.col("i")).cast("double")
+            * F.col("n").cast("double")
+        )
+    )
+    scored = (
+        ordered.crossJoin(F.broadcast(tot))
+        .where(F.col("i") < F.col("n"))
+        .select(
+            F.col("d").alias("split_day"),
+            F.col("i").alias("n_left"),
+            (F.col("n") - F.col("i")).alias("n_right"),
+            F.expr(
+                "CAST(CAST(s1 AS DECIMAL(38,0)) * 1000000 div i AS BIGINT)"
+            ).alias("mean_left_e6"),
+            F.expr(
+                "CAST(CAST(s - s1 AS DECIMAL(38,0)) * 1000000 div (n - i)"
+                " AS BIGINT)"
+            ).alias("mean_right_e6"),
+            gain.alias("gain_q"),
+        )
+    )
+    return scored.orderBy(F.desc("gain_q"), "split_day").limit(1)

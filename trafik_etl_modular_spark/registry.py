@@ -78,6 +78,7 @@ _QUERY_MODULES = [
     "trafik_etl_modular_spark.queries.training_prep",
     "trafik_etl_modular_spark.queries.timeseries",
     "trafik_etl_modular_spark.queries.planning",
+    "trafik_etl_modular_spark.queries.market",
 ]
 
 # The driver's correctness pass checks exactly the FIRST 50 queries in
