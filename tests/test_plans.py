@@ -589,6 +589,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "events_theil_sen_slope",
         # 1-row (n, S) total scalar under the |days|-row split scan
         "events_changepoint_binseg",
+        # 1-row sketch frame × 1-row exact-F2 certificate
+        "sketch_ams_f2",
+        # 1-row histogram estimate × 1-row exact-count certificate
+        "planning_histogram_selectivity",
     }
     bad = []
     for name in sorted(REGISTRY):

@@ -547,3 +547,140 @@ def dq_partition_skew_audit(spark, sf_dir) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-height histogram range selectivity (round 12)
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 8
+_HIST_GRANULE_CENTS = 10_000  # $100 histogram granules
+_SEL_LO_G = 500  # predicate: o_totalprice in [$50k, $150k)
+_SEL_HI_G = 1_500
+
+_HIST_SEL_SQL = f"""
+WITH g AS (
+  SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT)
+              // {_HIST_GRANULE_CENTS} AS BIGINT) AS granule
+  FROM orders
+),
+gc AS (
+  SELECT granule, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY granule
+),
+cum AS (
+  SELECT granule, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY granule ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c_end,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM gc
+),
+bucketed AS (
+  SELECT LEAST((c_end - 1) * {_HIST_BUCKETS} // n, {_HIST_BUCKETS - 1})
+           AS bucket,
+         granule, cnt, n
+  FROM cum
+),
+hist AS (
+  SELECT bucket, MIN(granule) AS lo_g, MAX(granule) AS hi_g,
+         CAST(SUM(cnt) AS BIGINT) AS b_rows, MAX(n) AS n
+  FROM bucketed GROUP BY bucket
+),
+est AS (
+  SELECT MAX(n) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(CAST(b_rows AS HUGEINT) * 1000000
+                  * GREATEST(0, LEAST(hi_g, {_SEL_HI_G - 1})
+                                - GREATEST(lo_g, {_SEL_LO_G}) + 1)
+                  // (hi_g - lo_g + 1)) AS BIGINT) AS est_rows_e6
+  FROM hist
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows
+  FROM g WHERE granule >= {_SEL_LO_G} AND granule < {_SEL_HI_G}
+)
+SELECT e.n_rows, e.n_buckets, e.est_rows_e6, x.exact_rows,
+       CAST(ABS(e.est_rows_e6 - x.exact_rows * 1000000) AS BIGINT)
+         AS abs_err_e6,
+       CAST(ABS(e.est_rows_e6 - x.exact_rows * 1000000) // x.exact_rows
+            AS BIGINT) AS rel_err_e6
+FROM est e CROSS JOIN exact x
+"""
+
+
+@query("planning_histogram_selectivity", sql=_HIST_SEL_SQL, tags=("planning", "agg"))
+def planning_histogram_selectivity(spark, sf_dir) -> DataFrame:
+    """EQUI-HEIGHT HISTOGRAM range-selectivity estimate (the
+    Piatetsky-Shapiro/Connell 1984 statistic every System-R-style
+    optimizer keeps; complements join_cardinality_estimate's MCV
+    recipe with the RANGE-predicate half): build an 8-bucket
+    equi-height histogram over $100 price granules, estimate
+    |σ_[50k,150k)(orders)| by uniform within-bucket interpolation,
+    and certify against the exact count.  Bucket boundaries are EXACT
+    integer rank cuts ((cum−1)·B // n); the interpolation is the
+    exact rational rows·overlap·10⁶ // span per bucket — the whole
+    estimate is integer, HUGEINT/DECIMAL-widened.
+
+    Scale: the value frame folds to GRANULES (domain-bounded, ≤5000
+    here) in one map-side-combined agg, so the cumulative window runs
+    on a bounded frame regardless of row count — the same reason real
+    optimizers histogram at granule precision.  The certificate is
+    one predicate count (at 100 TB: sample it)."""
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT)"
+    g = t(spark, sf_dir, "orders").select(
+        F.expr(f"{cents} div {_HIST_GRANULE_CENTS}").alias("granule")
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+    from pyspark.sql import Window
+
+    g = pin(g, eager=False)
+    gc = g.groupBy("granule").agg(F.count("*").cast("bigint").alias("cnt"))
+    w_cum = Window.orderBy("granule").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = gc.select(
+        "granule",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("c_end"),
+        F.sum("cnt").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    bucketed = cum.select(
+        F.least(
+            F.expr(f"(c_end - 1) * {_HIST_BUCKETS} div n"),
+            F.lit(_HIST_BUCKETS - 1).cast("bigint"),
+        ).alias("bucket"),
+        "granule",
+        "cnt",
+        "n",
+    )
+    hist = bucketed.groupBy("bucket").agg(
+        F.min("granule").alias("lo_g"),
+        F.max("granule").alias("hi_g"),
+        F.sum("cnt").cast("bigint").alias("b_rows"),
+        F.max("n").alias("n"),
+    )
+    est = hist.agg(
+        F.max("n").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.expr(
+            f"CAST(SUM(CAST(b_rows AS DECIMAL(38,0)) * 1000000"
+            f" * GREATEST(0, LEAST(hi_g, {_SEL_HI_G - 1})"
+            f"               - GREATEST(lo_g, {_SEL_LO_G}) + 1)"
+            f" div (hi_g - lo_g + 1)) AS BIGINT)"
+        ).alias("est_rows_e6"),
+    )
+    exact = g.where(
+        (F.col("granule") >= _SEL_LO_G) & (F.col("granule") < _SEL_HI_G)
+    ).agg(F.count("*").cast("bigint").alias("exact_rows"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_rows",
+        "n_buckets",
+        "est_rows_e6",
+        "exact_rows",
+        F.expr("CAST(ABS(est_rows_e6 - exact_rows * 1000000) AS BIGINT)").alias(
+            "abs_err_e6"
+        ),
+        F.expr(
+            "CAST(ABS(est_rows_e6 - exact_rows * 1000000) div exact_rows"
+            " AS BIGINT)"
+        ).alias("rel_err_e6"),
+    )

@@ -684,3 +684,96 @@ def dedup_bloom_append(spark, sf_dir) -> DataFrame:
         F.bit_count(F.col("fw")).cast("int").alias("bits_full"),
         (F.coalesce(F.col("mw"), z) == F.col("fw")).alias("merge_matches"),
     ).orderBy("word_idx")
+
+
+# ---------------------------------------------------------------------------
+# AMS second-moment (F2) sketch (round 12)
+# ---------------------------------------------------------------------------
+
+_AMS_LANES = 9  # odd, so the median is a single order statistic
+
+
+def _ams_sign(uid_col, j: int, lane: str = "neutral"):
+    """Lane-j Rademacher ±1 sign from the neutral hash's parity."""
+    return (nhash(uid_col, f"ams{j}", lane) % 2) * 2 - 1
+
+
+def _ams_oracle_sql(sf_dir: str) -> str:
+    zsum = ", ".join(
+        f"CAST(SUM(({oracle_nhash('user_id', f'ams{j}')} % 2) * 2 - 1)"
+        f" AS HUGEINT) AS z{j}"
+        for j in range(_AMS_LANES)
+    )
+    zsq = ", ".join(f"z{j} * z{j}" for j in range(_AMS_LANES))
+    return f"""
+WITH z AS (SELECT {zsum} FROM events),
+est AS (
+  SELECT list_sort([{zsq}])[{_AMS_LANES // 2 + 1}] AS f2_est FROM z
+),
+exact AS (
+  SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS f2_exact,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events
+        GROUP BY user_id)
+)
+SELECT x.n_events, x.n_users,
+       CAST(x.f2_exact AS BIGINT) AS f2_exact,
+       CAST(e.f2_est AS BIGINT) AS f2_est,
+       CAST(ABS(e.f2_est - x.f2_exact) * 1000000 // x.f2_exact AS BIGINT)
+         AS rel_err_e6
+FROM est e CROSS JOIN exact x
+"""
+
+
+@query("sketch_ams_f2", sql=_ams_oracle_sql, tags=("sketch", "agg", "approx"))
+def sketch_ams_f2(spark, sf_dir) -> DataFrame:
+    """AMS SECOND-MOMENT sketch (Alon–Matias–Szegedy 1996): estimate
+    F₂ = Σ_k c_k² — the self-join size / repeat-rate statistic a cost
+    model needs BEFORE planning the join — from {lanes} Rademacher
+    sign-sums Z_j = Σ_events sign_j(user), est = median(Z_j²).  Each
+    Z_j folds over RAW events with NO per-key aggregation (the whole
+    sketch is one map-side projection + one 1-row agg — that is the
+    point: F₂ without paying the groupBy), signs come off the
+    cross-engine neutral-hash parity, and every square is
+    HUGEINT/DECIMAL-widened (Z is event-count-sized; Z² overflows
+    int64 at lake scale).  The certificate leg recomputes F₂ exactly
+    and reports the e6 relative error.
+
+    Scale: sketch leg is shuffle-free to a 1-row frame; only the
+    certificate pays the per-key shuffle — at 100 TB you ship the
+    sketch and SAMPLE the certificate.  Median over {lanes} lanes is
+    a sorted-array pick, not a sort of data."""
+    ev = t(spark, sf_dir, "events").select("user_id")
+    dec = "DECIMAL(38,0)"
+    z = ev.agg(
+        *[
+            F.sum(_ams_sign(F.col("user_id"), j)).cast(dec).alias(f"z{j}")
+            for j in range(_AMS_LANES)
+        ]
+    )
+    zsq = F.array(*[(F.col(f"z{j}") * F.col(f"z{j}")) for j in range(_AMS_LANES)])
+    est = z.select(
+        F.sort_array(zsq)[_AMS_LANES // 2].alias("f2_est")
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .agg(
+            F.sum(F.expr(f"CAST(c AS {dec}) * c")).alias("f2_exact"),
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.count("*").cast("bigint").alias("n_users"),
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_events",
+        "n_users",
+        F.col("f2_exact").cast("bigint").alias("f2_exact"),
+        F.col("f2_est").cast("bigint").alias("f2_est"),
+        F.expr(
+            "CAST(ABS(f2_est - f2_exact) * 1000000 div f2_exact AS BIGINT)"
+        ).alias("rel_err_e6"),
+    )
+
+
+sketch_ams_f2.__doc__ = sketch_ams_f2.__doc__.format(lanes=_AMS_LANES)

@@ -642,3 +642,166 @@ def window_max_drawdown(spark, sf_dir):
         )
         .orderBy("mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily OHLC bars over the order book (round 12)
+# ---------------------------------------------------------------------------
+
+_OHLC_SQL = """
+WITH priced AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY CAST(o_orderdate AS DATE)
+                            ORDER BY o_orderdate, o_orderkey) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY CAST(o_orderdate AS DATE)
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+  FROM orders
+)
+SELECT d,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(MAX(cents) AS BIGINT) AS high_cents,
+       CAST(MIN(cents) AS BIGINT) AS low_cents,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+       CAST(SUM(cents) AS BIGINT) AS volume_cents
+FROM priced
+GROUP BY d
+ORDER BY d
+"""
+
+
+@query("window_daily_ohlc", sql=_OHLC_SQL, tags=("window", "agg", "analytics"))
+def window_daily_ohlc(spark, sf_dir) -> DataFrame:
+    """DAILY OHLC BARS over the order book — open/high/low/close of
+    order value plus count and exact-cents volume per order date: the
+    candlestick aggregation every market/revenue dashboard draws.
+    Open and close are selected by ROW_NUMBER with a FULL deterministic
+    tie-break ((timestamp, orderkey), both directions) — never a bare
+    first()/last(), whose Spark semantics are partition-order-
+    dependent; high/low/volume are plain exact-cents min/max/sum.
+
+    Scale: one window pass partitioned BY DAY (the natural event-time
+    partition — parallel across days, no global sort) feeding one hash
+    agg on the same key, so Catalyst reuses the day-hash exchange for
+    both; everything is integer cents."""
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT)"
+    priced = t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.expr(cents).alias("cents"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    wa = Window.partitionBy("d").orderBy("ts", "o_orderkey")
+    wd = Window.partitionBy("d").orderBy(F.desc("ts"), F.desc("o_orderkey"))
+    ranked = priced.select(
+        "d",
+        "cents",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("d")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("cents")))
+            .cast("bigint")
+            .alias("open_cents"),
+            F.max("cents").cast("bigint").alias("high_cents"),
+            F.min("cents").cast("bigint").alias("low_cents"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("cents")))
+            .cast("bigint")
+            .alias("close_cents"),
+            F.sum("cents").cast("bigint").alias("volume_cents"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window z-score anomaly flags (round 12)
+# ---------------------------------------------------------------------------
+
+_ZSCORE_MIN_N = 5
+_ZSCORE_FLAG = 2.0
+
+_ZSCORE_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+m AS (
+  SELECT d, c,
+         CAST(COUNT(c) OVER w AS BIGINT) AS n,
+         CAST(SUM(c) OVER w AS BIGINT) AS s,
+         CAST(SUM(CAST(c AS HUGEINT) * c) OVER w AS HUGEINT) AS ss
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT d, c, n AS n_window, s AS window_sum,
+       (CAST(ROUND((CAST(n * c - s AS DOUBLE)
+          / sqrt(CAST((n * ss - CAST(s AS HUGEINT) * s) * n AS DOUBLE)
+                 / CAST(n - 1 AS DOUBLE))) * 1e9) AS BIGINT) / 1e9) AS z_q,
+       (ABS(CAST(ROUND((CAST(n * c - s AS DOUBLE)
+          / sqrt(CAST((n * ss - CAST(s AS HUGEINT) * s) * n AS DOUBLE)
+                 / CAST(n - 1 AS DOUBLE))) * 1e9) AS BIGINT) / 1e9)
+        > CAST({_ZSCORE_FLAG} AS DOUBLE)) AS anomaly
+FROM m
+WHERE n >= {_ZSCORE_MIN_N}
+ORDER BY d
+"""
+
+
+@query("window_rolling_zscore", sql=_ZSCORE_SQL, tags=("window", "quality", "timeseries"))
+def window_rolling_zscore(spark, sf_dir) -> DataFrame:
+    """TRAILING-WINDOW Z-SCORE anomaly flags on daily volume: each
+    day scored against the mean/stddev of the 7 PRECEDING observed
+    days (current day excluded — the leave-one-out control chart that
+    complements the EWMA smoother and the CUSUM alarm).  Window
+    moments (n, Σ, Σ²) are EXACT integers with the square
+    HUGEINT/DECIMAL-widened; z = (n·c − s)/√((n·Σ² − s²)·n/(n−1))
+    touches doubles only in the final divide/√, e9-quantized; days
+    with fewer than {_ZSCORE_MIN_N} trailing observations are
+    excluded rather than scored against noise.
+
+    Scale: the firehose folds to |days| in one map-side-combined agg;
+    the trailing frame is ONE window pass over the day-bounded series
+    (single-partition on a dim-sized frame — the documented
+    tradeoff; range-partition by month at multi-year spans)."""
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    m = daily.select(
+        "d",
+        "c",
+        F.count("c").over(w).cast("bigint").alias("n"),
+        F.sum("c").over(w).cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).over(w).alias("ss"),
+    )
+    from trafik_etl_modular_spark.functions.scalars import fquant
+
+    z = fquant(
+        F.expr("CAST(n * c - s AS DOUBLE)")
+        / F.sqrt(
+            F.expr("CAST((n * ss - CAST(s AS DECIMAL(38,0)) * s) * n AS DOUBLE)")
+            / F.expr("CAST(n - 1 AS DOUBLE)")
+        )
+    )
+    return (
+        m.where(F.col("n") >= _ZSCORE_MIN_N)
+        .select(
+            "d",
+            "c",
+            F.col("n").alias("n_window"),
+            F.col("s").alias("window_sum"),
+            z.alias("z_q"),
+            (F.abs(z) > F.lit(_ZSCORE_FLAG)).alias("anomaly"),
+        )
+        .orderBy("d")
+    )
+
+
+window_rolling_zscore.__doc__ = window_rolling_zscore.__doc__.format(
+    _ZSCORE_MIN_N=_ZSCORE_MIN_N
+)
