@@ -593,6 +593,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "sketch_ams_f2",
         # 1-row histogram estimate × 1-row exact-count certificate
         "planning_histogram_selectivity",
+        # 1-row horizon scalar onto the customer-dim span frame
+        "events_kaplan_meier",
     }
     bad = []
     for name in sorted(REGISTRY):

@@ -1487,3 +1487,138 @@ def graph_jaccard_linkpred(spark, sf_dir):
         )
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank from a seed panel (round 12)
+# ---------------------------------------------------------------------------
+
+# Seed panel: customers 1-5 (vertex ids custkey*2) — the "given these
+# known-good accounts, who else matters?" query.
+_PPR_SEEDS = tuple(c * 2 for c in range(1, 6))
+_PPR_ROUNDS = 3
+
+_PPR_ITER = """
+r{next} AS (
+  SELECT d.u, d.deg,
+         CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0 AS DOUBLE))
+         + CASE WHEN d.u IN {seeds}
+                THEN CAST(0.15 AS DOUBLE) / CAST({ns} AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS rank
+  FROM deg d
+  LEFT JOIN (
+    SELECT ee.v, {dsum} AS s
+    FROM ee JOIN r{prev} r ON ee.u = r.u
+    GROUP BY ee.v
+  ) s ON s.v = d.u
+)"""
+
+_PPR_SQL = (
+    f"WITH {_EDGE_SQL},\n"
+    "deg AS (SELECT u, COUNT(*) AS deg FROM ee GROUP BY u),\n"
+    f"r0 AS (SELECT u, deg, CASE WHEN u IN {_PPR_SEEDS} THEN\n"
+    f"         CAST(1.0 AS DOUBLE) / CAST({len(_PPR_SEEDS)} AS DOUBLE)\n"
+    "         ELSE CAST(0 AS DOUBLE) END AS rank FROM deg),"
+    + ",".join(
+        _PPR_ITER.format(
+            next=i + 1,
+            prev=i,
+            dsum=_PR_DSUM,
+            seeds=_PPR_SEEDS,
+            ns=len(_PPR_SEEDS),
+        )
+        for i in range(_PPR_ROUNDS)
+    )
+    + f"""
+SELECT u AS vertex_id,
+       CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       (u IN {_PPR_SEEDS}) AS is_seed,
+       (CAST(ROUND(rank * 1e9) AS BIGINT) / 1e9) AS rank_q
+FROM r{_PPR_ROUNDS} ORDER BY rank DESC, u LIMIT 20
+"""
+)
+
+
+@query("graph_personalized_pagerank", sql=_PPR_SQL, tags=("graph",))
+def graph_personalized_pagerank(spark, sf_dir):
+    """PERSONALIZED PageRank (Page et al. 1999 §6; the random walk
+    with restart of Tong–Faloutsos–Pan 2006): identical damped power
+    iteration to graph_pagerank_3iter, except the 0.15 restart mass
+    teleports ONLY to a 5-customer seed panel — "given these
+    known-good accounts, rank everything by proximity to them", the
+    recommendation / fraud-neighborhood primitive global PageRank
+    cannot answer.  Differences from the global recipe, both
+    load-bearing: rank init is 1/|S| on seeds (0 elsewhere), and the
+    per-round join is a LEFT join with COALESCE(s, 0) — a vertex with
+    no inbound mass this round must keep its restart share rather
+    than drop out (global PR's inner join is only sound because every
+    vertex gets 1-ε·n⁻¹ mass unconditionally).  Contributions ride
+    the proven fquant-snap + DECIMAL(38,15) dsum, so partition-
+    parallel sums are bit-identical cross-engine.
+
+    Scale: per round ONE edge scan + one map-side-combined (v, c)
+    shuffle; rank/degree frames are vertex-bounded and broadcast
+    under the same gate as PageRank; 3 unrolled rounds = one shallow
+    Catalyst plan.  Seed-restricted restart does not change the
+    shuffle shape — only the init and the restart literal."""
+    from trafik_etl_modular_spark.functions.scalars import dsum, fquant
+
+    ee, n_v = _edges_and_count(spark, sf_dir)
+    if n_v is None:
+        n_v = count_vertices(ee)
+    deg = (
+        ee.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
+    )
+    ns = len(_PPR_SEEDS)
+    seed = F.col("u").isin(list(_PPR_SEEDS))
+    r = deg.select(
+        "u",
+        "deg",
+        F.when(seed, F.lit(1.0) / F.lit(float(ns))).otherwise(F.lit(0.0)).alias(
+            "rank"
+        ),
+    )
+    for _ in range(_PPR_ROUNDS):
+        contrib = ee.join(
+            _vertex_gate(
+                r.select("u", (F.col("rank") / F.col("deg")).alias("c")),
+                n_v,
+                BROADCAST_VERTEX_LIMIT,
+            ),
+            "u",
+        ).select("v", "c")
+        summed = contrib.groupBy("v").agg(
+            dsum(fquant(F.col("c"), 15), 15).alias("s")
+        )
+        r = (
+            deg.join(
+                _vertex_gate(summed, n_v, BROADCAST_VERTEX_LIMIT),
+                deg.u == summed.v,
+                "left",
+            )
+            .select(
+                deg.u.alias("u"),
+                "deg",
+                (
+                    F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+                    + F.when(
+                        seed, F.lit(0.15) / F.lit(float(ns))
+                    ).otherwise(F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return (
+        r.orderBy(F.desc("rank"), F.asc("u"))
+        .limit(20)
+        .select(
+            F.col("u").alias("vertex_id"),
+            F.when(F.col("u") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.col("u").isin(list(_PPR_SEEDS)).alias("is_seed"),
+            (
+                F.round(F.col("rank") * F.lit(1e9)).cast("bigint").cast("double")
+                / F.lit(1e9)
+            ).alias("rank_q"),
+        )
+    )

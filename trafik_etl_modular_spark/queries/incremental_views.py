@@ -607,3 +607,290 @@ def merge_distinct_ivm(spark, sf_dir) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k view maintenance under inserts (round 12)
+# ---------------------------------------------------------------------------
+
+_TOPK_K = 10
+_TOPK_CUTOFF = "2024-01-26"  # base = days before, insert batch = days from
+
+_TOPK_IVM_SQL = f"""
+WITH base AS (
+  SELECT user_id FROM events WHERE CAST(ts AS DATE) < DATE '{_TOPK_CUTOFF}'
+),
+batch AS (
+  SELECT user_id FROM events WHERE CAST(ts AS DATE) >= DATE '{_TOPK_CUTOFF}'
+),
+old_view AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM base GROUP BY user_id
+  ORDER BY cnt DESC, user_id LIMIT {_TOPK_K}
+),
+batch_cnt AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS dc FROM batch GROUP BY user_id
+),
+cand AS (
+  SELECT user_id FROM old_view UNION SELECT user_id FROM batch_cnt
+),
+cand_base AS (
+  SELECT b.user_id, CAST(COUNT(*) AS BIGINT) AS bc
+  FROM base b JOIN cand c ON c.user_id = b.user_id
+  GROUP BY b.user_id
+),
+maintained AS (
+  SELECT c.user_id,
+         COALESCE(cb.bc, 0) + COALESCE(bn.dc, 0) AS cnt
+  FROM cand c
+  LEFT JOIN cand_base cb ON cb.user_id = c.user_id
+  LEFT JOIN batch_cnt bn ON bn.user_id = c.user_id
+  ORDER BY cnt DESC, c.user_id LIMIT {_TOPK_K}
+),
+full_topk AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+  ORDER BY cnt DESC, user_id LIMIT {_TOPK_K}
+),
+m AS (
+  SELECT user_id, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rnk
+  FROM maintained
+),
+f AS (
+  SELECT user_id, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rnk
+  FROM full_topk
+)
+SELECT m.rnk AS rank, m.user_id, m.cnt AS n_events,
+       (m.user_id IN (SELECT user_id FROM old_view)) AS in_old_topk,
+       (f.user_id = m.user_id AND f.cnt = m.cnt) AS matches_full
+FROM m JOIN f ON f.rnk = m.rnk
+ORDER BY m.rnk
+"""
+
+
+@query("merge_topk_ivm", sql=_TOPK_IVM_SQL, tags=("merge", "incremental"))
+def merge_topk_ivm(spark, sf_dir) -> DataFrame:
+    """TOP-K VIEW MAINTENANCE under an insert batch: the stored top-10
+    most-active users advances to the post-batch state by recounting
+    ONLY the candidate set = old top-k keys ∪ batch-touched keys —
+    sound for monotone counts because an untouched non-member's count
+    is unchanged and was already below the old k-th count, which the
+    new k-th count dominates (counts only grow).  This is the
+    maintenance rule a leaderboard/trending view actually runs; the
+    DELETE case (non-monotone) is merge_agg_ivm_deletes' signed
+    algebra followed by threshold re-check.  Every rank row carries a
+    maintained≡recomputed certificate against the full-history top-k.
+
+    Scale: maintenance work is ∝ batch + |candidates| — the base
+    rescan is key-pruned to the candidate set BEFORE aggregating (a
+    broadcast semi-shaped equi-join, since candidates ≤ k + batch
+    keys), never a full-history re-aggregation; only the certificate
+    leg pays the full recount (drop it in production)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    cutoff = F.lit(_TOPK_CUTOFF).cast("date")
+    base = ev.where(F.col("d") < cutoff).select("user_id")
+    batch = ev.where(F.col("d") >= cutoff).select("user_id")
+    old_view = pin(
+        base.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(_TOPK_K),
+        eager=True,  # feeds candidates and the in_old_topk flag
+    )
+    batch_cnt = pin(
+        batch.groupBy("user_id").agg(F.count("*").cast("bigint").alias("dc")),
+        eager=True,  # feeds candidates and the maintained counts
+    )
+    cand = (
+        old_view.select("user_id").union(batch_cnt.select("user_id")).distinct()
+    )
+    cand_base = (
+        base.join(F.broadcast(cand), "user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("bc"))
+    )
+    maintained = (
+        cand.join(cand_base, "user_id", "left")
+        .join(batch_cnt, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.coalesce(F.col("bc"), F.lit(0))
+                + F.coalesce(F.col("dc"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(_TOPK_K)
+    )
+    full_topk = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(_TOPK_K)
+    )
+    w = Window.orderBy(F.desc("cnt"), "user_id")
+    m = maintained.select(
+        "user_id", "cnt", F.row_number().over(w).alias("rnk")
+    )
+    fk = full_topk.select(
+        F.col("user_id").alias("f_user"),
+        F.col("cnt").alias("f_cnt"),
+        F.row_number().over(w.orderBy(F.desc("cnt"), "user_id")).alias("rnk"),
+    )
+    old_keys = old_view.select(F.col("user_id").alias("ok_user")).withColumn(
+        "is_old", F.lit(True)
+    )
+    return (
+        m.join(fk, "rnk")
+        .join(
+            F.broadcast(old_keys), m.user_id == old_keys.ok_user, "left"
+        )
+        .select(
+            F.col("rnk").alias("rank"),
+            "user_id",
+            F.col("cnt").alias("n_events"),
+            F.coalesce(F.col("is_old"), F.lit(False)).alias("in_old_topk"),
+            (
+                (F.col("f_user") == F.col("user_id"))
+                & (F.col("f_cnt") == F.col("cnt"))
+            ).alias("matches_full"),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Min/max view maintenance under deletes (rescan-on-retract, round 12)
+# ---------------------------------------------------------------------------
+
+_MINMAX_DEL_MOD = 97  # delete batch: every 97th order
+
+_MINMAX_IVM_SQL = f"""
+WITH priced AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+deleted AS (SELECT * FROM priced WHERE o_orderkey % {_MINMAX_DEL_MOD} = 0),
+old_view AS (
+  SELECT o_orderpriority, CAST(MAX(cents) AS BIGINT) AS max_cents
+  FROM priced GROUP BY o_orderpriority
+),
+del_stats AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_deleted,
+         CAST(MAX(cents) AS BIGINT) AS del_max
+  FROM deleted GROUP BY o_orderpriority
+),
+survivors AS (
+  SELECT * FROM priced WHERE o_orderkey % {_MINMAX_DEL_MOD} <> 0
+),
+rescanned AS (
+  SELECT s.o_orderpriority, CAST(MAX(s.cents) AS BIGINT) AS rescan_max
+  FROM survivors s
+  JOIN (SELECT o.o_orderpriority FROM old_view o
+        JOIN del_stats d ON d.o_orderpriority = o.o_orderpriority
+        WHERE d.del_max = o.max_cents) touched
+    ON touched.o_orderpriority = s.o_orderpriority
+  GROUP BY s.o_orderpriority
+),
+full_view AS (
+  SELECT o_orderpriority, CAST(MAX(cents) AS BIGINT) AS max_cents
+  FROM survivors GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority AS priority,
+       o.max_cents AS old_max_cents,
+       COALESCE(d.n_deleted, 0) AS n_deleted,
+       (d.del_max = o.max_cents) AS rescan_needed,
+       CASE WHEN d.del_max = o.max_cents THEN r.rescan_max
+            ELSE o.max_cents END AS new_max_cents,
+       (CASE WHEN d.del_max = o.max_cents THEN r.rescan_max
+             ELSE o.max_cents END = f.max_cents) AS matches_full
+FROM old_view o
+LEFT JOIN del_stats d ON d.o_orderpriority = o.o_orderpriority
+LEFT JOIN rescanned r ON r.o_orderpriority = o.o_orderpriority
+JOIN full_view f ON f.o_orderpriority = o.o_orderpriority
+ORDER BY priority
+"""
+
+
+@query("merge_minmax_ivm_rescan", sql=_MINMAX_IVM_SQL, tags=("merge", "incremental"))
+def merge_minmax_ivm_rescan(spark, sf_dir) -> DataFrame:
+    """MIN/MAX VIEW MAINTENANCE under a delete batch — the
+    NON-INVERTIBLE aggregate case: SUM/COUNT retract with signed
+    deltas (merge_agg_ivm_deletes), but MAX cannot — deleting the
+    current maximum forces a group RESCAN (Gupta–Mumick's
+    self-maintainability boundary: min/max views are not
+    self-maintainable under deletions).  The maintenance rule: a
+    group rescans iff max(deleted) equals the stored max (deleting
+    any smaller row provably leaves the max unchanged — that
+    comparison is the whole point); rescans recompute over survivors
+    of ONLY the touched groups.  Per-group certificate against the
+    full survivor recompute.
+
+    Scale: the delete batch folds to per-group (count, max) in one
+    agg; untouched groups are maintained with ZERO base reads; the
+    rescan leg reads only touched groups (partition-pruned when the
+    sink partitions by the group key, cf. pipelines/sink.py).  The
+    certificate leg full-scans by design."""
+    priced = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    is_del = F.col("o_orderkey") % _MINMAX_DEL_MOD == 0
+    old_view = pin(
+        priced.groupBy("o_orderpriority").agg(
+            F.max("cents").cast("bigint").alias("max_cents")
+        ),
+        eager=True,  # touched-group rule + output spine
+    )
+    del_stats = priced.where(is_del).groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_deleted"),
+        F.max("cents").cast("bigint").alias("del_max"),
+    )
+    survivors = priced.where(~is_del)
+    touched = (
+        old_view.join(del_stats, "o_orderpriority")
+        .where(F.col("del_max") == F.col("max_cents"))
+        .select("o_orderpriority")
+    )
+    rescanned = (
+        survivors.join(F.broadcast(touched), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(F.max("cents").cast("bigint").alias("rescan_max"))
+    )
+    full_view = survivors.groupBy("o_orderpriority").agg(
+        F.max("cents").cast("bigint").alias("full_max")
+    )
+    new_max = F.when(
+        F.col("del_max") == F.col("max_cents"), F.col("rescan_max")
+    ).otherwise(F.col("max_cents"))
+    return (
+        old_view.join(del_stats, "o_orderpriority", "left")
+        .join(rescanned, "o_orderpriority", "left")
+        .join(full_view, "o_orderpriority")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("max_cents").alias("old_max_cents"),
+            F.coalesce(F.col("n_deleted"), F.lit(0)).cast("bigint").alias(
+                "n_deleted"
+            ),
+            (F.col("del_max") == F.col("max_cents")).alias("rescan_needed"),
+            new_max.cast("bigint").alias("new_max_cents"),
+            (new_max == F.col("full_max")).alias("matches_full"),
+        )
+        .orderBy("priority")
+    )

@@ -981,3 +981,147 @@ def events_changepoint_binseg(spark, sf_dir) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("gain_q"), "split_day").limit(1)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier customer retention curve (round 12)
+# ---------------------------------------------------------------------------
+
+_KM_PERIOD_DAYS = 91  # quarterly periods
+_KM_ENC = 1 << 31  # (num, den) pair encoding base for the HOF fold
+_KM_E9 = 10**9
+
+
+def _km_sql(sf_dir: str) -> str:
+    K, E = _KM_ENC, _KM_E9
+    return f"""
+WITH spans AS (
+  SELECT o_custkey,
+         MIN(CAST(o_orderdate AS DATE)) AS first_d,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY o_custkey
+),
+horizon AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders),
+lives AS (
+  SELECT date_diff('day', s.first_d, s.last_d) // {_KM_PERIOD_DAYS} AS q,
+         (date_diff('day', s.last_d, h.h) < {_KM_PERIOD_DAYS}) AS censored
+  FROM spans s CROSS JOIN horizon h
+),
+periods AS (
+  SELECT q,
+         CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_churned,
+         CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+  FROM lives GROUP BY q
+),
+risk AS (
+  SELECT q, n_churned, n_censored,
+         CAST(SUM(n_churned + n_censored)
+              OVER (ORDER BY q DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_risk
+  FROM periods
+),
+folded AS (
+  SELECT q, n_churned, n_censored, n_risk,
+         list(CAST(n_risk - n_churned AS HUGEINT) * {K} + n_risk)
+           OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS factors
+  FROM risk
+)
+SELECT q AS period, n_risk, n_churned, n_censored,
+       CAST(list_reduce(list_prepend(CAST({E} AS HUGEINT) * {K} + 1, factors),
+                        (a, b) -> ((a // {K}) * (b // {K}) // (b % {K}))
+                                  * {K} + 1) // {K} AS BIGINT) AS survival_e9
+FROM folded
+ORDER BY q
+"""
+
+
+@query("events_kaplan_meier", sql=_km_sql, tags=("analytics", "timeseries"))
+def events_kaplan_meier(spark, sf_dir) -> DataFrame:
+    """KAPLAN–MEIER retention curve (Kaplan & Meier 1958) over
+    CUSTOMER ORDER LIFETIMES in quarters: S(q) = Π_{{v≤q}}
+    (n_v − d_v)/n_v with n_v the at-risk count and d_v the churn
+    count at quarter v; customers whose last order falls within one
+    period of the data horizon are right-CENSORED (they leave the
+    risk set without counting as churn) — the moving-horizon
+    retention estimator.  The survival product is an e9 FIXED-POINT
+    fold: each step is the exact integer floor surv·(n−d) // n, with
+    (num, den) pairs packed into one integer (num·2³¹ + den) so both
+    engines run the IDENTICAL higher-order reduce — Spark's SQL
+    `aggregate` with a BIGINT accumulator, DuckDB's `list_reduce`
+    with the init value prepended (its 2-arg fold).  This is the
+    repo's ln()/exp()-free cumulative product: per-step values stay
+    ≤ 10⁹·2³¹ < 2⁶³, so it scales to ANY period count (unlike a raw
+    rational product, which overflows DECIMAL(38,0) past ~9 periods);
+    the cost is a ≤|periods| downward floor bias of 1e-9 per step.
+    A loud guard pins n_risk < 2³¹ (the encoding base).
+
+    Scale: one min/max fold to the CUSTOMER dimension, one
+    ≤|periods| aggregate; the HOF fold runs on a period-bounded frame
+    (≤27 rows at the fixture's ~6.7-year span)."""
+    spans = t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    spans = pin(spans, eager=True)  # horizon + lifetime legs
+    horizon = spans.agg(F.max("last_d").alias("h"))
+    lives = spans.crossJoin(F.broadcast(horizon)).select(
+        F.expr(f"datediff(last_d, first_d) div {_KM_PERIOD_DAYS}").alias("q"),
+        (F.datediff(F.col("h"), F.col("last_d")) < _KM_PERIOD_DAYS).alias(
+            "censored"
+        ),
+    )
+    periods = lives.groupBy("q").agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_churned"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_censored"),
+    )
+    w_rev = Window.orderBy(F.desc("q")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = periods.select(
+        "q",
+        "n_churned",
+        "n_censored",
+        F.sum(F.col("n_churned") + F.col("n_censored"))
+        .over(w_rev)
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    # Loud encoding guard: bounded 1-row collect.
+    mx = risk.agg(F.max("n_risk").alias("m")).collect()[0]["m"]
+    if mx is not None and int(mx) >= _KM_ENC:
+        raise ValueError(
+            f"events_kaplan_meier: n_risk {mx} exceeds the pair-encoding "
+            f"base {_KM_ENC}; widen the encoding before the fold silently "
+            "corrupts"
+        )
+    w_fwd = Window.orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    folded = risk.select(
+        "q",
+        "n_churned",
+        "n_censored",
+        "n_risk",
+        F.collect_list(
+            F.expr(f"(n_risk - n_churned) * CAST({_KM_ENC} AS BIGINT) + n_risk")
+        )
+        .over(w_fwd)
+        .alias("factors"),
+    )
+    return folded.select(
+        F.col("q").alias("period"),
+        "n_risk",
+        "n_churned",
+        "n_censored",
+        F.expr(
+            f"aggregate(factors, CAST({_KM_E9} AS BIGINT),"
+            f" (acc, x) -> CAST(acc * (x div {_KM_ENC}) div (x % {_KM_ENC})"
+            " AS BIGINT))"
+        ).alias("survival_e9"),
+    )
