@@ -201,3 +201,197 @@ def test_watermark_lateness_listener_capture(spark):
     )
     warned = [e for e in prog if e["warning"] and "watermark" in e["warning"]]
     assert warned
+
+
+# ---------------------------------------------------------------------------
+# Late round-12 batch: market/trend/survival/sketch/IVM operators
+# ---------------------------------------------------------------------------
+
+
+def test_association_rules_scores_recompute(spark):
+    """Every emitted rule's three scores must equal the exact integer
+    rationals recomputed from its own count columns, and the counts
+    must satisfy the containment inequalities n_ab <= min(n_a, n_b)."""
+    rows = _q("basket_association_rules")(spark, SF).collect()
+    assert rows, "rule mining returned nothing"
+    for r in rows:
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert r.support_e6 == r.n_ab * 1_000_000 // r.n_orders
+        assert r.conf_e6 == r.n_ab * 1_000_000 // r.n_a
+        assert r.lift_e6 == r.n_orders * r.n_ab * 1_000_000 // (r.n_a * r.n_b)
+        # support can never exceed confidence (n_a <= N)
+        assert r.support_e6 <= r.conf_e6
+
+
+def test_pareto_abc_partitions_revenue(spark):
+    """The three classes partition total revenue exactly and the
+    shares recompute from the class sums."""
+    rows = {r.abc_class: r for r in _q("agg_pareto_abc")(spark, SF).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total = sum(r.class_rev_cents for r in rows.values())
+    for r in rows.values():
+        assert r.rev_share_e6 == r.class_rev_cents * 1_000_000 // total
+
+
+def test_hhi_guard_raises_loudly(spark, monkeypatch):
+    """The exact-grid guard must raise, not silently wrap, when a
+    segment's revenue exceeds the documented numerator bound."""
+    import pytest
+
+    from trafik_etl_modular_spark.queries import market
+
+    monkeypatch.setattr(market, "_HHI_MAX_SEGMENT_CENTS", 1)
+    with pytest.raises(ValueError, match="exceeds the exact-HHI"):
+        _q("agg_hhi_concentration")(spark, SF)
+
+
+def test_ewma_weight_lattice_identity():
+    """The inlined integer weights must be the geometric lattice
+    3^k 4^(K-1-k), whose sum telescopes to 4^K - 3^K."""
+    from trafik_etl_modular_spark.queries.timeseries import (
+        _EWMA_K,
+        _EWMA_WEIGHTS,
+    )
+
+    assert len(_EWMA_WEIGHTS) == _EWMA_K
+    assert sum(w for _, w in _EWMA_WEIGHTS) == 4**_EWMA_K - 3**_EWMA_K
+    for k, w in _EWMA_WEIGHTS:
+        assert w == 3**k * 4 ** (_EWMA_K - 1 - k)
+
+
+def test_ewma_full_window_weight_sum(spark):
+    """Days with all 14 lags present must report exactly the
+    telescoped lattice total as their weight sum."""
+    from trafik_etl_modular_spark.queries.timeseries import _EWMA_K
+
+    rows = _q("events_ewma_volume")(spark, SF).collect()
+    full = [r for r in rows if r.n_lags == _EWMA_K]
+    assert full, "no day saw a complete EWMA window"
+    for r in full:
+        assert r.weight_sum == 4**_EWMA_K - 3**_EWMA_K
+
+
+def test_binseg_split_partitions_days(spark):
+    """The chosen split must partition the day count and carry a
+    non-negative gain."""
+    (row,) = _q("events_changepoint_binseg")(spark, SF).collect()
+    assert row.n_left >= 1 and row.n_right >= 1
+    assert row.gain_q >= 0.0
+
+
+def test_kaplan_meier_survival_monotone(spark):
+    """Survival is a product of factors in [0,1]: it must start at
+    (n-d)/n of the first period and never increase."""
+    rows = _q("events_kaplan_meier")(spark, SF).collect()
+    assert rows
+    first = rows[0]
+    assert first.survival_e9 == (
+        10**9 * (first.n_risk - first.n_churned) // first.n_risk
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b.survival_e9 <= a.survival_e9
+        assert 0 <= b.survival_e9 <= 10**9
+
+
+def test_kaplan_meier_guard_raises_loudly(spark, monkeypatch):
+    """The pair-encoding guard must raise before the fold corrupts."""
+    import pytest
+
+    from trafik_etl_modular_spark.queries import timeseries
+
+    monkeypatch.setattr(timeseries, "_KM_ENC", 1)
+    with pytest.raises(ValueError, match="pair-encoding"):
+        _q("events_kaplan_meier")(spark, SF)
+
+
+def test_ams_f2_certificate_recomputes(spark):
+    """The reported relative error must equal the exact rational
+    recomputed from the row's own est/exact columns."""
+    (row,) = _q("sketch_ams_f2")(spark, SF).collect()
+    assert row.f2_exact > 0
+    assert row.rel_err_e6 == abs(row.f2_est - row.f2_exact) * 1_000_000 // (
+        row.f2_exact
+    )
+
+
+def test_histogram_selectivity_certificate_recomputes(spark):
+    """abs/rel error columns must recompute from est and exact, and
+    the estimate must be positive for a ~20%-selectivity predicate."""
+    (row,) = _q("planning_histogram_selectivity")(spark, SF).collect()
+    assert row.exact_rows > 0 and row.est_rows_e6 > 0
+    assert row.abs_err_e6 == abs(row.est_rows_e6 - row.exact_rows * 1_000_000)
+    assert row.rel_err_e6 == row.abs_err_e6 // row.exact_rows
+
+
+def test_ohlc_bar_invariants(spark):
+    """Every bar: low <= open, close <= high, and volume is at least
+    n_orders times the low (all prices positive cents)."""
+    for r in _q("window_daily_ohlc")(spark, SF).collect():
+        assert r.low_cents <= r.open_cents <= r.high_cents
+        assert r.low_cents <= r.close_cents <= r.high_cents
+        assert r.volume_cents >= r.n_orders * r.low_cents
+
+
+def test_rolling_zscore_flags_consistent(spark):
+    """The anomaly flag must equal |z| > 2 row-by-row, and no row may
+    score against fewer than the minimum window."""
+    from trafik_etl_modular_spark.queries.windows import _ZSCORE_MIN_N
+
+    rows = _q("window_rolling_zscore")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_window >= _ZSCORE_MIN_N
+        assert r.anomaly == (abs(r.z_q) > 2.0)
+
+
+def test_stickiness_bounded_by_one(spark):
+    """Mean DAU can never exceed WAU, so stickiness_e6 <= 1e6."""
+    rows = _q("events_dau_wau_stickiness")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.stickiness_e6 <= 1_000_000
+
+
+def test_new_vs_returning_partitions_actives(spark):
+    """new + returning must partition the day's actives, and day one
+    must be all-new."""
+    rows = sorted(
+        _q("events_new_vs_returning")(spark, SF).collect(), key=lambda r: r.d
+    )
+    assert rows[0].returning_users == 0
+    for r in rows:
+        assert r.new_users + r.returning_users == r.active_users
+
+
+def test_topk_ivm_certificate_all_green(spark):
+    """Candidate-set maintenance must reproduce the full recompute on
+    every rank row (the soundness argument made executable)."""
+    rows = _q("merge_topk_ivm")(spark, SF).collect()
+    assert len(rows) == 10
+    assert all(r.matches_full for r in rows)
+
+
+def test_minmax_rescan_only_on_deleted_max(spark):
+    """Groups whose deleted max was below the stored max must keep
+    it unchanged with zero rescans; every row's certificate must be
+    green."""
+    rows = _q("merge_minmax_ivm_rescan")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.matches_full
+        if not r.rescan_needed:
+            assert r.new_max_cents == r.old_max_cents
+
+
+def test_personalized_pagerank_is_seed_consistent(spark):
+    """The is_seed flag must reflect the compiled panel and ranks
+    must be non-negative and sorted."""
+    from trafik_etl_modular_spark.queries.graph import _PPR_SEEDS
+
+    rows = _q("graph_personalized_pagerank")(spark, SF).collect()
+    assert rows
+    ranks = [r.rank_q for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    for r in rows:
+        assert r.is_seed == (r.vertex_id in _PPR_SEEDS)
+        assert r.rank_q >= 0.0

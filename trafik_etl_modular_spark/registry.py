@@ -102,11 +102,11 @@ _QUERY_MODULES = [
 # obligation; tests/test_contract.py::test_window_covers_stale_stamps
 # enforces it from the same module.  Round 12: the MANDATORY cohort is
 # again ZERO (end-of-r11 --plan-next), so the 50 slots carry (1) the
-# 15 queries ADDED this round (never-stamped rule), (2) the 7 whose
+# 38 queries ADDED this round (never-stamped rule), (2) the 7 whose
 # function/oracle CHANGED this round (hash-manifest rule: the ADVICE
 # r11 overflow widenings and the staged-parquet oracle rewrites), then
-# (3) oldest-tier-deadline fill — the r09/r10 single-stamp actives,
-# the r05 mature, and the soonest-due r06 matures — exactly in
+# (3) the 5 remaining slots of oldest-tier-deadline fill — the r09
+# single-stamp actives first, then the head of the r10 cohort — in
 # --plan-next's printed order.
 DRIVER_WINDOW: list[str] = [
     # --- never-stamped: round-12 additions -----------------------------
@@ -131,6 +131,23 @@ DRIVER_WINDOW: list[str] = [
     "dq_ks_two_sample",
     "merge_distinct_ivm",
     "dedup_lsh_banding_sweep",
+    "basket_association_rules",
+    "agg_pareto_abc",
+    "agg_hhi_concentration",
+    "events_dau_wau_stickiness",
+    "events_new_vs_returning",
+    "events_ewma_volume",
+    "events_theil_sen_slope",
+    "events_mase_seasonal",
+    "events_changepoint_binseg",
+    "sketch_ams_f2",
+    "planning_histogram_selectivity",
+    "window_daily_ohlc",
+    "window_rolling_zscore",
+    "events_kaplan_meier",
+    "graph_personalized_pagerank",
+    "merge_topk_ivm",
+    "merge_minmax_ivm_rescan",
     # --- changed this round (hash-manifest rule): DECIMAL/HUGEINT
     # overflow widenings (ADVICE r11 items 1/2/4) and the staged-
     # parquet derived-oracle rewrites (ADVICE r11 item 5) ---------------
@@ -141,30 +158,16 @@ DRIVER_WINDOW: list[str] = [
     "sim_ivf_incremental_append",
     "sim_ivf_retrain_reassignment",
     "sim_ivf_compact",
-    # --- fill: r09/r10 single-stamp actives (planner order) ------------
+    # --- fill: r09/r10 single-stamp actives (planner order; the
+    # deeper r10/r06 fill of the pre-expansion window was displaced
+    # by the 17 later round-12 additions — never-stamped outranks
+    # tier fill, and those cohorts stay comfortably inside their
+    # tier deadlines for r13) ------------------------------------------
     "sim_pq_recall",
     "text_host_quality_policy",
     "agg_bitmap_distinct_rollup",
     "agg_pearson_correlation",
     "dq_cusum_changepoint",
-    "dq_seasonal_decompose",
-    "events_transition_matrix",
-    "inc_daily_trend_gapfill",
-    "sample_shuffle_shards",
-    "sample_temporal_split_leakage",
-    "sim_mmr_rerank",
-    "sim_random_projection_jl",
-    "streaming_cusum_monitor",
-    "text_bm25_maxscore_prune",
-    "text_bm25_topk",
-    "text_chunk_windows",
-    # --- fill: soonest-deadline r06 matures (planner order) ------------
-    "agg_cube_flag_status",
-    "agg_exact_median_iqr",
-    "agg_pivot_linestatus",
-    "agg_rollup_daily_type",
-    "agg_stats_unpivot",
-    "agg_value_stats",
 ]
 
 
