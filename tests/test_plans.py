@@ -595,6 +595,15 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "planning_histogram_selectivity",
         # 1-row horizon scalar onto the customer-dim span frame
         "events_kaplan_meier",
+        # 1-row state-count scalar under the |types|-row init frame
+        "events_markov_stationary",
+        # 1-row stats/certificate scalars composed across the legs
+        "planning_greedy_join_order",
+        # 1-row weight-total scalar onto the |strata| allocation frame
+        "sample_stratified_neyman",
+        # 12-row (width × lane) literal grid against the scan and the
+        # 10-row probe panel — constant-size side by construction
+        "sketch_cms_width_sweep",
     }
     bad = []
     for name in sorted(REGISTRY):

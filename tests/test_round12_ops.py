@@ -395,3 +395,68 @@ def test_personalized_pagerank_is_seed_consistent(spark):
     for r in rows:
         assert r.is_seed == (r.vertex_id in _PPR_SEEDS)
         assert r.rank_q >= 0.0
+
+
+def test_markov_stationary_mass_conserved_within_floor_loss(spark):
+    """Each fixed-point round floors one e-9 unit away per TERM of the
+    matrix product (<=|types|^2 terms), so after 3 rounds the
+    distribution must sum to 1e9 minus at most 3*|types|^2 units, and
+    every state's mass stays in [0, 1e9]."""
+    rows = _q("events_markov_stationary")(spark, SF).collect()
+    total = sum(r.stationary_e9 for r in rows)
+    assert 10**9 - 3 * len(rows) ** 2 <= total <= 10**9
+    for r in rows:
+        assert 0 <= r.stationary_e9 <= 10**9
+        assert r.delta_e9 == abs(r.stationary_e9 - r.prev_iter_e9)
+
+
+def test_greedy_join_order_choice_consistent(spark):
+    """The chosen order must follow the estimate comparison, and the
+    correctness flag must recompute from the row's own columns."""
+    (row,) = _q("planning_greedy_join_order")(spark, SF).collect()
+    est_says_lo = row.est_lo <= row.est_oc
+    assert row.chosen_first == (
+        "lineitem_orders_first" if est_says_lo else "orders_customer_first"
+    )
+    assert row.choice_correct == (
+        est_says_lo == (row.exact_lo <= row.exact_oc)
+    )
+
+
+def test_neyman_allocation_within_budget(spark):
+    """Floor allocations can never exceed the budget in total, every
+    stratum's weight is positive, and no stratum samples more rows
+    than it has."""
+    from trafik_etl_modular_spark.queries.training_prep import _NEYMAN_BUDGET
+
+    rows = _q("sample_stratified_neyman")(spark, SF).collect()
+    assert sum(r.alloc_n for r in rows) <= _NEYMAN_BUDGET
+    for r in rows:
+        assert r.weight_int > 0
+        assert 0 <= r.sampled_n <= r.n_h
+
+
+def test_cms_width_sweep_error_shrinks_with_width(spark):
+    """CMS never undercounts at any width, and the summed overcount
+    must be non-increasing as width grows (fewer collisions)."""
+    rows = sorted(
+        _q("sketch_cms_width_sweep")(spark, SF).collect(),
+        key=lambda r: r.width,
+    )
+    assert [r.width for r in rows] == [64, 128, 256]
+    assert all(r.never_undercounts for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b.sum_overcount <= a.sum_overcount
+
+
+def test_scd2_retro_correction_certificates_green(spark):
+    """Every touched customer's spliced history must equal the
+    rebuilt-from-facts history — including the dropped-day case the
+    compressed-view-only splice gets wrong (the development bug this
+    certificate caught)."""
+    rows = _q("merge_scd2_retro_correction")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.intervals_match, f"splice diverged for customer {r.custkey}"
+        assert r.n_late_days >= 1
+        assert r.n_intervals_new >= 1

@@ -624,3 +624,133 @@ def events_rfm_scores(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution by fixed-point iteration (round 12)
+# ---------------------------------------------------------------------------
+
+_MARKOV_ROUNDS = 3
+_MARKOV_E9 = 10**9
+
+_MARKOV_ITER = """
+x{next} AS (
+  SELECT t.next_type AS event_type,
+         CAST(SUM(x.x_e9 * t.n // o.n_out) AS BIGINT) AS x_e9
+  FROM trans t
+  JOIN outdeg o ON o.prev_type = t.prev_type
+  JOIN x{prev} x ON x.event_type = t.prev_type
+  GROUP BY t.next_type
+)"""
+
+_MARKOV_SQL = (
+    f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+outdeg AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_out FROM trans GROUP BY prev_type
+),
+nt AS (SELECT CAST(COUNT(DISTINCT prev_type) AS BIGINT) AS k FROM trans),
+x0 AS (
+  SELECT o.prev_type AS event_type,
+         CAST({_MARKOV_E9} // nt.k AS BIGINT) AS x_e9
+  FROM outdeg o CROSS JOIN nt
+),"""
+    + ",".join(
+        _MARKOV_ITER.format(next=i + 1, prev=i) for i in range(_MARKOV_ROUNDS)
+    )
+    + f"""
+SELECT a.event_type,
+       a.x_e9 AS stationary_e9,
+       b.x_e9 AS prev_iter_e9,
+       ABS(a.x_e9 - b.x_e9) AS delta_e9
+FROM x{_MARKOV_ROUNDS} a
+JOIN x{_MARKOV_ROUNDS - 1} b ON b.event_type = a.event_type
+ORDER BY a.event_type
+"""
+)
+
+
+@query("events_markov_stationary", sql=_MARKOV_SQL, tags=("agg", "analytics"))
+def events_markov_stationary(spark, sf_dir):
+    """STATIONARY DISTRIBUTION of the event-type Markov chain — 3
+    fixed-point power iterations x' = xP over the transition matrix
+    events_transition_matrix emits: the long-run share of each event
+    type if users keep clicking, the chain's equilibrium load
+    forecast (and the PageRank recipe with |types| states instead of
+    |vertices|).  State is e9 FIXED-POINT: each term is the exact
+    integer floor x_i·n_ij // n_i, so both engines iterate identical
+    BIGINTs — no doubles anywhere (contrast PageRank's snapped-double
+    lane: with a types-bounded state space the all-integer lane is
+    affordable and stricter).  Convergence is visible, not asserted:
+    the last two iterates and their per-state |Δ| ship in the output.
+
+    Scale: the chain folds from the firehose in ONE user-partitioned
+    LAG window + one |types|² agg (the transition matrix's shape);
+    each iteration is an equi-join + agg on |types|²-bounded frames.
+    The floor drops at most one e-9 unit of mass per TERM of the
+    matrix product (≤|types|² per round) — bounded, deterministic,
+    and visible in Σx."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    trans = pin(trans, eager=True)  # feeds outdeg + every iteration
+    outdeg = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("n_out")
+    )
+    nt = trans.agg(F.countDistinct("prev_type").cast("bigint").alias("k"))
+    x = outdeg.crossJoin(F.broadcast(nt)).select(
+        F.col("prev_type").alias("event_type"),
+        F.expr(f"CAST({_MARKOV_E9} div k AS BIGINT)").alias("x_e9"),
+    )
+    tmat = trans.join(outdeg, "prev_type")
+    iterates = [x]
+    for _ in range(_MARKOV_ROUNDS):
+        x = (
+            tmat.join(
+                F.broadcast(x.withColumnRenamed("event_type", "prev_type")),
+                "prev_type",
+            )
+            .groupBy(F.col("next_type").alias("event_type"))
+            .agg(F.expr("CAST(SUM(x_e9 * n div n_out) AS BIGINT)").alias("x_e9"))
+        )
+        iterates.append(x)
+    last, prev = iterates[-1], iterates[-2]
+    return (
+        last.join(
+            prev.select(
+                "event_type", F.col("x_e9").alias("prev_iter_e9")
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            F.col("x_e9").alias("stationary_e9"),
+            "prev_iter_e9",
+            F.abs(F.col("x_e9") - F.col("prev_iter_e9")).alias("delta_e9"),
+        )
+        .orderBy("event_type")
+    )

@@ -894,3 +894,280 @@ def merge_minmax_ivm_rescan(spark, sf_dir) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 retro-correction splice (round 12)
+# ---------------------------------------------------------------------------
+
+_RETRO_MOD = 113  # late batch: every 113th order arrives after the build
+
+_RETRO_SQL = f"""
+WITH base_v AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderpriority AS prio
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+      ORDER BY o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderkey % {_RETRO_MOD} <> 0
+  ) WHERE rn = 1
+),
+late_v AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderpriority AS prio
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+      ORDER BY o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderkey % {_RETRO_MOD} = 0
+  ) WHERE rn = 1
+),
+touched AS (SELECT DISTINCT o_custkey FROM late_v),
+bvt AS (SELECT b.* FROM base_v b JOIN touched t USING (o_custkey)),
+base_hist AS (
+  SELECT o_custkey, d AS valid_from, prio
+  FROM (
+    SELECT b.*, LAG(prio) OVER (
+      PARTITION BY o_custkey ORDER BY d) AS prev_prio
+    FROM bvt b
+  ) WHERE prev_prio IS NULL OR prev_prio <> prio
+),
+win AS (
+  SELECT l.o_custkey, l.d AS x,
+         MAX(CASE WHEN h.valid_from <= l.d THEN h.valid_from END) AS lo,
+         MIN(CASE WHEN h.valid_from > l.d THEN h.valid_from END) AS hi
+  FROM late_v l
+  LEFT JOIN base_hist h ON h.o_custkey = l.o_custkey
+  GROUP BY l.o_custkey, l.d
+),
+win_facts AS (
+  SELECT DISTINCT b.o_custkey, b.d, b.prio
+  FROM bvt b
+  JOIN win w ON w.o_custkey = b.o_custkey
+    AND (w.lo IS NULL OR b.d >= w.lo)
+    AND (w.hi IS NULL OR b.d < w.hi)
+),
+view_plus AS (
+  SELECT o_custkey, valid_from AS d, prio FROM base_hist
+  UNION
+  SELECT o_custkey, d, prio FROM win_facts
+),
+maintained_v AS (
+  SELECT COALESCE(l.o_custkey, v.o_custkey) AS o_custkey,
+         COALESCE(l.d, v.d) AS d,
+         COALESCE(l.prio, v.prio) AS prio
+  FROM view_plus v
+  FULL JOIN late_v l ON l.o_custkey = v.o_custkey AND l.d = v.d
+),
+maintained AS (
+  SELECT o_custkey, d AS valid_from, prio
+  FROM (
+    SELECT m.*, LAG(prio) OVER (
+      PARTITION BY o_custkey ORDER BY d) AS prev_prio
+    FROM maintained_v m
+  ) WHERE prev_prio IS NULL OR prev_prio <> prio
+),
+rebuilt_v AS (
+  SELECT COALESCE(l.o_custkey, b.o_custkey) AS o_custkey,
+         COALESCE(l.d, b.d) AS d,
+         COALESCE(l.prio, b.prio) AS prio
+  FROM bvt b
+  FULL JOIN late_v l ON l.o_custkey = b.o_custkey AND l.d = b.d
+),
+rebuilt AS (
+  SELECT o_custkey, d AS valid_from, prio
+  FROM (
+    SELECT r.*, LAG(prio) OVER (
+      PARTITION BY o_custkey ORDER BY d) AS prev_prio
+    FROM rebuilt_v r
+  ) WHERE prev_prio IS NULL OR prev_prio <> prio
+),
+matched AS (
+  SELECT m.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_match
+  FROM maintained m
+  JOIN rebuilt r ON r.o_custkey = m.o_custkey
+    AND r.valid_from = m.valid_from AND r.prio = m.prio
+  GROUP BY m.o_custkey
+)
+SELECT t.o_custkey AS custkey,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM late_v l
+        WHERE l.o_custkey = t.o_custkey) AS n_late_days,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM base_hist h
+        WHERE h.o_custkey = t.o_custkey) AS n_intervals_base,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM maintained m
+        WHERE m.o_custkey = t.o_custkey) AS n_intervals_new,
+       ((SELECT COUNT(*) FROM maintained m WHERE m.o_custkey = t.o_custkey)
+        = (SELECT COUNT(*) FROM rebuilt r WHERE r.o_custkey = t.o_custkey)
+        AND (SELECT COUNT(*) FROM rebuilt r WHERE r.o_custkey = t.o_custkey)
+        = COALESCE((SELECT n_match FROM matched x
+                    WHERE x.o_custkey = t.o_custkey), 0))
+         AS intervals_match
+FROM touched t
+ORDER BY custkey
+"""
+
+
+@query("merge_scd2_retro_correction", sql=_RETRO_SQL, tags=("merge", "incremental", "temporal"))
+def merge_scd2_retro_correction(spark, sf_dir) -> DataFrame:
+    """SCD2 RETRO-CORRECTION splice — the out-of-order half of
+    slowly-changing-dimension maintenance scd2_incremental_merge
+    cannot do: a LATE batch (orders that arrived after the history
+    was built) carries effective dates in the PAST, so each
+    correction must splice INSIDE the existing interval chain, not
+    append to its end.  Semantics: corrections WIN their effective
+    day.  The load-bearing subtlety (caught by this query's own
+    certificate during development): the COMPRESSED view alone is NOT
+    retro-spliceable — change-compression drops no-change
+    observations, and a dropped day becomes a change point again when
+    a correction splices a different value before it.  Sound
+    maintenance therefore reads the view PLUS the base observations
+    inside each correction's ENCLOSING interval ([previous change
+    point, next change point) — an interval-pruned fact read), merges
+    with late-wins, and re-compresses; intervals may close, split, or
+    merge.  Per touched customer: a maintained ≡
+    rebuilt-from-all-facts certificate on the (valid_from, value)
+    change set (valid_to derives from the valid_from set).
+
+    Scale: maintenance work ∝ batch + touched-interval observations —
+    the enclosing-window fact read is an equi-join on the customer
+    key with a range residual, partition-prunable when the fact table
+    is date-partitioned (pipelines/sink.py); untouched customers are
+    never read.  The rebuilt certificate leg re-reads touched
+    customers' full history — sampled in production."""
+    od = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("prio"),
+        "o_orderkey",
+    )
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    w_day = Window.partitionBy("o_custkey", "d").orderBy(F.desc("o_orderkey"))
+
+    def day_versions(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w_day))
+            .where(F.col("rn") == 1)
+            .select("o_custkey", "d", "prio")
+        )
+
+    def compress(df):
+        w = Window.partitionBy("o_custkey").orderBy("d")
+        return (
+            df.withColumn("prev_prio", F.lag("prio").over(w))
+            .where(
+                F.col("prev_prio").isNull()
+                | (F.col("prev_prio") != F.col("prio"))
+            )
+            .select("o_custkey", F.col("d").alias("valid_from"), "prio")
+        )
+
+    is_late = F.col("o_orderkey") % _RETRO_MOD == 0
+    late_v = pin(day_versions(od.where(is_late)), eager=True)
+    touched = late_v.select("o_custkey").distinct()
+    bvt = pin(
+        day_versions(od.where(~is_late)).join(F.broadcast(touched), "o_custkey"),
+        eager=True,  # view build, window-fact read, and the rebuilt leg
+    )
+    base_hist = pin(compress(bvt), eager=True)
+    # enclosing window per late observation, from the VIEW
+    win = (
+        late_v.select("o_custkey", F.col("d").alias("x"))
+        .join(
+            base_hist.select("o_custkey", "valid_from"),
+            "o_custkey",
+            "left",
+        )
+        .groupBy("o_custkey", "x")
+        .agg(
+            F.max(
+                F.when(F.col("valid_from") <= F.col("x"), F.col("valid_from"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("valid_from") > F.col("x"), F.col("valid_from"))
+            ).alias("hi"),
+        )
+    )
+    win_facts = (
+        bvt.join(
+            F.broadcast(win),
+            (bvt.o_custkey == win.o_custkey)
+            & (win.lo.isNull() | (bvt.d >= win.lo))
+            & (win.hi.isNull() | (bvt.d < win.hi)),
+        )
+        .select(bvt.o_custkey, bvt.d, bvt.prio)
+        .distinct()
+    )
+    view_plus = (
+        base_hist.select(
+            "o_custkey", F.col("valid_from").alias("d"), "prio"
+        )
+        .union(win_facts)
+        .distinct()
+    )
+    lv = late_v.select(
+        F.col("o_custkey").alias("l_ck"),
+        F.col("d").alias("l_d"),
+        F.col("prio").alias("l_prio"),
+    )
+
+    def late_wins(base_frame):
+        return base_frame.join(
+            lv,
+            (base_frame.o_custkey == F.col("l_ck"))
+            & (base_frame.d == F.col("l_d")),
+            "full",
+        ).select(
+            F.coalesce(F.col("l_ck"), base_frame.o_custkey).alias("o_custkey"),
+            F.coalesce(F.col("l_d"), base_frame.d).alias("d"),
+            F.coalesce(F.col("l_prio"), base_frame.prio).alias("prio"),
+        )
+
+    maintained = pin(compress(late_wins(view_plus)), eager=True)
+    rebuilt = pin(compress(late_wins(bvt)), eager=True)
+    n_late = late_v.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_late_days")
+    )
+    n_base = base_hist.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_intervals_base")
+    )
+    n_new = maintained.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_intervals_new")
+    )
+    n_reb = rebuilt.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_reb")
+    )
+    n_match = (
+        maintained.join(rebuilt, ["o_custkey", "valid_from", "prio"])
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("n_match"))
+    )
+    return (
+        touched.join(n_late, "o_custkey", "left")
+        .join(n_base, "o_custkey", "left")
+        .join(n_new, "o_custkey", "left")
+        .join(n_reb, "o_custkey", "left")
+        .join(n_match, "o_custkey", "left")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.coalesce(F.col("n_late_days"), F.lit(0)).cast("bigint").alias(
+                "n_late_days"
+            ),
+            F.coalesce(F.col("n_intervals_base"), F.lit(0))
+            .cast("bigint")
+            .alias("n_intervals_base"),
+            F.coalesce(F.col("n_intervals_new"), F.lit(0))
+            .cast("bigint")
+            .alias("n_intervals_new"),
+            (
+                (
+                    F.coalesce(F.col("n_intervals_new"), F.lit(0))
+                    == F.coalesce(F.col("n_reb"), F.lit(0))
+                )
+                & (
+                    F.coalesce(F.col("n_reb"), F.lit(0))
+                    == F.coalesce(F.col("n_match"), F.lit(0))
+                )
+            ).alias("intervals_match"),
+        )
+        .orderBy("custkey")
+    )

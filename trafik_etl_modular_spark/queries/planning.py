@@ -684,3 +684,143 @@ def planning_histogram_selectivity(spark, sf_dir) -> DataFrame:
             " AS BIGINT)"
         ).alias("rel_err_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy join-order selection with exact certificate (round 12)
+# ---------------------------------------------------------------------------
+
+_GJO_SEGMENT = "BUILDING"
+_GJO_PRIORITY = "1-URGENT"
+
+_GJO_SQL = f"""
+WITH l AS (SELECT l_orderkey FROM lineitem),
+o AS (SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderpriority = '{_GJO_PRIORITY}'),
+c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = '{_GJO_SEGMENT}'),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM l) AS n_l,
+         (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM l) AS d_l_ok,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n_o,
+         (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM o) AS d_o_ok,
+         (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM o) AS d_o_ck,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_c
+),
+est AS (
+  SELECT n_l, n_o, n_c,
+         CAST(CAST(n_l AS HUGEINT) * n_o
+              // GREATEST(d_l_ok, d_o_ok) AS BIGINT) AS est_lo,
+         CAST(CAST(n_o AS HUGEINT) * n_c
+              // GREATEST(d_o_ck, n_c) AS BIGINT) AS est_oc
+  FROM stats
+),
+x AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM l JOIN o ON o.o_orderkey = l.l_orderkey) AS exact_lo,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM o JOIN c ON c.c_custkey = o.o_custkey) AS exact_oc,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+                 JOIN c ON c.c_custkey = o.o_custkey) AS final_rows
+)
+SELECT e.n_l AS n_lineitem, e.n_o AS n_orders_filtered,
+       e.n_c AS n_customers_filtered,
+       e.est_lo, e.est_oc,
+       CASE WHEN e.est_lo <= e.est_oc THEN 'lineitem_orders_first'
+            ELSE 'orders_customer_first' END AS chosen_first,
+       x.exact_lo, x.exact_oc, x.final_rows,
+       ((e.est_lo <= e.est_oc) = (x.exact_lo <= x.exact_oc))
+         AS choice_correct
+FROM est e CROSS JOIN x
+"""
+
+
+@query("planning_greedy_join_order", sql=_GJO_SQL, tags=("planning", "join"))
+def planning_greedy_join_order(spark, sf_dir) -> DataFrame:
+    """GREEDY JOIN-ORDER selection with an exact certificate — the
+    decision System-R's enumerator makes with exactly the statistics
+    this family maintains: for the 3-table chain σ(lineitem) ⋈
+    σ_urgent(orders) ⋈ σ_building(customer), estimate both first-join
+    sizes with the textbook |R|·|S| / max(d_R, d_S) equi-join formula
+    (Selinger 1979) and pick the smaller intermediate; the
+    certificate recomputes BOTH intermediates exactly and reports
+    whether the statistics led to the truly cheaper order.  Every
+    estimate is an exact HUGEINT/DECIMAL rational — the estimator's
+    own arithmetic is notarized, not just its inputs.
+
+    Scale: the stats legs are count/count-distinct folds (each
+    map-side combined); the certificate legs are the two real joins —
+    the thing the optimizer exists to avoid running twice, paid here
+    by design, ONCE, to grade the estimator.  At 100 TB the
+    certificate runs on a sampled extract; the estimator side reads
+    only catalog-sized statistics."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == _GJO_PRIORITY
+    ).select("o_orderkey", "o_custkey")
+    cu = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == _GJO_SEGMENT
+    ).select("c_custkey")
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    li, od, cu = pin(li, eager=True), pin(od, eager=True), pin(cu, eager=True)
+    stats = (
+        li.agg(
+            F.count("*").cast("bigint").alias("n_l"),
+            F.countDistinct("l_orderkey").cast("bigint").alias("d_l_ok"),
+        )
+        .crossJoin(
+            F.broadcast(
+                od.agg(
+                    F.count("*").cast("bigint").alias("n_o"),
+                    F.countDistinct("o_orderkey").cast("bigint").alias("d_o_ok"),
+                    F.countDistinct("o_custkey").cast("bigint").alias("d_o_ck"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(cu.agg(F.count("*").cast("bigint").alias("n_c")))
+        )
+    )
+    est = stats.select(
+        "n_l",
+        "n_o",
+        "n_c",
+        F.expr(
+            "CAST(CAST(n_l AS DECIMAL(38,0)) * n_o"
+            " div GREATEST(d_l_ok, d_o_ok) AS BIGINT)"
+        ).alias("est_lo"),
+        F.expr(
+            "CAST(CAST(n_o AS DECIMAL(38,0)) * n_c"
+            " div GREATEST(d_o_ck, n_c) AS BIGINT)"
+        ).alias("est_oc"),
+    )
+    lo = li.join(od, li.l_orderkey == od.o_orderkey)
+    oc = od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    fin = lo.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    x = (
+        lo.agg(F.count("*").cast("bigint").alias("exact_lo"))
+        .crossJoin(
+            F.broadcast(oc.agg(F.count("*").cast("bigint").alias("exact_oc")))
+        )
+        .crossJoin(
+            F.broadcast(fin.agg(F.count("*").cast("bigint").alias("final_rows")))
+        )
+    )
+    return est.crossJoin(F.broadcast(x)).select(
+        F.col("n_l").alias("n_lineitem"),
+        F.col("n_o").alias("n_orders_filtered"),
+        F.col("n_c").alias("n_customers_filtered"),
+        "est_lo",
+        "est_oc",
+        F.when(F.col("est_lo") <= F.col("est_oc"), "lineitem_orders_first")
+        .otherwise("orders_customer_first")
+        .alias("chosen_first"),
+        "exact_lo",
+        "exact_oc",
+        "final_rows",
+        (
+            (F.col("est_lo") <= F.col("est_oc"))
+            == (F.col("exact_lo") <= F.col("exact_oc"))
+        ).alias("choice_correct"),
+    )

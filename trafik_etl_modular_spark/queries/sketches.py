@@ -777,3 +777,177 @@ def sketch_ams_f2(spark, sf_dir) -> DataFrame:
 
 
 sketch_ams_f2.__doc__ = sketch_ams_f2.__doc__.format(lanes=_AMS_LANES)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min width-parameter sweep (round 12)
+# ---------------------------------------------------------------------------
+
+_CMS_SWEEP_WIDTHS = (64, 128, 256)
+
+
+def _cms_sweep_oracle_sql(sf_dir: str) -> str:
+    # lane hashes are width-INDEPENDENT: compute the {depth} md5s once
+    # per row, expand over widths afterwards (3x fewer hashes than
+    # hashing inside the (width, lane) grid)
+    hash_cols = ", ".join(
+        f"{oracle_nhash('user_id', f'c{j}')} AS h{j}" for j in range(CMS_DEPTH)
+    )
+    lane_cell = " ".join(
+        f"WHEN {j} THEN (h{j} % wd.w)" for j in range(CMS_DEPTH)
+    )
+    probe_cell = " ".join(
+        f"WHEN {j} THEN ({oracle_nhash('p.user_id', f'c{j}')} % wd.w)"
+        for j in range(CMS_DEPTH)
+    )
+    lanes_vals = ", ".join(f"({j})" for j in range(CMS_DEPTH))
+    width_vals = ", ".join(f"({w})" for w in _CMS_SWEEP_WIDTHS)
+    return f"""
+WITH widths(w) AS (VALUES {width_vals}),
+lanes(j) AS (VALUES {lanes_vals}),
+hashed AS (SELECT {hash_cols} FROM events),
+keyed AS (
+  SELECT wd.w, l.j,
+         CASE l.j {lane_cell} END AS cell
+  FROM hashed CROSS JOIN widths wd CROSS JOIN lanes l
+),
+cells AS (
+  SELECT w, j, cell, CAST(COUNT(*) AS BIGINT) AS c
+  FROM keyed GROUP BY w, j, cell
+),
+panel AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY user_id
+  ORDER BY exact_n DESC, user_id LIMIT 10
+),
+probes AS (
+  SELECT wd.w, p.user_id, p.exact_n, l.j,
+         CASE l.j {probe_cell} END AS cell
+  FROM panel p CROSS JOIN widths wd CROSS JOIN lanes l
+),
+est AS (
+  SELECT pr.w, pr.user_id, ANY_VALUE(pr.exact_n) AS exact_n,
+         MIN(c.c) AS cms_est
+  FROM probes pr
+  JOIN cells c ON c.w = pr.w AND c.j = pr.j AND c.cell = pr.cell
+  GROUP BY pr.w, pr.user_id
+)
+SELECT CAST(w AS BIGINT) AS width,
+       CAST(w * {CMS_DEPTH} AS BIGINT) AS n_cells,
+       CAST(COUNT(*) AS BIGINT) AS panel_n,
+       CAST(SUM(cms_est - exact_n) AS BIGINT) AS sum_overcount,
+       CAST(MAX(cms_est - exact_n) AS BIGINT) AS max_overcount,
+       CAST(SUM(cms_est - exact_n) * 1000000 // COUNT(*) AS BIGINT)
+         AS mean_overcount_e6,
+       (MIN(cms_est - exact_n) >= 0) AS never_undercounts
+FROM est
+GROUP BY w
+ORDER BY width
+"""
+
+
+@query("sketch_cms_width_sweep", sql=_cms_sweep_oracle_sql, tags=("sketch", "agg", "approx"))
+def sketch_cms_width_sweep(spark, sf_dir) -> DataFrame:
+    """COUNT-MIN WIDTH SWEEP — the tuning-certificate pattern (IVF
+    nprobe sweep, LSH banding sweep) applied to the CMS memory/error
+    dial: build depth-{d} sketches at widths {widths} from the SAME
+    hash lanes, probe the top-10 exact heavy hitters through each,
+    and report per width the total/max/mean overcount against exact
+    counts — the measured ε-vs-memory curve (theory: E[over] ≤
+    2n/w), plus the never-undercounts invariant that makes CMS safe
+    as an admission prefilter.  All counts integer; the only division
+    is the exact e6 mean.
+
+    Scale: the sweep expands the scan {d}·|widths|× BEFORE the
+    map-side combine — a TUNING query run on a sample to pick the
+    production width, not a per-batch operator (the banding sweep's
+    contract); each (width, lane) plane is cell-bounded after the
+    fold.  Production then runs agg_cms_heavy_hitters at the chosen
+    width."""
+    ev = t(spark, sf_dir, "events").select("user_id")
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    ev = pin(ev, eager=False)  # sketch build + panel legs
+    # one-partition literal grid: two default-parallelism local frames
+    # crossJoined would multiply to 32x32 partitions and drag every
+    # downstream stage to 1024 tasks
+    grid = spark.createDataFrame(
+        [(w, j) for w in _CMS_SWEEP_WIDTHS for j in range(CMS_DEPTH)],
+        "w int, j int",
+    ).coalesce(1)
+    # lane hashes are width-independent: hash once per row, expand
+    # over the (width, lane) grid afterwards
+    hashed = ev.select(
+        *[
+            nhash(F.col("user_id"), f"c{j}").alias(f"h{j}")
+            for j in range(CMS_DEPTH)
+        ]
+    )
+    lane_h = None
+    for j in range(CMS_DEPTH):
+        expr = F.col(f"h{j}") % F.col("w")
+        lane_h = (
+            F.when(F.col("j") == j, expr)
+            if lane_h is None
+            else lane_h.when(F.col("j") == j, expr)
+        )
+    keyed = hashed.crossJoin(F.broadcast(grid)).select(
+        "w", "j", lane_h.alias("cell")
+    )
+    cells = keyed.groupBy("w", "j", "cell").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    panel = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    probes = panel.crossJoin(F.broadcast(grid)).select(
+        "w",
+        "user_id",
+        "exact_n",
+        "j",
+        (cms_cell_for(F.col("j"), F.col("user_id")) % F.col("w")).alias("cell"),
+    )
+    est = (
+        probes.join(cells, ["w", "j", "cell"])
+        .groupBy("w", "user_id")
+        .agg(
+            F.expr("ANY_VALUE(exact_n)").alias("exact_n"),
+            F.min("c").alias("cms_est"),
+        )
+    )
+    return (
+        est.groupBy("w")
+        .agg(
+            F.count("*").cast("bigint").alias("panel_n"),
+            F.sum(F.col("cms_est") - F.col("exact_n"))
+            .cast("bigint")
+            .alias("sum_overcount"),
+            F.max(F.col("cms_est") - F.col("exact_n"))
+            .cast("bigint")
+            .alias("max_overcount"),
+            F.expr(
+                "CAST(SUM(cms_est - exact_n) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("mean_overcount_e6"),
+            (F.min(F.col("cms_est") - F.col("exact_n")) >= 0).alias(
+                "never_undercounts"
+            ),
+        )
+        .select(
+            F.col("w").cast("bigint").alias("width"),
+            (F.col("w") * CMS_DEPTH).cast("bigint").alias("n_cells"),
+            "panel_n",
+            "sum_overcount",
+            "max_overcount",
+            "mean_overcount_e6",
+            "never_undercounts",
+        )
+        .orderBy("width")
+    )
+
+
+sketch_cms_width_sweep.__doc__ = sketch_cms_width_sweep.__doc__.format(
+    d=CMS_DEPTH, widths=_CMS_SWEEP_WIDTHS
+)

@@ -519,3 +519,131 @@ def sample_kfold_assignment(spark, sf_dir) -> DataFrame:
 
 
 sample_kfold_assignment.__doc__ = sample_kfold_assignment.__doc__.format(k=N_FOLDS)
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling (round 12)
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 100
+_NEYMAN_HASH_SPACE = 1 << 60  # nhash range (functions/neutral_hash.py)
+
+_NEYMAN_SQL = f"""
+WITH m AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS syy
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_h,
+         CAST(ROUND(sqrt(CAST(n_h * syy - sy * sy AS DOUBLE))) AS BIGINT)
+           AS weight_int
+  FROM m
+),
+tot AS (SELECT CAST(SUM(weight_int) AS BIGINT) AS wsum FROM w),
+alloc AS (
+  SELECT w.lang, w.n_h, w.weight_int,
+         CAST(CAST({_NEYMAN_BUDGET} AS HUGEINT) * w.weight_int
+              // t.wsum AS BIGINT) AS alloc_n
+  FROM w CROSS JOIN tot t
+),
+admitted AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS sampled_n
+  FROM documents d
+  JOIN alloc a ON a.lang = d.lang
+  WHERE {oracle_nhash('d.doc_id', 'neyman')}
+        < CAST(a.alloc_n AS HUGEINT) * {_NEYMAN_HASH_SPACE} // a.n_h
+  GROUP BY d.lang
+)
+SELECT a.lang, a.n_h, a.weight_int, a.alloc_n,
+       COALESCE(s.sampled_n, 0) AS sampled_n,
+       CAST(COALESCE(s.sampled_n, 0) * 1000000 // a.n_h AS BIGINT)
+         AS sample_rate_e6
+FROM alloc a LEFT JOIN admitted s ON s.lang = a.lang
+ORDER BY a.lang
+"""
+
+
+@query("sample_stratified_neyman", sql=_NEYMAN_SQL, tags=("llmdata", "sampling"))
+def sample_stratified_neyman(spark, sf_dir) -> DataFrame:
+    """NEYMAN-ALLOCATION stratified sampling (Neyman 1934): a fixed
+    budget of {budget} documents split across language strata
+    PROPORTIONAL TO N_h·S_h — high-variance strata get more of the
+    budget than proportional allocation would give, the
+    minimum-variance design for estimating the corpus mean.  With
+    population S_h = √(n·Σy²−(Σy)²)/n the weight N_h·S_h folds to
+    exactly √(n·Σy²−(Σy)²): ONE integer sqrt of an exact
+    HUGEINT/DECIMAL moment, ROUND-quantized so both engines hold the
+    identical BIGINT weight; allocations are the exact rational
+    budget·w // Σw, and admission is the deterministic hash gate
+    nhash(doc_id) < alloc·2⁶⁰ // N_h — the same stateless admission
+    every sampler in this family uses (no RNG state, reproducible,
+    executor-parallel).
+
+    Scale: one moments agg to the |strata| frame, allocation
+    arithmetic on |strata| rows, one broadcast-joined admission scan.
+    The only double is the single sqrt per stratum, quantized at
+    birth (deterministic while the moment's double cast is — past
+    2⁵³ both engines round the cast identically)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    from trafik_etl_modular_spark.operators.pinning import pin
+
+    docs = pin(docs, eager=False)  # moments + admission legs
+    dec = "DECIMAL(38,0)"
+    m = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_h"),
+        F.sum(F.col("n_chars").cast(dec)).alias("sy"),
+        F.sum(F.expr(f"CAST(n_chars AS {dec}) * n_chars")).alias("syy"),
+    )
+    w = m.select(
+        "lang",
+        "n_h",
+        F.round(F.sqrt(F.expr("CAST(n_h * syy - sy * sy AS DOUBLE)")))
+        .cast("bigint")
+        .alias("weight_int"),
+    )
+    tot = w.agg(F.sum("weight_int").cast("bigint").alias("wsum"))
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_h",
+        "weight_int",
+        F.expr(
+            f"CAST(CAST({_NEYMAN_BUDGET} AS {dec}) * weight_int"
+            " div wsum AS BIGINT)"
+        ).alias("alloc_n"),
+    )
+    admitted = (
+        docs.join(F.broadcast(alloc), "lang")
+        .where(
+            nhash(F.col("doc_id"), "neyman")
+            < F.expr(
+                f"CAST(CAST(alloc_n AS {dec}) * {_NEYMAN_HASH_SPACE}"
+                " div n_h AS BIGINT)"
+            )
+        )
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("sampled_n"))
+    )
+    return (
+        alloc.join(admitted, "lang", "left")
+        .select(
+            "lang",
+            "n_h",
+            "weight_int",
+            "alloc_n",
+            F.coalesce(F.col("sampled_n"), F.lit(0)).cast("bigint").alias(
+                "sampled_n"
+            ),
+            F.expr(
+                "CAST(COALESCE(sampled_n, 0) * 1000000 div n_h AS BIGINT)"
+            ).alias("sample_rate_e6"),
+        )
+        .orderBy("lang")
+    )
+
+
+sample_stratified_neyman.__doc__ = sample_stratified_neyman.__doc__.format(
+    budget=_NEYMAN_BUDGET
+)

@@ -101,13 +101,11 @@ _QUERY_MODULES = [
 # `python tools/stamps.py --plan-next` prints each round's exact
 # obligation; tests/test_contract.py::test_window_covers_stale_stamps
 # enforces it from the same module.  Round 12: the MANDATORY cohort is
-# again ZERO (end-of-r11 --plan-next), so the 50 slots carry (1) the
-# 38 queries ADDED this round (never-stamped rule), (2) the 7 whose
-# function/oracle CHANGED this round (hash-manifest rule: the ADVICE
-# r11 overflow widenings and the staged-parquet oracle rewrites), then
-# (3) the 5 remaining slots of oldest-tier-deadline fill — the r09
-# single-stamp actives first, then the head of the r10 cohort — in
-# --plan-next's printed order.
+# again ZERO (end-of-r11 --plan-next), so the 50 slots carry exactly
+# (1) the 43 queries ADDED this round (never-stamped rule) and (2) the
+# 7 whose function/oracle CHANGED this round (hash-manifest rule: the
+# ADVICE r11 overflow widenings and the staged-parquet oracle
+# rewrites) — the round's additions consumed every fill slot.
 DRIVER_WINDOW: list[str] = [
     # --- never-stamped: round-12 additions -----------------------------
     "text_bm25_delete",
@@ -158,17 +156,17 @@ DRIVER_WINDOW: list[str] = [
     "sim_ivf_incremental_append",
     "sim_ivf_retrain_reassignment",
     "sim_ivf_compact",
-    # --- fill: r09/r10 single-stamp actives (planner order; the
-    # deeper r10/r06 fill of the pre-expansion window was displaced
-    # by the 17 later round-12 additions — never-stamped outranks
-    # tier fill, and those cohorts stay comfortably inside their
-    # tier deadlines for r13) ------------------------------------------
-    "sim_pq_recall",
-    "text_host_quality_policy",
-    "agg_bitmap_distinct_rollup",
-    "agg_pearson_correlation",
-    "dq_cusum_changepoint",
+    "events_markov_stationary",
+    "planning_greedy_join_order",
+    "sample_stratified_neyman",
+    "sketch_cms_width_sweep",
+    "merge_scd2_retro_correction",
 ]
+# No tier-fill slots this round: the 43 round-12 additions plus the 7
+# hash-manifest changes fill the window exactly (never-stamped and
+# changed-query cohorts outrank tier fill; the r09/r10 single-stamp
+# actives stay comfortably inside their tier deadlines for r13 —
+# `tools/stamps.py --plan-next` re-derives the obligation).
 
 
 def query(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
