@@ -222,3 +222,112 @@ def test_pair_merge_disjoint_for_distinct_tokens(toks, data):
             out_all.append(toks[i])
             i += 1
     assert out_greedy == out_all
+
+
+@_SETTINGS
+@given(
+    periods=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # churned
+            st.integers(min_value=0, max_value=50),  # censored
+        ).filter(lambda p: p[0] + p[1] > 0),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_km_fixed_point_fold_tracks_exact_product(periods):
+    """The e9 fixed-point survival fold (events_kaplan_meier) floors
+    at most one e-9 unit per step, so it must sit within n_steps
+    units BELOW the exact rational product and never above it —
+    and both hit 0 exactly together."""
+    # derive at-risk counts by reverse accumulation, as the query does
+    risks = []
+    n_risk = 0
+    for d, c in reversed(periods):
+        n_risk += d + c
+        risks.append((n_risk, d))
+    risks.reverse()
+
+    surv = 10**9
+    num_exact, den_exact = 1, 1
+    for step, (n, d) in enumerate(risks, start=1):
+        surv = surv * (n - d) // n
+        num_exact *= n - d
+        den_exact *= n
+        exact_floor = 10**9 * num_exact // den_exact
+        assert surv <= exact_floor
+        assert exact_floor - surv <= step
+        assert (surv == 0) == (num_exact == 0) or surv < step
+
+
+@_SETTINGS
+@given(
+    counts=st.dictionaries(
+        st.sampled_from("abcde"),
+        st.dictionaries(
+            st.sampled_from("abcde"),
+            st.integers(min_value=1, max_value=1000),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_markov_fixed_point_mass_loss_bounded_by_terms(counts):
+    """One power-iteration round in e9 fixed-point loses at most one
+    e-9 unit per (i, j) term — the bound events_markov_stationary's
+    output-visible Sigma-x documents."""
+    states = sorted(counts)
+    outdeg = {i: sum(counts[i].values()) for i in states}
+    x = {i: 10**9 // len(states) for i in states}
+    mass_in = sum(x.values())
+    nxt = {}
+    n_terms = 0
+    for i in states:
+        for j, n in counts[i].items():
+            nxt[j] = nxt.get(j, 0) + x[i] * n // outdeg[i]
+            n_terms += 1
+    assert 0 <= mass_in - sum(nxt.values()) <= n_terms
+
+
+@_SETTINGS
+@given(
+    n_orders=st.integers(min_value=10, max_value=10**6),
+    n_a=st.integers(min_value=1, max_value=10**5),
+    n_b=st.integers(min_value=1, max_value=10**5),
+    data=st.data(),
+)
+def test_association_rule_score_inequalities(n_orders, n_a, n_b, data):
+    """support <= confidence, and lift >= 1 exactly when co-occurrence
+    beats independence — the integer-e6 forms keep both order
+    relations (basket_association_rules)."""
+    n_a, n_b = min(n_a, n_orders), min(n_b, n_orders)
+    hi = min(n_a, n_b)
+    n_ab = data.draw(st.integers(min_value=1, max_value=hi))
+    support = n_ab * 10**6 // n_orders
+    conf = n_ab * 10**6 // n_a
+    lift = n_orders * n_ab * 10**6 // (n_a * n_b)
+    assert support <= conf
+    # e6-floor keeps the >= 1 threshold exact: lift_e6 >= 1e6 iff
+    # N*n_ab >= n_a*n_b
+    assert (lift >= 10**6) == (n_orders * n_ab >= n_a * n_b)
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=2, max_size=60
+    )
+)
+def test_binseg_gain_numerator_identity(vals):
+    """(S1*n2 - S2*n1) == n1*n2*(mean1 - mean2) scaled — the split
+    gain's integer numerator (events_changepoint_binseg) is zero
+    exactly when the two segment means coincide."""
+    n = len(vals)
+    for i in range(1, n):
+        s1, s2 = sum(vals[:i]), sum(vals[i:])
+        n1, n2 = i, n - i
+        num = s1 * n2 - s2 * n1
+        mean_equal = s1 * n2 == s2 * n1
+        assert (num == 0) == mean_equal
