@@ -604,6 +604,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         # 12-row (width × lane) literal grid against the scan and the
         # 10-row probe panel — constant-size side by construction
         "sketch_cms_width_sweep",
+        # 1-row exact-ground-truth scalar onto each config's 1-row
+        # candidate/hit stats frame (three configs unioned)
+        "dedup_lsh_banding_sweep",
     }
     bad = []
     for name in sorted(REGISTRY):
