@@ -1450,12 +1450,12 @@ def dq_ks_two_sample(spark, sf_dir):
         .otherwise(0)
         .alias("early"),
     )
-    hist = pin(
-        tagged.groupBy("v").agg(
-            F.sum("early").cast("bigint").alias("c1"),
-            F.sum(F.lit(1) - F.col("early")).cast("bigint").alias("c2"),
-        ),
-        eager=True,
+    # NOT pinned: the histogram has exactly one consumer (the four
+    # windows below share one pass), and a lineage cut here would
+    # hide the bounding Aggregate from the global-window invariant
+    hist = tagged.groupBy("v").agg(
+        F.sum("early").cast("bigint").alias("c1"),
+        F.sum(F.lit(1) - F.col("early")).cast("bigint").alias("c2"),
     )
     wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = hist.select(

@@ -203,17 +203,26 @@ def agg_pareto_abc(spark, sf_dir) -> DataFrame:
         "l_partkey",
         F.expr(_CENTS.format(col="l_extendedprice")).alias("cents"),
     )
-    rev = pin(
-        li.groupBy("l_partkey").agg(F.sum("cents").cast("bigint").alias("rev_cents")),
-        eager=True,  # feeds the total and the ranked window
+    # rank window runs over the UNPINNED aggregate (the bounding
+    # Aggregate must stay plan-visible to the global-window
+    # invariant); the pin sits ABOVE the window, where both consumers
+    # (total + classing) actually branch
+    rev = li.groupBy("l_partkey").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents")
     )
-    tot = rev.agg(F.sum("rev_cents").cast("bigint").alias("total_cents"))
     w = Window.orderBy(F.desc("rev_cents"), "l_partkey").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    ranked = rev.select(
-        "l_partkey", "rev_cents", F.sum("rev_cents").over(w).cast("bigint").alias("cum_cents")
+    ranked = pin(
+        rev.select(
+            "l_partkey",
+            "rev_cents",
+            F.sum("rev_cents").over(w).cast("bigint").alias("cum_cents"),
+        ),
+        eager=True,
     )
+    # the final cumulative value IS the total — no second fact scan
+    tot = ranked.agg(F.max("cum_cents").cast("bigint").alias("total_cents"))
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
         "rev_cents",

@@ -764,9 +764,11 @@ def events_theil_sen_slope(spark, sf_dir) -> DataFrame:
     daily = t(spark, sf_dir, "events").groupBy(
         F.to_date("ts").alias("d")
     ).agg(F.count("*").cast("bigint").alias("c"))
-    from trafik_etl_modular_spark.operators.pinning import pin
-
-    daily = pin(daily, eager=True)  # both pair-join sides
+    # daily is NOT pinned here (unlike Mann–Kendall): the rank window
+    # below is unpartitioned, and a lineage cut would hide the
+    # bounding Aggregate from the global-window invariant — the
+    # twice-computed map-side day fold is cheaper than losing the
+    # plan-visible bound
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
         fquant(
@@ -939,16 +941,22 @@ def events_changepoint_binseg(spark, sf_dir) -> DataFrame:
     ).agg(F.count("*").cast("bigint").alias("c"))
     from trafik_etl_modular_spark.operators.pinning import pin
 
-    daily = pin(daily, eager=True)  # the window leg and the (n,S) scalar
+    # windows run over the UNPINNED aggregate (bounding Aggregate
+    # stays plan-visible); the pin sits ABOVE them, where the split
+    # scan and the (n, S) scalar actually branch — which also makes
+    # the total derivable from the cumulative column for free
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ordered = daily.select(
-        "d",
-        "c",
-        F.row_number().over(Window.orderBy("d")).alias("i"),
-        F.sum("c").over(w).cast("bigint").alias("s1"),
+    ordered = pin(
+        daily.select(
+            "d",
+            "c",
+            F.row_number().over(Window.orderBy("d")).alias("i"),
+            F.sum("c").over(w).cast("bigint").alias("s1"),
+        ),
+        eager=True,
     )
-    tot = daily.agg(
-        F.count("*").cast("bigint").alias("n"), F.sum("c").cast("bigint").alias("s")
+    tot = ordered.agg(
+        F.max("i").cast("bigint").alias("n"), F.max("s1").cast("bigint").alias("s")
     )
     num = F.expr(
         "CAST(CAST(s1 AS DECIMAL(38,0)) * (n - i)"
