@@ -331,3 +331,116 @@ def test_binseg_gain_numerator_identity(vals):
         num = s1 * n2 - s2 * n1
         mean_equal = s1 * n2 == s2 * n1
         assert (num == 0) == mean_equal
+
+
+def _compress(versions: dict) -> dict:
+    """Change-compress a {day: value} observation map."""
+    out, prev = {}, object()
+    for d in sorted(versions):
+        if versions[d] != prev:
+            out[d] = versions[d]
+            prev = versions[d]
+    return out
+
+
+@_SETTINGS
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=60),
+        st.sampled_from("ABCD"),
+        min_size=1,
+        max_size=25,
+    ),
+    late=st.dictionaries(
+        st.integers(min_value=0, max_value=60),
+        st.sampled_from("ABCD"),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_scd2_retro_splice_with_enclosing_window_equals_rebuild(base, late):
+    """merge_scd2_retro_correction's maintenance identity: compressed
+    view + base observations from each correction's ENCLOSING
+    interval + late-wins merge, re-compressed, equals the full
+    rebuild.  (The view alone provably does NOT satisfy this — the
+    dropped-no-change-day case — which is why the window read
+    exists.)"""
+    hist = _compress(base)
+    hdays = sorted(hist)
+    win_facts = {}
+    for x in late:
+        lo = max((d for d in hdays if d <= x), default=None)
+        hi = min((d for d in hdays if d > x), default=None)
+        for d, v in base.items():
+            if (lo is None or d >= lo) and (hi is None or d < hi):
+                win_facts[d] = v
+    merged = {**hist, **win_facts, **late}  # late wins its day
+    rebuilt = _compress({**base, **late})
+    assert _compress(merged) == rebuilt
+
+
+@_SETTINGS
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=1, max_value=100),
+        min_size=1,
+        max_size=30,
+    ),
+    batch=st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=1, max_value=100),
+        max_size=15,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_topk_candidate_maintenance_equals_full_recount(base, batch, k):
+    """merge_topk_ivm's soundness: for monotone counts, recounting
+    ONLY old-top-k ∪ batch-touched keys reproduces the full top-k
+    (untouched non-members stay below the nondecreasing k-th bar)."""
+
+    def topk(counts):
+        return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    old_top = {u for u, _ in topk(base)}
+    cand = old_top | set(batch)
+    merged = {u: base.get(u, 0) + batch.get(u, 0) for u in set(base) | set(batch)}
+    maintained = topk({u: merged[u] for u in cand if u in merged})
+    assert maintained == topk(merged)
+
+
+@_SETTINGS
+@given(
+    groups=st.dictionaries(
+        st.sampled_from("pqrst"),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10**6),  # key
+                st.integers(min_value=0, max_value=10**6),  # value
+            ),
+            min_size=1,
+            max_size=30,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    mod=st.integers(min_value=2, max_value=7),
+)
+def test_minmax_rescan_rule_is_exactly_sufficient(groups, mod):
+    """merge_minmax_ivm_rescan's rule: a group's max changes ONLY if
+    max(deleted) == stored max, so rescan-on-that-condition always
+    reproduces the survivor max, and skipping the rescan otherwise is
+    provably safe."""
+    for rows in groups.values():
+        old_max = max(v for _, v in rows)
+        deleted = [(kk, v) for kk, v in rows if kk % mod == 0]
+        survivors = [(kk, v) for kk, v in rows if kk % mod != 0]
+        if not survivors:
+            continue  # group retires entirely; out of scope here
+        del_max = max((v for _, v in deleted), default=None)
+        rescan = del_max is not None and del_max == old_max
+        new_max = (
+            max(v for _, v in survivors) if rescan else old_max
+        )
+        assert new_max == max(v for _, v in survivors)
