@@ -865,9 +865,14 @@ def sketch_cms_width_sweep(spark, sf_dir) -> DataFrame:
     fold.  Production then runs agg_cms_heavy_hitters at the chosen
     width."""
     ev = t(spark, sf_dir, "events").select("user_id")
-    from trafik_etl_modular_spark.operators.pinning import pin
-
-    ev = pin(ev, eager=False)  # sketch build + panel legs
+    # the fixture scan is one parquet split, but the build leg does
+    # `depth` md5+conv hashes per row — repartition the 8-byte key
+    # column so that work spans the cluster instead of one task; the
+    # remaining cost is the notarization hash itself (the xxhash64
+    # production lane is ~3x cheaper, module doc), in band with the
+    # other sweep queries.  No pin: re-scanning one pruned column
+    # twice is cheaper than materializing it.
+    hashed_src = ev.repartition(spark.sparkContext.defaultParallelism)
     # one-partition literal grid: two default-parallelism local frames
     # crossJoined would multiply to 32x32 partitions and drag every
     # downstream stage to 1024 tasks
@@ -877,7 +882,7 @@ def sketch_cms_width_sweep(spark, sf_dir) -> DataFrame:
     ).coalesce(1)
     # lane hashes are width-independent: hash once per row, expand
     # over the (width, lane) grid afterwards
-    hashed = ev.select(
+    hashed = hashed_src.select(
         *[
             nhash(F.col("user_id"), f"c{j}").alias(f"h{j}")
             for j in range(CMS_DEPTH)
