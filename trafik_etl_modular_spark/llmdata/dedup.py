@@ -228,14 +228,30 @@ def minhash_near_dups(
     hot-bucket guard (see :func:`lsh_candidate_pairs`); run EXACT
     dedup before this operator so identical-doc mass never reaches
     the sketch."""
-    rows_per_band = num_hashes // bands
-    # Hash-space shingles, materialized by the checkpoint BEFORE the
-    # signature projection — otherwise CollapseProject inlines the
-    # shingle transform into the seed lambda and it re-evaluates once
-    # per lane (64×).  The checkpoint also stops the expensive
-    # expression re-running per plan leg (two join sides + verify); at
-    # lake scale this is a persist to storage between the sketch and
-    # join stages.
+    sh, signed = minhash_frames(docs, text_col, id_col, num_hashes)
+    return minhash_near_dups_from(
+        sh, signed, id_col, threshold, num_hashes, bands, max_bucket_size
+    )
+
+
+def minhash_frames(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle-set frame, signature frame) — the banding-INDEPENDENT
+    half of the MinHash pipeline, split out so parameter sweeps can
+    compute it once and re-band many ways (the banding only touches
+    how the finished signature is sliced).
+
+    Hash-space shingles, materialized by the checkpoint BEFORE the
+    signature projection — otherwise CollapseProject inlines the
+    shingle transform into the seed lambda and it re-evaluates once
+    per lane (64×).  The checkpoint also stops the expensive
+    expression re-running per plan leg (two join sides + verify, and
+    every sweep config); at lake scale this is a persist to storage
+    between the sketch and join stages."""
     from trafik_etl_modular_spark.operators.partitions import fan_out
 
     sh = (
@@ -247,6 +263,21 @@ def minhash_near_dups(
     signed = sh.select(
         F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("minhash")
     ).localCheckpoint(eager=False)
+    return sh, signed
+
+
+def minhash_near_dups_from(
+    sh: DataFrame,
+    signed: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band → candidate join → exact-Jaccard verify over frames built
+    by :func:`minhash_frames` (see :func:`minhash_near_dups`)."""
+    rows_per_band = num_hashes // bands
     cands = lsh_candidate_pairs(
         signed, id_col, "minhash", bands, rows_per_band, max_bucket_size
     )

@@ -7468,7 +7468,8 @@ def dedup_lsh_banding_sweep(spark, sf_dir):
     under the hot-bucket cap; the exact-verify legs are candidate-
     bounded; the report is {n} rows."""
     from trafik_etl_modular_spark.llmdata.dedup import (
-        minhash_near_dups,
+        minhash_frames,
+        minhash_near_dups_from,
         ngram_jaccard_pairs,
     )
     from trafik_etl_modular_spark.operators.pinning import pin
@@ -7480,10 +7481,18 @@ def dedup_lsh_banding_sweep(spark, sf_dir):
         ),
         eager=True,
     )
+    # The shingle sets and the 64-hash signature are banding-
+    # INDEPENDENT: compute both ONCE (lazy-checkpointed, so all three
+    # sweep legs read the same materialized frames) and re-band per
+    # config — the per-config work is then only the band slice, the
+    # bucket join and the candidate-bounded verify (was: the full
+    # shingle+sign pipeline rebuilt per config, 3× the corpus-scan
+    # and signature cost).
+    sh, signed = minhash_frames(docs)
     out = None
     for b, r in _LSH_SWEEP_CONFIGS:
-        cand = minhash_near_dups(
-            docs, threshold=0.0, bands=b, max_bucket_size=1000
+        cand = minhash_near_dups_from(
+            sh, signed, threshold=0.0, bands=b, max_bucket_size=1000
         )
         row = (
             cand.agg(

@@ -873,31 +873,33 @@ def sketch_cms_width_sweep(spark, sf_dir) -> DataFrame:
     # other sweep queries.  No pin: re-scanning one pruned column
     # twice is cheaper than materializing it.
     hashed_src = ev.repartition(spark.sparkContext.defaultParallelism)
-    # one-partition literal grid: two default-parallelism local frames
-    # crossJoined would multiply to 32x32 partitions and drag every
-    # downstream stage to 1024 tasks
-    grid = spark.createDataFrame(
-        [(w, j) for w in _CMS_SWEEP_WIDTHS for j in range(CMS_DEPTH)],
-        "w int, j int",
-    ).coalesce(1)
     # lane hashes are width-independent: hash once per row, expand
-    # over the (width, lane) grid afterwards
+    # over the (width, lane) grid afterwards.  The grid expansion is a
+    # GENERATE over a literal struct array — it stays inside whole-
+    # stage codegen next to the hash projection, where a broadcast
+    # cross join with a driver-side grid frame planned a
+    # BroadcastNestedLoopJoin whose per-row condition/projection runs
+    # on the interpreted expression path (measured 8.6 s vs 0.5 s for
+    # this leg at sf0.1; the hash projection itself is 0.57 s).
     hashed = hashed_src.select(
         *[
             nhash(F.col("user_id"), f"c{j}").alias(f"h{j}")
             for j in range(CMS_DEPTH)
         ]
     )
-    lane_h = None
-    for j in range(CMS_DEPTH):
-        expr = F.col(f"h{j}") % F.col("w")
-        lane_h = (
-            F.when(F.col("j") == j, expr)
-            if lane_h is None
-            else lane_h.when(F.col("j") == j, expr)
-        )
-    keyed = hashed.crossJoin(F.broadcast(grid)).select(
-        "w", "j", lane_h.alias("cell")
+    build_grid = F.array(
+        *[
+            F.struct(
+                F.lit(w).cast("int").alias("w"),
+                F.lit(j).cast("int").alias("j"),
+                (F.col(f"h{j}") % F.lit(w)).alias("cell"),
+            )
+            for w in _CMS_SWEEP_WIDTHS
+            for j in range(CMS_DEPTH)
+        ]
+    )
+    keyed = hashed.select(F.explode(build_grid).alias("e")).select(
+        "e.w", "e.j", "e.cell"
     )
     cells = keyed.groupBy("w", "j", "cell").agg(
         F.count("*").cast("bigint").alias("c")
@@ -908,13 +910,24 @@ def sketch_cms_width_sweep(spark, sf_dir) -> DataFrame:
         .orderBy(F.desc("exact_n"), "user_id")
         .limit(10)
     )
-    probes = panel.crossJoin(F.broadcast(grid)).select(
-        "w",
-        "user_id",
-        "exact_n",
-        "j",
-        (cms_cell_for(F.col("j"), F.col("user_id")) % F.col("w")).alias("cell"),
+    probe_grid = F.array(
+        *[
+            F.struct(
+                F.lit(w).cast("int").alias("w"),
+                F.lit(j).cast("int").alias("j"),
+                (
+                    (cms_cell_for(F.lit(j), F.col("user_id")) % F.lit(w)).alias(
+                        "cell"
+                    )
+                ),
+            )
+            for w in _CMS_SWEEP_WIDTHS
+            for j in range(CMS_DEPTH)
+        ]
     )
+    probes = panel.select(
+        "user_id", "exact_n", F.explode(probe_grid).alias("e")
+    ).select("e.w", "user_id", "exact_n", "e.j", "e.cell")
     est = (
         probes.join(cells, ["w", "j", "cell"])
         .groupBy("w", "user_id")
