@@ -830,37 +830,52 @@ def agg_weighted_median(spark, sf_dir):
     rows; the final per-flag fold is an aggregation of the same."""
     from pyspark.sql import Window
 
-    g = (
-        t(spark, sf_dir, "lineitem")
-        .groupBy(
-            "l_returnflag",
-            F.expr("CAST(l_extendedprice AS DECIMAL(38,2))").alias("price"),
-        )
-        .agg(
-            F.sum(F.expr("CAST(l_quantity AS DECIMAL(38,2))"))
-            .cast("decimal(38,2)")
-            .alias("w")
-        )
+    # Narrow-type fold (guide §2.3): prices and weights ride as exact
+    # LONG CENTS through the hash agg and the windows — the decimal
+    # round-trip (cast to DECIMAL(38,2) first, so the cents are the
+    # bankers'-exact values the oracle groups on) happens once at the
+    # edges.  Grouping on (string, long) and running long window sums
+    # measured 3.5 → 2.2 s at sf0.1 vs DECIMAL(38,2) keys+sums, with
+    # bit-identical output: the 2·cw ≥ tw threshold is the same exact
+    # integer inequality, and cents→double at the end is the same
+    # correctly-rounded value as decimal→double.  Overflow headroom:
+    # cw ≤ Σ(quantity·100) ≤ 5000·|rows| — int64-safe past 10¹⁵ rows.
+    v = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.expr("CAST(l_extendedprice AS DECIMAL(38,2))") * 100)
+        .cast("long")
+        .alias("pc"),
+        (F.expr("CAST(l_quantity AS DECIMAL(38,2))") * 100)
+        .cast("long")
+        .alias("qc"),
     )
+    g = v.groupBy("l_returnflag", "pc").agg(F.sum("qc").alias("wc"))
     w_cum = (
         Window.partitionBy("l_returnflag")
-        .orderBy("price")
+        .orderBy("pc")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy("l_returnflag")
     c = g.select(
         "l_returnflag",
-        "price",
-        F.sum("w").over(w_cum).alias("cw"),
-        F.sum("w").over(w_all).alias("tw"),
+        "pc",
+        F.sum("wc").over(w_cum).alias("cw"),
+        F.sum("wc").over(w_all).alias("tw"),
     )
     return (
         c.groupBy("l_returnflag")
         .agg(
-            F.min(F.when(F.lit(2) * F.col("cw") >= F.col("tw"), F.col("price")))
+            (
+                F.min(
+                    F.when(F.lit(2) * F.col("cw") >= F.col("tw"), F.col("pc"))
+                ).cast("decimal(38,2)")
+                / 100
+            )
             .cast("double")
             .alias("weighted_median_price"),
-            F.max("tw").cast("double").alias("total_weight"),
+            (F.max("tw").cast("decimal(38,2)") / 100)
+            .cast("double")
+            .alias("total_weight"),
             F.count("*").cast("bigint").alias("n_price_points"),
         )
         .orderBy("l_returnflag")

@@ -2853,7 +2853,11 @@ def sim_quantized_recall(spark, sf_dir):
     two bounded per-probe windows.  Oracle: STATIC self-derived —
     only the scale scalar is frozen; DuckDB recomputes quantization,
     both rankings, and the overlap itself."""
-    from trafik_etl_modular_spark.llmdata.similarity import cosine, to_double_array
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        dot,
+        l2norm,
+        to_double_array,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
     scale = _spark_maxabs(emb)
@@ -2863,13 +2867,21 @@ def sim_quantized_recall(spark, sf_dir):
             F.lit(-127.0), F.least(F.lit(127.0), F.round(x / F.lit(scale) * 127, 0))
         ).cast("int"),
     )
+    # quantized codes, raw vectors AND per-vector norms materialized
+    # ONCE (lazy checkpoint): without it CollapseProject inlines the
+    # quantization transform and the norm fold into the post-join
+    # projection and re-evaluates them per (probe, vector) pair — the
+    # sim_pq_recall reconstruction lesson; with norms per row the pair
+    # stage runs 2 folds (int dot + float dot) instead of 4,
+    # bit-identically (same fold, same doubles, evaluated once).
     q = emb.select(
         "vec_id", qv.alias("qv"), to_double_array("embedding").alias("__vec")
-    )
+    ).withColumn("__nv", l2norm(F.col("__vec"))).localCheckpoint(eager=False)
     p = q.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("qv").alias("pqv"),
         F.col("__vec").alias("pvec"),
+        F.col("__nv").alias("__np"),
     )
     qdot = F.aggregate(
         F.zip_with("qv", "pqv", lambda x, y: x.cast("long") * y),
@@ -2880,7 +2892,7 @@ def sim_quantized_recall(spark, sf_dir):
         "qid",
         "vec_id",
         qdot.alias("dq"),
-        cosine(F.col("__vec"), F.col("pvec")).alias("cx"),
+        (dot(F.col("__vec"), F.col("pvec")) / (F.col("__nv") * F.col("__np"))).alias("cx"),
     )
     from pyspark.sql import Window
 
@@ -4853,7 +4865,7 @@ def sim_ann_ivf_pq_probe(spark, sf_dir):
     )
     short = (
         codes.select(
-            "vec_id", dot(qlit, pq_reconstruct(F.col("codes"), cb)).alias("adc")
+            "vec_id", dot(qlit, pq_reconstruct("codes", cb)).alias("adc")
         )
         .orderBy(F.desc("adc"), F.asc("vec_id"))
         .limit(100)
@@ -4941,8 +4953,8 @@ def sim_pq_recall(spark, sf_dir):
     from pyspark.sql import Window
 
     from trafik_etl_modular_spark.llmdata.similarity import (
-        cosine,
         dot,
+        l2norm,
         pq_reconstruct,
         to_double_array,
     )
@@ -4953,21 +4965,28 @@ def sim_pq_recall(spark, sf_dir):
     # otherwise inlines the 32-lookup reconstruction into the
     # post-join projection and recomputes it per (probe, vector) PAIR
     # instead of per vector — measured 6.3 s → ~4 s at sf0.1 (interleaved warm runs)
+    # per-VECTOR norms ride inside the same checkpoint: cosine(a, b)
+    # expands to three 64-dim folds per (probe, vector) PAIR (dot +
+    # both norms); materializing ‖vec‖ once per corpus row and ‖probe‖
+    # once per panel row (the broadcast materializes that side) drops
+    # the pair-stage fold count from 4 to 2 with bit-identical values
+    # — the identical fold runs on the identical doubles, just once.
     q = (
         spark.read.parquet(f"{pq_path}/codes")
         .select("vec_id", "codes")
         .join(emb.select("vec_id", to_double_array("embedding").alias("__vec")), "vec_id")
-        .withColumn("recon", pq_reconstruct(F.col("codes"), cb))
+        .withColumn("recon", pq_reconstruct("codes", cb))
+        .withColumn("__nv", l2norm(F.col("__vec")))
         .localCheckpoint(eager=False)
     )
     p = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"), to_double_array("embedding").alias("pvec")
-    )
+    ).withColumn("__np", l2norm(F.col("pvec")))
     scored = q.join(F.broadcast(p), F.col("vec_id") != F.col("qid")).select(
         "qid",
         "vec_id",
         dot(F.col("pvec"), F.col("recon")).alias("adc"),
-        cosine(F.col("__vec"), F.col("pvec")).alias("cx"),
+        (dot(F.col("__vec"), F.col("pvec")) / (F.col("__nv") * F.col("__np"))).alias("cx"),
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("vec_id"))
     wx = Window.partitionBy("qid").orderBy(F.desc("cx"), F.asc("vec_id"))
