@@ -41,6 +41,42 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def double_sql(v) -> str:
+    """Render one python float as an EXACT Spark-SQL double literal
+    (repr round-trips; the D suffix / CAST-from-string both parse to
+    the same IEEE value)."""
+    r = repr(float(v))
+    return f"{r}D" if ("e" not in r and "E" not in r) else f"CAST('{r}' AS DOUBLE)"
+
+
+def lit_vec_sql(vec) -> str:
+    """A literal double array as SQL text — one parser pass instead of
+    one py4j round-trip per element (the pq_reconstruct lesson: a
+    (32,16,2) codebook built from per-element ``F.lit`` Columns costs
+    ~2 s of driver time per plan construction)."""
+    return "array(" + ",".join(double_sql(v) for v in vec) + ")"
+
+
+def dot_lit_sql(col_sql: str, vec) -> str:
+    """:func:`dot` against a frozen literal vector, rendered as SQL —
+    the identical strict left fold (zip_with multiply, 0.0 seed,
+    ordered adds), so values are bit-identical to the Column form."""
+    return (
+        f"aggregate(zip_with({col_sql}, {lit_vec_sql(vec)}, "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def argmax_dot_expr(col_sql: str, centers) -> Column:
+    """argmax_j ⟨col, centers_j⟩ as array_position(array_max) over k
+    rendered dot folds — the frozen-centroid assignment expression,
+    built in ONE SQL parse."""
+    dots = ",".join(dot_lit_sql(col_sql, c) for c in centers)
+    return F.expr(
+        f"CAST(array_position(array({dots}), array_max(array({dots}))) - 1 AS INT)"
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_vec: DataFrame,
@@ -353,15 +389,10 @@ def ivf_assign(
     k·dim multiply-adds per row in codegen — fine for coarse-quantizer
     k (≤ ~256); a huge-k index would switch to a pandas-UDF matmul."""
     base = embeddings.select(F.col(id_col), to_double_array(vec_col).alias("__vec"))
-
-    def _dot_lit(c) -> Column:
-        lit_arr = F.array(*[F.lit(float(v)) for v in c])
-        return dot(F.col("__vec"), lit_arr)
-
-    dots = F.array(*[_dot_lit(centers[i]) for i in range(len(centers))])
+    # one rendered SQL parse for the k·dim literal tree (see
+    # lit_vec_sql) — identical folds, bit-identical assignment
     return base.withColumn(
-        "ivf_bucket",
-        (F.array_position(dots, F.array_max(dots)) - F.lit(1)).cast("int"),
+        "ivf_bucket", argmax_dot_expr("__vec", centers)
     ).select(id_col, "__vec", "ivf_bucket")
 
 

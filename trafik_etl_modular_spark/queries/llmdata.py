@@ -2252,7 +2252,10 @@ def sim_ivf_retrain_reassignment(spark, sf_dir):
     DERIVED — both trainings, both assignments, and the alignment are
     re-run outside the engine and frozen as VALUES; DuckDB aggregates
     the churn itself."""
-    from trafik_etl_modular_spark.llmdata.similarity import dot, to_double_array
+    from trafik_etl_modular_spark.llmdata.similarity import (
+        argmax_dot_expr,
+        to_double_array,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
     is_batch = F.col("vec_id") % _IVF_BATCH_MOD == _IVF_BATCH_REM
@@ -2260,18 +2263,15 @@ def sim_ivf_retrain_reassignment(spark, sf_dir):
     centers_new = ivf_train(emb, n_centroids=16)
     mapping = _ivf_centroid_alignment(centers_new, centers_old)
 
-    def bucket_expr(centers):
-        dots = F.array(
-            *[
-                dot(F.col("__vec"), F.array(*[F.lit(float(v)) for v in c]))
-                for c in centers
-            ]
-        )
-        return (F.array_position(dots, F.array_max(dots)) - F.lit(1)).cast("int")
+    # both frozen-literal argmax expressions render as ONE SQL parse
+    # each (similarity.lit_vec_sql) — the per-element F.lit form cost
+    # a py4j round-trip per centroid cell at plan-construction time
+    bucket_expr = lambda centers: argmax_dot_expr("__vec", centers)  # noqa: E731
 
     base = emb.select("vec_id", to_double_array("embedding").alias("__vec"))
+    mapping_sql = "array(" + ",".join(str(int(m)) for m in mapping) + ")"
     aligned_new = F.element_at(
-        F.array(*[F.lit(int(m)) for m in mapping]), bucket_expr(centers_new) + 1
+        F.expr(mapping_sql), bucket_expr(centers_new) + 1
     )
     both = base.select(
         bucket_expr(centers_old).alias("old_bucket"),
