@@ -204,7 +204,7 @@ def hyperplane_bucket(vec_col: Column | str, dim: int, n_planes: int = 12, seed:
     planes = rng.standard_normal((n_planes, dim)).round(6)  # frozen literals
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        plane = F.expr(lit_vec_sql(planes[p]))
         proj = dot(to_double_array(c), plane)
         bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(
             F.lit(0).cast("long")
@@ -539,7 +539,7 @@ def pq_assign(
         sub = F.slice(F.col("__vec"), s * dsub + 1, dsub)
         scores = F.array(
             *[
-                dot(sub, F.array(*[F.lit(float(v)) for v in codebooks[s, j]]))
+                dot(sub, F.expr(lit_vec_sql(codebooks[s, j])))
                 - F.lit(float((codebooks[s, j] ** 2).sum() / 2.0))
                 for j in range(k)
             ]
@@ -888,7 +888,7 @@ def ivf_topk(
 
     probe_buckets = rank_probe_buckets(centroid_rows, qvec, nprobe)
 
-    qvec_lit = F.array(*[F.lit(x) for x in qvec])
+    qvec_lit = F.expr(lit_vec_sql(qvec))
     cands = assigned.filter(
         F.col("ivf_bucket").isin(probe_buckets) & (F.col(id_col) != F.lit(qid))
     )

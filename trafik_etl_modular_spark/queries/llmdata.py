@@ -37,6 +37,7 @@ from trafik_etl_modular_spark.llmdata.sampling import (
 from trafik_etl_modular_spark.llmdata.similarity import (
     brute_force_topk,
     bucketed_topk,
+    lit_vec_sql,
     ivf_append,
     ivf_assign,
     ivf_compact,
@@ -3023,7 +3024,7 @@ def sim_ann_ivf_quantized_probe(spark, sf_dir):
             F.lit(-127.0), F.least(F.lit(127.0), F.round(x / F.lit(scale) * 127, 0))
         ).cast("int")
 
-    qlit = F.array(*[F.lit(v) for v in qvec])
+    qlit = F.expr(lit_vec_sql(qvec))
     pqv = F.transform(qlit, quant)
     qv = F.transform(F.col("__vec"), quant)
     qdot = F.aggregate(
@@ -4857,7 +4858,7 @@ def sim_ann_ivf_pq_probe(spark, sf_dir):
     )
     qvec = [float(v) for v in tbl["embedding"].to_pylist()[0]]
     buckets = rank_probe_buckets(rows, qvec, 4)
-    qlit = F.array(*[F.lit(v) for v in qvec])
+    qlit = F.expr(lit_vec_sql(qvec))
     codes = (
         spark.read.parquet(f"{pq_path}/codes")
         .filter(F.col("ivf_bucket").isin([int(b) for b in buckets]))
@@ -6482,7 +6483,7 @@ def sim_random_projection_jl(spark, sf_dir):
                 F.aggregate(
                     F.zip_with(
                         vec,
-                        F.array(*[F.lit(float(s)) for s in _RP_SIGNS[j]]),
+                        F.expr(lit_vec_sql(_RP_SIGNS[j])),
                         lambda x, y: x * y,
                     ),
                     F.lit(0.0),
