@@ -99,6 +99,12 @@ def join_spatial_neighbor_pairs(spark, sf_dir) -> DataFrame:
         F.floor(F.col("x") / _R).alias("cx"),
         F.floor(F.col("y") / _R).alias("cy"),
     )
+    # BOTH join legs read the cell frame, and the md5 coordinate
+    # derivation is its expensive part — materialize it once instead
+    # of once per leg (interleaved A/B at sf0.1: 4.9/5.6 s two-pass
+    # vs 3.6/3.5 s checkpointed; at lake scale this is the persisted
+    # point table every spatial job starts from)
+    cells = cells.localCheckpoint(eager=False)
     # 9-offset expansion as an explode PROJECTION (no join node);
     # packed single-column cell key: one hash shuffle key, and the
     # same shape the oracle uses
