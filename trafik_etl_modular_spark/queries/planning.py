@@ -273,38 +273,54 @@ def join_bloom_semi_prefilter(spark, sf_dir) -> DataFrame:
     )
     words = bloom_word_table(pos)
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # k PER-LANE broadcast word joins instead of explode + re-group:
+    # the exploded form shuffled k·|orders| rows back through an
+    # (o_orderkey, o_custkey) hash aggregation just to reassemble the
+    # per-row bit count, where k chained BroadcastHashJoins (the word
+    # table is m/32 rows and broadcast either way — runtime filters
+    # ship to every scan task by definition) keep the whole probe
+    # map-side: zero exchanges from the scan to the 1-row aggregate.
     probe = orders.select(
         "o_orderkey",
         "o_custkey",
-        F.explode(bloom_lanes(m, text_col="o_custkey")).alias("p"),
+        bloom_lanes(m, text_col="o_custkey").alias("ps"),
     )
-    checked = (
-        probe.join(
-            F.broadcast(words),
-            F.expr("p div 32") == F.col("word_idx"),
+    checked = probe
+    bit_cols = []
+    for i in range(BLOOM_K):
+        wi = words.select(
+            F.col("word_idx").alias(f"__wi{i}"), F.col("w").alias(f"__w{i}")
+        )
+        checked = checked.join(
+            F.broadcast(wi),
+            F.expr(f"element_at(ps, {i + 1}) div 32") == F.col(f"__wi{i}"),
             "left",
         )
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(
-            F.sum(
-                F.when(
-                    F.expr(
-                        "(coalesce(w, CAST(0 AS BIGINT)) >> CAST(p % 32 AS INT)) & 1"
-                    )
-                    == 1,
-                    1,
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_set")
+        bit_cols.append(
+            F.when(
+                F.expr(
+                    f"(coalesce(__w{i}, CAST(0 AS BIGINT))"
+                    f" >> CAST(element_at(ps, {i + 1}) % 32 AS INT)) & 1"
+                )
+                == 1,
+                1,
+            ).otherwise(0)
         )
+    n_set = bit_cols[0]
+    for c in bit_cols[1:]:
+        n_set = n_set + c
+    checked = checked.select(
+        "o_orderkey", "o_custkey", n_set.cast("bigint").alias("n_set")
     )
-    flags = checked.join(
-        small.distinct().withColumnRenamed("c_custkey", "o_custkey"),
-        "o_custkey",
-        "left_semi",
-    ).select("o_orderkey").withColumn("actual", F.lit(True))
-    joined = checked.join(flags.select("o_orderkey", "actual"), "o_orderkey", "left").select(
+    # actual = custkey ∈ small, attached with ONE broadcast join on the
+    # customer key — o_orderkey is unique per probe row, so the old
+    # semi-join + re-join-by-order-key pair computed exactly this flag
+    actual_flag = (
+        small.distinct()
+        .withColumnRenamed("c_custkey", "o_custkey")
+        .withColumn("actual", F.lit(True))
+    )
+    joined = checked.join(F.broadcast(actual_flag), "o_custkey", "left").select(
         (F.col("n_set") == BLOOM_K).alias("passed"),
         F.coalesce("actual", F.lit(False)).alias("actual"),
     )
