@@ -60,6 +60,7 @@ def test_dimension_join_is_broadcast(spark, sf_dir):
     plan = _explain(build_incidents(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_aggregation_is_two_phase(spark, sf_dir):
@@ -312,7 +313,10 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
             "o_orderpriority", "l_extendedprice"
         )
         plan = _explain(j, "simple")
-        assert "SortMergeJoin" in plan
+        # a SHUFFLE-FREE co-located join: with preferSortMergeJoin off
+        # the planner may pick either sorted-merge or shuffled-hash —
+        # both read the bucketed layout without an exchange
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
@@ -352,12 +356,12 @@ def test_graph_broadcast_gate_switches_to_shuffle_join(spark, sf_dir):
             "simple",
         )
         assert "BroadcastHashJoin" not in big_bfs, big_bfs
-        assert "SortMergeJoin" in big_bfs, big_bfs
+        assert "SortMergeJoin" in big_bfs or "ShuffledHashJoin" in big_bfs, big_bfs
         big_pr = _explain(
             pagerank(spark, ee, rounds=2, broadcast_vertex_limit=0), "simple"
         )
         assert "BroadcastHashJoin" not in big_pr, big_pr
-        assert "SortMergeJoin" in big_pr, big_pr
+        assert "SortMergeJoin" in big_pr or "ShuffledHashJoin" in big_pr, big_pr
         # 1-row N scalar stays broadcast at any scale — BNLJ only.
         small_bfs = _explain(
             bfs_hops(spark, ee, source=2, rounds=2, checkpoint=False), "simple"

@@ -25,7 +25,6 @@ order in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trafik_etl_modular_spark.functions.scalars import dsum, oracle_dsum
@@ -47,20 +46,10 @@ ps AS (
 """
 
 
-def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem → ps: one hash shuffle on the composite key, partial
-    aggregation map-side (Spark does two-phase automatically)."""
-    return (
-        t(spark, sf_dir, "lineitem")
-        .groupBy(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-        )
-        .agg(
-            dsum("l_quantity", 2).alias("ps_availqty"),
-            F.min("l_extendedprice").alias("ps_supplycost"),
-        )
-    )
+# (The Spark legs derive the same relation inline, each over a fact
+# scan pre-filtered by its query's broadcast key restrictions — the
+# oracle CTE keeps the unfiltered canonical form; restricting whole
+# groups by a grouping key commutes with the aggregation.)
 
 
 # ---------------------------------------------------------------------------
@@ -100,12 +89,42 @@ WHERE p_size = 15
 def tpch_q2(spark, sf_dir):
     """TPC-H Q2: cheapest EUROPE supplier per size-15 part
     (correlated-min subquery decorrelated to grouped MIN + equi-join)."""
-    ps = _ps(spark, sf_dir)
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
 
+    # Pre-filter the FACT SCAN with broadcast semi-joins on both
+    # restriction keys before the (partkey, suppkey) aggregation
+    # (guide §2.3 / §3.2 — shuffle fewer bytes): every predicate here
+    # restricts whole GROUPS by a grouping key (EUROPE suppliers,
+    # size-15 parts), so dropping their rows before the groupBy leaves
+    # the surviving groups' aggregates untouched.  minc stays correct:
+    # it is per-part over EUROPE suppliers, and only size-15 parts can
+    # reach the final join anyway.
+    eur_supp = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(eur_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        dsum("l_quantity", 2).alias("ps_availqty"),
+        F.min("l_extendedprice").alias("ps_supplycost"),
+    )
     eps = (
         ps.join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -167,10 +186,28 @@ WHERE value > 0.002 * total_value
 def tpch_q11(spark, sf_dir):
     """TPC-H Q11: parts holding > 0.2% of the two-nation inventory
     value (global-fraction scalar subquery as broadcast cross join)."""
-    ps = _ps(spark, sf_dir)
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    # same pre-aggregation semi-join pushdown as q2: the two-nation
+    # supplier restriction is on a GROUPING key, so filtering the fact
+    # rows first shrinks the (partkey, suppkey) shuffle without
+    # touching any surviving group's sums
+    two_nation = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(two_nation),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        dsum("l_quantity", 2).alias("ps_availqty"),
+        F.min("l_extendedprice").alias("ps_supplycost"),
     )
     nps = (
         ps.join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
@@ -217,14 +254,6 @@ GROUP BY p_brand, p_type, p_size
 def tpch_q16(spark, sf_dir):
     """TPC-H Q16: distinct-supplier histogram by part attributes with a
     NOT-IN exclusion list (anti join on a broadcast complaint set)."""
-    ps = (
-        t(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-        )
-        .distinct()
-    )
     part = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
@@ -233,9 +262,26 @@ def tpch_q16(spark, sf_dir):
     excluded = t(spark, sf_dir, "supplier").filter(
         F.col("s_name").like("%000000001%")
     ).select("s_suppkey")
+    # both restrictions are on the distinct's OWN key columns, so they
+    # commute with the distinct — apply them to the fact scan first
+    # (broadcast semi/anti) and shrink the distinct's shuffle instead
+    # of deduplicating rows the joins would drop anyway
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("ps_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(excluded), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .distinct()
+    )
     return (
-        ps.join(F.broadcast(excluded), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -282,7 +328,18 @@ def tpch_q20(spark, sf_dir):
     """TPC-H Q20: nation-filtered suppliers with excess 'red'-part
     inventory (nested per-group threshold → conditional sum in one
     aggregate, then left-semi join)."""
-    li = t(spark, sf_dir, "lineitem")
+    red_parts = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    # the red-part restriction is on the grouping key — semi-join the
+    # fact scan against the broadcast part list BEFORE the aggregation
+    # so the (partkey, suppkey) shuffle carries only red-part rows
+    # (guide §3.2; surviving groups' sums are unchanged)
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(red_parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     in_1996 = (
         F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
     ) & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -292,9 +349,6 @@ def tpch_q20(spark, sf_dir):
     ).agg(
         dsum("l_quantity", 2).alias("ps_availqty"),
         dsum(F.when(in_1996, F.col("l_quantity")).otherwise(0), 2).alias("qty_1996"),
-    )
-    red_parts = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
-        "p_partkey"
     )
     excess = (
         ps.join(F.broadcast(red_parts), F.col("ps_partkey") == F.col("p_partkey"))
