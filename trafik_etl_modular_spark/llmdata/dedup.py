@@ -298,6 +298,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.6,
+    shingle_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Exact k-shingle Jaccard near-dup pairs via an INVERTED INDEX:
     explode shingles, equi-join on the shingle, count shared shingles
@@ -323,9 +324,19 @@ def ngram_jaccard_pairs(
     # Jaccard over the string sets up to ~n²/2⁶⁴ in-doc collisions
     # (see hashed_shingles) — the DuckDB oracle computes the string
     # form and the values agree.
-    sh = fan_out(docs).select(
-        F.col(id_col), hashed_shingles(F.col(text_col), k).alias("s")
-    )
+    if shingle_frame is not None:
+        # caller already materialized the (id, shingle-set) frame
+        # (e.g. minhash_frames' checkpoint) — reuse it instead of
+        # re-deriving the identical arrays from the text.  A doc with
+        # zero shingles explodes to zero posting rows, so the
+        # size-filtered frame yields the same inverted index.
+        sh = shingle_frame.select(
+            F.col(id_col), F.col(shingle_frame.columns[1]).alias("s")
+        )
+    else:
+        sh = fan_out(docs).select(
+            F.col(id_col), hashed_shingles(F.col(text_col), k).alias("s")
+        )
     # Both join sides read the same postings — materialize once instead
     # of re-running shingle+explode per leg (at lake scale: persist the
     # inverted index to storage between build and join stages).

@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 from trafik_etl_modular_spark.llmdata.dedup import (
     connected_components,
     crossdoc_chunk_stats,
+    minhash_frames,
     minhash_near_dups,
+    minhash_near_dups_from,
     remove_repeated_chunks,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_prefix,
@@ -992,10 +994,17 @@ def dedup_lsh_calibration(spark, sf_dir):
     DuckDB recomputes exact Jaccard for both sides and the report
     itself."""
     docs = t(spark, sf_dir, "documents")
-    cand = minhash_near_dups(docs, threshold=0.0, max_bucket_size=1000).select(
+    # candidates and exact truth share ONE materialized shingle frame
+    # (the banding sweep's economy): the MinHash pipeline and the
+    # inverted-index ground truth both start from the identical
+    # hashed-shingle arrays
+    sh, signed = minhash_frames(docs)
+    cand = minhash_near_dups_from(
+        sh, signed, threshold=0.0, max_bucket_size=1000
+    ).select(
         "id_a", "id_b", F.col("jaccard").alias("j_c"), F.lit(True).alias("is_cand")
     )
-    truth = ngram_jaccard_pairs(docs, k=3, threshold=0.5).select(
+    truth = ngram_jaccard_pairs(docs, k=3, threshold=0.5, shingle_frame=sh).select(
         "id_a", "id_b", F.col("jaccard").alias("j_t")
     )
     merged = truth.join(cand, ["id_a", "id_b"], "full_outer").select(
@@ -7495,20 +7504,23 @@ def dedup_lsh_banding_sweep(spark, sf_dir):
     from trafik_etl_modular_spark.operators.pinning import pin
 
     docs = t(spark, sf_dir, "documents")
-    n_true = pin(
-        ngram_jaccard_pairs(docs, k=3, threshold=_LSH_SWEEP_THRESHOLD).agg(
-            F.count("*").cast("bigint").alias("n_true")
-        ),
-        eager=True,
-    )
     # The shingle sets and the 64-hash signature are banding-
     # INDEPENDENT: compute both ONCE (lazy-checkpointed, so all three
     # sweep legs read the same materialized frames) and re-band per
     # config — the per-config work is then only the band slice, the
     # bucket join and the candidate-bounded verify (was: the full
     # shingle+sign pipeline rebuilt per config, 3× the corpus-scan
-    # and signature cost).
+    # and signature cost).  The exact ground-truth pass reuses the
+    # SAME checkpointed shingle frame — the inverted-index postings
+    # are derived from identical arrays, so one materialization feeds
+    # truth and all three candidate legs.
     sh, signed = minhash_frames(docs)
+    n_true = pin(
+        ngram_jaccard_pairs(
+            docs, k=3, threshold=_LSH_SWEEP_THRESHOLD, shingle_frame=sh
+        ).agg(F.count("*").cast("bigint").alias("n_true")),
+        eager=True,
+    )
     out = None
     for b, r in _LSH_SWEEP_CONFIGS:
         cand = minhash_near_dups_from(

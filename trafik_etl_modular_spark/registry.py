@@ -194,6 +194,7 @@ PENDING_RESTAMP_R13: list[str] = [
     "agg_cms_heavy_hitters",
     "join_spatial_neighbor_pairs",
     "join_bloom_semi_prefilter",
+    "dedup_lsh_calibration",
 ]
 
 
