@@ -110,11 +110,17 @@ def main() -> int:
 
     cur = current_fingerprints()
     manifest = load_manifest()
-    # pending-restamp names are window-equivalent here: the r12 window
-    # froze full before the optimization round edited them, so their
-    # obligation is carried to the r13 rotation by
-    # tests/test_contract.py::test_pending_restamp_rotates_into_r13
-    winlike = set(DRIVER_WINDOW) | set(PENDING_RESTAMP_R13)
+    # ADVICE r12 item 1: PENDING_RESTAMP_R13 used to be unioned in as
+    # window-equivalent, which exempted those 15 names from the
+    # changed-since-stamp guard indefinitely.  The r13 rotation put all
+    # 15 INSIDE DRIVER_WINDOW (test_pending_restamp_rotates_into_r13
+    # asserts it), so the exemption is now exactly the window — any
+    # further edit to a query outside it is flagged again.
+    assert all(n in DRIVER_WINDOW for n in PENDING_RESTAMP_R13), (
+        "pending-restamp names must sit inside DRIVER_WINDOW since the "
+        "r13 rotation; do not re-widen the exemption"
+    )
+    winlike = set(DRIVER_WINDOW)
 
     if "--seed" in sys.argv:
         # one-time round-9 initialization (judge-verified full surface)

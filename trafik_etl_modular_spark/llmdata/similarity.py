@@ -551,7 +551,7 @@ def pq_assign(
     )
 
 
-def pq_reconstruct(codes_col: Column | str, codebooks) -> Column:
+def pq_reconstruct(codes_col: str, codebooks) -> Column:
     """The PQ reconstruction of a codes array: concatenate the m
     looked-up codebook entries (plan-literal codebooks, element_at by
     code) back into a dim-length array.  ADC scoring is then a plain
@@ -570,7 +570,15 @@ def pq_reconstruct(codes_col: Column | str, codebooks) -> Column:
     parse to the same IEEE value).  ``codes_col`` must be a plain
     column NAME (it is spliced into the rendered expression)."""
     m, k, dsub = codebooks.shape
-    codes_sql = codes_col if isinstance(codes_col, str) else "codes"
+    if not isinstance(codes_col, str):
+        # ADVICE r12 item 5: silently coercing a Column argument to the
+        # hardcoded name "codes" reads the wrong column for any caller
+        # whose column is named differently — fail loudly instead.
+        raise TypeError(
+            "codes_col must be a plain column NAME (str); it is spliced "
+            f"into a rendered SQL expression, got {type(codes_col).__name__}"
+        )
+    codes_sql = codes_col
 
     def _d(v) -> str:
         r = repr(float(v))

@@ -100,85 +100,90 @@ _QUERY_MODULES = [
 # and changed-since-stamp queries always enter the next window.
 # `python tools/stamps.py --plan-next` prints each round's exact
 # obligation; tests/test_contract.py::test_window_covers_stale_stamps
-# enforces it from the same module.  Round 12: the MANDATORY cohort is
-# again ZERO (end-of-r11 --plan-next), so the 50 slots carry exactly
-# (1) the 43 queries ADDED this round (never-stamped rule) and (2) the
-# 7 whose function/oracle CHANGED this round (hash-manifest rule: the
-# ADVICE r11 overflow widenings and the staged-parquet oracle
-# rewrites) — the round's additions consumed every fill slot.
+# enforces it from the same module.  Round 13 (optimization round 2):
+# the MANDATORY tier cohort is ZERO (end-of-r12 --plan-next), so the
+# 50 slots carry, in order:
+#   (1) the 15 PENDING_RESTAMP_R13 queries — semantically rewritten by
+#       optimization round 12 AFTER its window froze; the driver's
+#       oracle has never stamped the rewritten forms (VERDICT r12
+#       "Next round" item 1; test_pending_restamp_rotates_into_r13
+#       enforces this block);
+#   (2) the queries THIS optimization round touches (hash-manifest
+#       rule: edited queries must sit in the next stamp-bound window),
+#       five of which were ALSO in the r12 window — a deliberate
+#       overlap cohort so the driver's round-over-round PERF
+#       comparison has n_common > 0 (VERDICT r12 item 8; r12 had a
+#       fully-rotated window and the comparison produced nothing);
+#   (3) tier-aware fill, soonest deadline first (r09/r10/r11 actives).
 DRIVER_WINDOW: list[str] = [
-    # --- never-stamped: round-12 additions -----------------------------
-    "text_bm25_delete",
-    "sim_ivf_delete_probe",
-    "sim_ivf_purge_compact",
-    "vocab_bpe_merge_rounds",
-    "streaming_watermark_lateness",
-    "events_mann_kendall_trend",
-    "dq_poisson_dispersion",
-    "events_user_gini",
-    "events_rfm_scores",
-    "window_max_drawdown",
-    "agg_weighted_median",
-    "text_skipgram_lift",
-    "sample_kfold_assignment",
-    "dq_chi2_homogeneity",
-    "graph_local_clustering",
-    "text_simpson_diversity",
-    "agg_mode_per_group",
+    # --- (1) pending restamp: r12-optimization rewrites, never driver-
+    # stamped in their current form --------------------------------------
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_count",
+    "tpch_q20_excess_inventory",
+    "sim_quantized_recall",
+    "sim_ann_ivf_quantized_probe",
+    "sim_ann_ivf_pq_probe",
+    "sim_pq_recall",
+    "sim_random_projection_jl",
+    "graph_triangle_count",
+    "graph_common_neighbor_linkpred",
+    "agg_cms_heavy_hitters",
+    "join_spatial_neighbor_pairs",
+    "join_bloom_semi_prefilter",
+    "dedup_lsh_calibration",
+    # --- (2) round-13 optimization targets; the first five are the
+    # r12-window OVERLAP cohort (driver n_common > 0) ---------------------
     "graph_jaccard_linkpred",
-    "dq_ks_two_sample",
-    "merge_distinct_ivm",
-    "dedup_lsh_banding_sweep",
-    "basket_association_rules",
-    "agg_pareto_abc",
-    "agg_hhi_concentration",
-    "events_dau_wau_stickiness",
-    "events_new_vs_returning",
-    "events_ewma_volume",
-    "events_theil_sen_slope",
-    "events_mase_seasonal",
-    "events_changepoint_binseg",
-    "sketch_ams_f2",
-    "planning_histogram_selectivity",
-    "window_daily_ohlc",
-    "window_rolling_zscore",
-    "events_kaplan_meier",
     "graph_personalized_pagerank",
-    "merge_topk_ivm",
-    "merge_minmax_ivm_rescan",
-    # --- changed this round (hash-manifest rule): DECIMAL/HUGEINT
-    # overflow widenings (ADVICE r11 items 1/2/4) and the staged-
-    # parquet derived-oracle rewrites (ADVICE r11 item 5) ---------------
-    "dq_chi2_independence",
-    "text_lang_divergence_tv",
-    "join_cardinality_estimate",
-    "sim_ivf_nprobe_sweep",
-    "sim_ivf_incremental_append",
-    "sim_ivf_retrain_reassignment",
-    "sim_ivf_compact",
-    "events_markov_stationary",
-    "planning_greedy_join_order",
-    "sample_stratified_neyman",
-    "sketch_cms_width_sweep",
     "merge_scd2_retro_correction",
+    "events_changepoint_binseg",
+    "vocab_bpe_merge_rounds",
+    "graph_label_propagation",
+    "graph_pagerank_3iter",
+    "dedup_simhash_calibration",
+    "dedup_simhash_candidates",
+    "dedup_clusters",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_containment_pairs",
+    "sim_neardup_embeddings",
+    "streaming_bitmap_distinct_monitor",
+    "streaming_sessionize_stateful",
+    # --- (3) tier-aware fill, soonest deadline first ---------------------
+    "text_host_quality_policy",
+    "agg_bitmap_distinct_rollup",
+    "agg_pearson_correlation",
+    "dq_cusum_changepoint",
+    "dq_seasonal_decompose",
+    "events_transition_matrix",
+    "sample_shuffle_shards",
+    "sample_temporal_split_leakage",
+    "sim_mmr_rerank",
+    "streaming_cusum_monitor",
+    "text_bm25_maxscore_prune",
+    "text_bm25_topk",
+    "text_chunk_windows",
+    "agg_exact_percentile_grid",
+    "dedup_blocking_quality",
+    "dq_partition_skew_audit",
+    "dq_referential_integrity",
+    "events_attribution_touch",
+    "events_autocorrelation",
+    "events_interarrival_histogram",
 ]
-# No tier-fill slots this round: the 43 round-12 additions plus the 7
-# hash-manifest changes fill the window exactly (never-stamped and
-# changed-query cohorts outrank tier fill; the r09/r10 single-stamp
-# actives stay comfortably inside their tier deadlines for r13 —
-# `tools/stamps.py --plan-next` re-derives the obligation).
 
-# Optimization round 12 changed 14 MORE queries' fingerprints AFTER
-# this window was frozen (see OPTIMIZATION_r12.md for the per-query
-# measurement evidence; every one re-verified against the DuckDB
-# oracle at sf0.01 AND sf0.1 in that session).  The window was already
-# at 50/50 with 43 hard-pinned never-stamped additions, so these could
-# not rotate in this round.  The hash manifest records their CURRENT
-# fingerprints (so `tools/query_hashes.py` won't re-flag them), which
-# means `tools/stamps.py --plan-next` can no longer derive the
-# obligation — this list carries it instead, and
-# tests/test_contract.py::test_pending_restamp_rotates_into_r13
-# fails the build if the r13 rotation forgets them.
+# Optimization round 12 changed these 15 queries' fingerprints AFTER
+# the r12 window was frozen (ADVICE r12: the old comment said 14; the
+# list has always held 15 names — see OPTIMIZATION_r12.md for the
+# per-query measurement evidence; every one re-verified against the
+# DuckDB oracle at sf0.01 AND sf0.1 in that session).  The r12 window
+# was already at 50/50 with 43 hard-pinned never-stamped additions, so
+# they could not rotate in that round.  RESOLVED at the r13 rotation:
+# all 15 now lead DRIVER_WINDOW above, so the driver's r13 ledger
+# stamps the rewritten forms.  The list stays (a) as the historical
+# record and (b) because tests/test_contract.py::
+# test_pending_restamp_rotates_into_r13 asserts the containment.
 PENDING_RESTAMP_R13: list[str] = [
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",

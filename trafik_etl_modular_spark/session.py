@@ -58,12 +58,15 @@ def get_spark(
         # size conditions hold instead of always sorting both legs
         # (optimization-guide §3.1/§9): the no-sort build won an
         # interleaved A/B on every SMJ-heavy query tried (9-query
-        # subset 31.7 → 24.0 s at sf0.1), and the AQE local-map
-        # threshold bounds the runtime SMJ→SHJ rewrite by MEASURED
-        # per-partition size, so a skewed or misestimated build side
-        # falls back to sort-merge rather than OOM.  Env-overridable
-        # for cluster profiles where sort-merge's graceful spill is
-        # preferred wholesale.
+        # subset 31.7 → 24.0 s at sf0.1).  Two distinct paths open up
+        # (ADVICE r12 item 4): the AQE SMJ→SHJ rewrite is bounded by
+        # MEASURED per-partition size (the local-map threshold below),
+        # but preferSortMergeJoin=false ALSO lets static planning pick
+        # SHJ from ESTIMATED stats, which has no measured-size bound
+        # and no sort-merge fallback — a badly misestimated build side
+        # can still OOM there.  SPARK_GRAFT_PREFER_SMJ=true is the
+        # mitigation for misestimate-prone cluster profiles where
+        # sort-merge's graceful spill is preferred wholesale.
         .config(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
