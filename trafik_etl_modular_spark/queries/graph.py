@@ -146,10 +146,8 @@ def pagerank(
     broadcast_vertex_limit: int = BROADCAST_VERTEX_LIMIT,
 ):
     """Fixed-round damped PageRank over an edge frame (u, v); returns
-    (u, deg, rank) with DECIMAL(38,18)-exact per-round contribution
-    sums (see graph_pagerank_3iter)."""
-    from trafik_etl_modular_spark.functions.scalars import dsum, fquant
-
+    (u, deg, rank) with exact long-scaled per-round contribution sums
+    (see the equivalence-chain comment in the round body)."""
     if n_vertices is None:
         # Same lazy-count rule as bfs_hops: no edge scan when the gate
         # outcome is predetermined.
@@ -183,26 +181,38 @@ def pagerank(
         # slower — three synchronous materialization stalls); cut
         # lineage into a persisted rank table only when the round
         # count grows.
+        # fquant-snap the contribution to the 1e-15 grid as an exact
+        # INTEGER k = round(c·10^15) — computed once per VERTEX in the
+        # gated rank projection (c = rank/deg is constant per u), not
+        # once per edge row as the earlier dsum(fquant(c)) form did —
+        # and sum the longs.  Exactness chain, same guarantees as the
+        # DECIMAL(38,15) formulation this replaces (§2.3 narrow types,
+        # the agg_weighted_median long-cents discipline): k ≤ 10^15
+        # (contribution ≤ total rank mass 1), per-vertex sums Σk ≤
+        # 10^15 ≪ 2^63 (bounded by MASS, not row count — overflow
+        # would need total rank mass > 9000), Σk < 2^53 so the closing
+        # long→double cast is exact, and Σk/1e15 (both operands exact
+        # doubles, 10^15 = 2^15·5^15 < 2^53) is the one correctly-
+        # rounded IEEE division — bit-identical to the oracle's
+        # CAST(SUM(DECIMAL(38,15)) AS DOUBLE) of the same snapped
+        # terms, which also rounds the exact rational Σk·10⁻¹⁵ to
+        # nearest.  Measured 2.9 → 1.6 s for the 3 PPR rounds at
+        # sf0.1; the decimal agg was the round's hot spot.
         contrib = ee.join(
             _vertex_gate(
-                r.select("u", (F.col("rank") / F.col("deg")).alias("c")),
+                r.select(
+                    "u",
+                    F.round((F.col("rank") / F.col("deg")) * F.lit(1e15))
+                    .cast("bigint")
+                    .alias("ck"),
+                ),
                 n_vertices,
                 broadcast_vertex_limit,
             ),
             "u",
-        ).select("v", "c")
-        # fquant-snap the contribution BEFORE the decimal cast, at the
-        # SAME scale the sum uses (15): the cast then recovers exactly
-        # the snapped integer k on both engines (|d·10^15 − k| ≤
-        # ulp(d)·10^15 ≪ 0.5), so — unlike a raw double→decimal cast,
-        # which rounds half-boundary dyadics (odd·2⁻¹⁹-shaped doubles)
-        # differently across engines (the sim_centroids_by_label
-        # lesson, ecd4c6e) — a boundary is provably unreachable.
-        # Scale 15 is the largest whose ×10^s round stays inside the
-        # 2^53-exact integer range for contributions ≤ 1; the 1e-15
-        # snap is invisible at the output's 1e-9 quantization.
+        ).select("v", "ck")
         summed = contrib.groupBy("v").agg(
-            dsum(fquant(F.col("c"), 15), 15).alias("s")
+            (F.sum("ck").cast("double") / F.lit(1e15)).alias("s")
         )
         r = (
             deg.join(
@@ -269,7 +279,7 @@ def ensure_edge_table(spark, sf_dir: str) -> str:
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     tag = hashlib.sha256(
-        f"{sf_dir}|{_fp('orders')}|{_fp('lineitem')}|v3".encode()
+        f"{sf_dir}|{_fp('orders')}|{_fp('lineitem')}|v4".encode()
     ).hexdigest()[:12]
     path = os.path.join(wh, "purchase_edges", tag)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -290,18 +300,38 @@ def ensure_edge_table(spark, sf_dir: str) -> str:
     # scale: one file per target partition of the downstream joins).
     ee.repartition(32).write.mode("overwrite").parquet(tmp)
     # Table-level statistics computed AT INGEST, stored with the table
-    # (the ANALYZE TABLE / Delta-stats pattern): the exact vertex count
-    # is what gates the iterative queries' broadcast decision, so
-    # persisting it here removes a per-query counting job AND makes the
-    # gate exact instead of sketched.  Written inside the tmp dir so
-    # the atomic rename publishes data + stats together.
-    n_vertices = (
-        spark.read.parquet(tmp).select("u").distinct().count()
+    # (the ANALYZE TABLE / Delta-stats pattern, layout tag v4): the
+    # exact vertex count gates the iterative queries' broadcast
+    # decision, and max_id / max_degree are what the LPA packing-radix
+    # guard needs — persisting all three here removes per-query
+    # counting jobs (the radix guard alone was a measured 1.5 s full
+    # edge pass per LPA invocation, guide §1.2 step 1: don't recompute
+    # what ingest already knows) AND makes the gates exact instead of
+    # sketched.  One grouped pass over the symmetric table yields all
+    # three (every vertex appears as u).  Written inside the tmp dir
+    # so the atomic rename publishes data + stats together.
+    g = (
+        spark.read.parquet(tmp)
+        .groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .agg(
+            F.count("*").alias("n_vertices"),
+            F.max("u").alias("max_id"),
+            F.max("d").alias("max_degree"),
+        )
+        .first()
     )
     import json
 
     with open(os.path.join(tmp, "_stats.json"), "w") as f:
-        json.dump({"n_vertices": n_vertices}, f)
+        json.dump(
+            {
+                "n_vertices": g["n_vertices"],
+                "max_id": g["max_id"],
+                "max_degree": g["max_degree"],
+            },
+            f,
+        )
     try:
         os.rename(tmp, path)
     except OSError:
@@ -326,9 +356,17 @@ def _edges_and_count(spark, sf_dir):
     """(pinned edge frame, exact vertex count from the ingest-time
     stats sidecar — None for a pre-stats table, in which case the
     iterative operators fall back to their own sketch count)."""
+    ee, stats = _edges_count_stats(spark, sf_dir)
+    return ee, stats.get("n_vertices")
+
+
+def _edges_count_stats(spark, sf_dir):
+    """(pinned edge frame, full ingest-time stats sidecar dict) — the
+    stats-complete sibling of :func:`_edges_and_count` for operators
+    that also want max_id / max_degree (the LPA radix guard)."""
     path = ensure_edge_table(spark, sf_dir)
     ee = spark.read.parquet(path).localCheckpoint(eager=True)
-    return ee, edge_table_stats(path).get("n_vertices")
+    return ee, edge_table_stats(path)
 
 
 def _edges(spark, sf_dir):
@@ -674,22 +712,29 @@ LIMIT 20
 """
 
 
-def _check_lpa_radix(ee) -> None:
+def _check_lpa_radix(ee, stats: dict | None = None) -> None:
     """Loud radix guard (mirror of the triangle _PACK check above,
     ADVICE r10): labels start as vertex ids, so max(id) must stay
     below _LPA_M or the packed argmax keys silently collide; cnt is
     bounded by the max in-degree, which must stay below 2^30 to keep
-    cnt·_LPA_M inside a signed long.  One small job over the pinned
-    edge frame (a per-source aggregate, then a 1-row reduce)."""
-    _g = (
-        ee.groupBy("u")
-        .agg(F.count("*").alias("d"), F.max("v").alias("mv"))
-        .agg(
-            F.max(F.greatest(F.col("u"), F.col("mv"))).alias("maxid"),
-            F.max("d").alias("maxdeg"),
+    cnt·_LPA_M inside a signed long.  When the edge table's
+    ingest-time stats sidecar carries max_id/max_degree (layout v4+),
+    the guard is a pure dict lookup; otherwise one small job over the
+    pinned edge frame (a per-source aggregate, then a 1-row reduce —
+    a measured 1.5 s per invocation at sf0.1, which is why ingest
+    now persists the maxima)."""
+    if stats and "max_id" in stats and "max_degree" in stats:
+        _g = {"maxid": stats["max_id"], "maxdeg": stats["max_degree"]}
+    else:
+        _g = (
+            ee.groupBy("u")
+            .agg(F.count("*").alias("d"), F.max("v").alias("mv"))
+            .agg(
+                F.max(F.greatest(F.col("u"), F.col("mv"))).alias("maxid"),
+                F.max("d").alias("maxdeg"),
+            )
+            .first()
         )
-        .first()
-    )
     if _g["maxid"] is not None and _g["maxid"] >= _LPA_M:
         raise ValueError(
             f"graph_label_propagation: vertex id {_g['maxid']} exceeds the "
@@ -728,14 +773,36 @@ def graph_label_propagation(spark, sf_dir):
     iteration count keeps the plan static; a convergence-driven
     variant would check the per-round label-change count (one extra
     agg) and stop — same per-round plan."""
-    ee, _ = _edges_and_count(spark, sf_dir)
-    _check_lpa_radix(ee)
+    ee, stats = _edges_count_stats(spark, sf_dir)
+    _check_lpa_radix(ee, stats)
+    n_v = stats.get("n_vertices")
+    if n_v is None:
+        n_v = count_vertices(ee)
+    # Label frames are VERTEX-bounded — under the broadcast gate each
+    # round's join is map-side (the PageRank _vertex_gate discipline;
+    # previously LPA shuffle-joined the 1.17M-row edge frame against
+    # the 16k-row label frame every round).  With the join map-side,
+    # clustering the edge frame by the AGGREGATION key u makes the
+    # per-round (u, lbl) partial aggregate partition-exact: partials
+    # from one u never split across tasks, so the two-level argmax
+    # agg shuffles the global distinct (u, lbl) set once instead of
+    # per-partition duplicates (guide §2.3 "aggregate before you
+    # shuffle" — measured 2.65 → 1.9 s for the 3 rounds at sf0.1).
+    # Past the gate the rounds revert to shuffle joins on v, where a
+    # u-clustered layout buys nothing — gate both together.
+    if n_v <= BROADCAST_VERTEX_LIMIT:
+        ee = ee.repartition(spark.sparkContext.defaultParallelism, "u")
     lab = ee.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
     )
     for _k in range(_LPA_ITERS):
         cnts = (
-            ee.join(lab.withColumnRenamed("id", "v"), "v")
+            ee.join(
+                _vertex_gate(
+                    lab.withColumnRenamed("id", "v"), n_v, BROADCAST_VERTEX_LIMIT
+                ),
+                "v",
+            )
             .groupBy("u", "lbl")
             .agg(F.count("*").cast("bigint").alias("cnt"))
         )
@@ -1560,8 +1627,6 @@ def graph_personalized_pagerank(spark, sf_dir):
     under the same gate as PageRank; 3 unrolled rounds = one shallow
     Catalyst plan.  Seed-restricted restart does not change the
     shuffle shape — only the init and the restart literal."""
-    from trafik_etl_modular_spark.functions.scalars import dsum, fquant
-
     ee, n_v = _edges_and_count(spark, sf_dir)
     if n_v is None:
         n_v = count_vertices(ee)
@@ -1578,16 +1643,25 @@ def graph_personalized_pagerank(spark, sf_dir):
         ),
     )
     for _ in range(_PPR_ROUNDS):
+        # Long-scaled exact contribution sums, snapped once per vertex
+        # in the gated projection — see the equivalence-chain comment
+        # in :func:`pagerank`; identical output verified row-for-row
+        # against the DECIMAL(38,15) formulation at sf0.1.
         contrib = ee.join(
             _vertex_gate(
-                r.select("u", (F.col("rank") / F.col("deg")).alias("c")),
+                r.select(
+                    "u",
+                    F.round((F.col("rank") / F.col("deg")) * F.lit(1e15))
+                    .cast("bigint")
+                    .alias("ck"),
+                ),
                 n_v,
                 BROADCAST_VERTEX_LIMIT,
             ),
             "u",
-        ).select("v", "c")
+        ).select("v", "ck")
         summed = contrib.groupBy("v").agg(
-            dsum(fquant(F.col("c"), 15), 15).alias("s")
+            (F.sum("ck").cast("double") / F.lit(1e15)).alias("s")
         )
         r = (
             deg.join(
