@@ -82,6 +82,28 @@ def token_hashes(str_arr: Column) -> Column:
     return F.transform(str_arr, lambda x: F.xxhash64(x))
 
 
+def token_hash_expr(text: Column | str) -> Column:
+    """Per-position token hashes of a space-tokenized text: each word
+    hashed once, positions preserved — the shared upstream of BOTH
+    sketch families (shingle hashes combine k consecutive entries;
+    SimHash votes come from the distinct entries), so a calibration
+    query can tokenize the corpus once and feed both legs."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.transform(F.split(c, " "), lambda t: F.xxhash64(t))
+
+
+def shingles_from_token_hashes(th: Column | str, k: int = 3) -> Column:
+    """Distinct k-shingle hashes from a positional token-hash array
+    (the second half of :func:`hashed_shingles`, split out so a
+    shared :func:`token_hash_expr` frame can feed it)."""
+    c = F.col(th) if isinstance(th, str) else th
+    cnt = F.greatest(F.size(c) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(c, j + 1, cnt) for j in range(k)])
+    return F.array_distinct(
+        F.transform(zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(k)]))
+    )
+
+
 def hashed_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles AS 64-BIT HASHES — the corpus-scale
     representation: tokens are hashed once, a shingle hash combines k
@@ -90,13 +112,7 @@ def hashed_shingles(text: Column | str, k: int = 3) -> Column:
     cardinality as :func:`shingles` up to hash collisions
     (~n²/2⁶⁴ per doc — negligible), so Jaccard over these equals
     Jaccard over the string sets."""
-    c = F.col(text) if isinstance(text, str) else text
-    th = F.transform(F.split(c, " "), lambda t: F.xxhash64(t))
-    cnt = F.greatest(F.size(th) - (k - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(th, j + 1, cnt) for j in range(k)])
-    return F.array_distinct(
-        F.transform(zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(k)]))
-    )
+    return shingles_from_token_hashes(token_hash_expr(text), k)
 
 
 def _banded(
@@ -1015,35 +1031,81 @@ def _sig_bit(i: int) -> Column:
     return F.lit(-(2**63) if i == 63 else 2**i).cast("long")
 
 
-def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+# 4×16-bit lane-packing mask: (h >>> j) & _SIMHASH_LANE_MASK isolates
+# bits j, j+16, j+32, j+48 of a token hash into the four 16-bit fields
+# of one long, so 16 packed sums replace 64 conditional sums.
+_SIMHASH_LANE_MASK = 0x0001_0001_0001_0001
+_SIMHASH_FIELD_CAP = 1 << 16
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashes: bool = False,
+) -> DataFrame:
     """Doc → 64-bit SimHash (Charikar 2002): per bit i, sum ±1 votes
     according to bit i of each distinct-token hash; the vote's sign
     sets bit i of the signature.
 
-    Shape: explode tokens → xxhash64 once → ONE hash aggregation with
-    64 conditional-sum columns → assemble the signature.  All 64 bit
-    lanes are evaluated in a single codegen'd pass over the exploded
-    rows with map-side partial aggregation, so the shuffle moves only
-    one 64-column row per doc — vs. the per-doc ``aggregate()`` lambda
-    formulation, which interprets 64 separate passes over the token
-    array per row (~8× slower measured at sf0.1)."""
+    Shape: explode distinct token hashes → ONE hash aggregation with
+    the 64 bit lanes PACKED into 16 long columns of 4×16-bit fields:
+    ``(h >>> j) & 0x0001000100010001`` drops bits j/j+16/j+32/j+48
+    into their own fields in one shift+mask, so each token costs 16
+    shift+mask+add lanes instead of 64 conditional sums (guide §1.2
+    step 2 — measured 2.0 → 1.6 s at sf0.1; the per-doc
+    ``aggregate()`` lambda formulation interprets per element and
+    stays ~8× slower).  The vote sign test votes_i > 0 becomes
+    2·ones_i > n on the unpacked field — the same integer
+    inequality.  A 16-bit field saturates at 65,536 DISTINCT tokens
+    per document; the signature projection raises loudly via
+    raise_error long before that (the radix-guard discipline), since
+    a silent wrap would corrupt signatures.
+
+    ``hashes=True`` means ``text_col`` already holds a positional
+    token-hash array (:func:`token_hash_expr`) — the shared-
+    tokenization path for calibration queries that feed one token
+    frame to both the sketch and the exact-truth leg.  Distinct of
+    hashes equals hash of distinct tokens up to in-doc xxhash64
+    collisions (~n²/2⁶⁴ — the same negligible window
+    :func:`hashed_shingles` documents)."""
     from trafik_etl_modular_spark.operators.partitions import fan_out
 
+    tok_arr = (
+        F.col(text_col)
+        if hashes
+        else token_hash_expr(F.col(text_col))
+    )
     toks = fan_out(docs).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("__tok"),
-    ).select(F.col(id_col), F.xxhash64("__tok").alias("__h"))
+        F.col(id_col), F.explode(F.array_distinct(tok_arr)).alias("__h")
+    )
     votes = toks.groupBy(id_col).agg(
+        F.count("*").alias("__n"),
         *[
             F.sum(
-                F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"__v{i}")
-            for i in range(64)
-        ]
+                F.shiftrightunsigned("__h", j).bitwiseAND(F.lit(_SIMHASH_LANE_MASK))
+            ).alias(f"__p{j}")
+            for j in range(16)
+        ],
     )
     sig = F.lit(0).cast("long")
     for i in range(64):
-        sig = sig + F.when(F.col(f"__v{i}") > 0, _sig_bit(i)).otherwise(F.lit(0).cast("long"))
+        j, k = i % 16, i // 16
+        ones = F.shiftrightunsigned(F.col(f"__p{j}"), 16 * k).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        sig = sig + F.when(ones * 2 > F.col("__n"), _sig_bit(i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    sig = F.when(
+        F.col("__n") >= _SIMHASH_FIELD_CAP,
+        F.raise_error(
+            F.lit(
+                "simhash_signatures: a document has >= 2^16 distinct tokens; "
+                "the 16-bit packed vote fields would wrap — widen the packing"
+            )
+        ),
+    ).otherwise(sig)
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 

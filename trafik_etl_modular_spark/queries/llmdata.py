@@ -1201,12 +1201,30 @@ def dedup_simhash_calibration(spark, sf_dir):
     cross join.  Oracle: DERIVED — signatures frozen, DuckDB runs the
     pigeonhole join, the ground truth, and the report itself."""
     docs = t(spark, sf_dir, "documents")
-    cand = simhash_candidate_pairs(simhash_signatures(docs), max_hamming=3).select(
-        "id_a", "id_b", "hamming"
+    # ONE tokenization feeds BOTH legs (guide §1.2 — the shingle-
+    # sharing discipline the LSH calibration already uses): the
+    # positional token-hash frame is materialized once; the SimHash
+    # leg votes over its distinct entries, the exact-truth leg builds
+    # its k-shingle hashes from the same positions.  Previously each
+    # leg re-scanned and re-tokenized the corpus.
+    from trafik_etl_modular_spark.llmdata.dedup import (
+        shingles_from_token_hashes,
+        token_hash_expr,
     )
-    truth = ngram_jaccard_pairs(docs, k=3, threshold=0.6).select(
-        "id_a", "id_b", F.lit(True).alias("is_true")
+    from trafik_etl_modular_spark.operators.partitions import fan_out
+
+    th = (
+        fan_out(docs)
+        .select("doc_id", token_hash_expr(F.col("text")).alias("th"))
+        .localCheckpoint(eager=False)
     )
+    cand = simhash_candidate_pairs(
+        simhash_signatures(th, text_col="th", hashes=True), max_hamming=3
+    ).select("id_a", "id_b", "hamming")
+    sh = th.select("doc_id", shingles_from_token_hashes("th").alias("s"))
+    truth = ngram_jaccard_pairs(
+        docs, k=3, threshold=0.6, shingle_frame=sh
+    ).select("id_a", "id_b", F.lit(True).alias("is_true"))
     merged = cand.join(truth, ["id_a", "id_b"], "full_outer").select(
         "hamming", F.coalesce("is_true", F.lit(False)).alias("is_true")
     )
