@@ -36,6 +36,7 @@ def _write_local_artifact(
     n_reruns: int,
     calib: dict[str, float] | None = None,
     path: str | None = None,
+    cpus: str | None = None,
 ) -> None:
     """Persist the FULL per-query record to BENCH_LOCAL.json.
 
@@ -57,8 +58,15 @@ def _write_local_artifact(
             doc = {}
     except Exception:  # noqa: BLE001 — first run or corrupt file
         doc = {}
-    key = f"sf{sf}" if sf is not None else "sf?"
-    prev = doc.get(key)
+    # Keyed by scale factor AND core count when the caller passes one
+    # (VERDICT r12 item 8: the driver benches the same sf at two core
+    # counts back-to-back, and the 8-core run used to OVERWRITE the
+    # 32-core per-query map, destroying the round-over-round
+    # comparison).  Legacy "sf*" records remain readable as the prev
+    # baseline for the first keyed run.
+    base_key = f"sf{sf}" if sf is not None else "sf?"
+    key = f"{base_key}/c{cpus}" if cpus is not None else base_key
+    prev = doc.get(key) or doc.get(base_key)
     notes = prev.get("notes") if isinstance(prev, dict) else None
     record = {
         "metric": "total_wall_sec_all_queries",
@@ -175,6 +183,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     _load_all()
     calib_before = _calibrate()
@@ -321,7 +330,10 @@ def main() -> int:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
         ) as f:
-            prev_q = json.load(f).get(f"sf{sf}", {}).get("queries", {}) or {}
+            _doc = json.load(f)
+            prev_q = (
+                _doc.get(f"sf{sf}/c{cpus}") or _doc.get(f"sf{sf}") or {}
+            ).get("queries", {}) or {}
     except Exception:  # noqa: BLE001 — first run
         pass
     rerun = [
@@ -364,7 +376,7 @@ def main() -> int:
         "value": round(total, 3),
     })
     print(json.dumps(out))
-    _write_local_artifact(sf, timings, errors, total, len(rerun), calib)
+    _write_local_artifact(sf, timings, errors, total, len(rerun), calib, cpus=cpus)
     # Guaranteed-parseable short summary line as a fallback for
     # tail-truncating consumers that parse line-by-line.
     print(json.dumps({

@@ -63,3 +63,34 @@ def test_round_artifact_stamps_closing_round_when_ledger_matches_window(tmp_path
         json.dump({"some_old_query": {"hash_match": True}}, f)
     _write_local_artifact(0.1, {"q1": 1.0}, {}, 1.0, 0, path=path)
     assert os.path.exists(tmp_path / "BENCH_FULL_r07.json")
+
+
+def test_artifact_cpu_keyed_records_do_not_clobber(tmp_path):
+    """VERDICT r12 item 8: the driver benches the same sf at 32 and 8
+    cores back-to-back; the 8-core run used to overwrite the 32-core
+    per-query map.  With `cpus` passed, records key as sf*/c* and
+    coexist; the first keyed run still reads a legacy sf* record as
+    its prev baseline."""
+    path = str(tmp_path / "BENCH_LOCAL.json")
+    # legacy record (old key format), then a keyed 32-core run
+    _write_local_artifact(0.1, {"q1": 1.0}, {}, 1.0, 0, path=path)
+    _write_local_artifact(0.1, {"q1": 2.0}, {}, 2.0, 0, path=path, cpus="32")
+    doc = json.loads(open(path).read())
+    assert set(doc) == {"sf0.1", "sf0.1/c32"}
+    # legacy record served as the prev baseline for the first keyed run
+    assert doc["sf0.1/c32"]["prev"]["queries"] == {"q1": 1.0}
+    assert doc["sf0.1/c32"]["delta_ratio"] == {"q1": 2.0}
+
+    # an 8-core run neither clobbers nor compares against the 32-core map
+    _write_local_artifact(0.1, {"q1": 4.0}, {}, 4.0, 0, path=path, cpus="8")
+    doc = json.loads(open(path).read())
+    assert doc["sf0.1/c32"]["queries"] == {"q1": 2.0}
+    assert doc["sf0.1/c8"]["queries"] == {"q1": 4.0}
+    # its prev fell back to the legacy record, not the c32 one
+    assert doc["sf0.1/c8"]["prev"]["queries"] == {"q1": 1.0}
+
+    # second keyed run compares against its own cpu cohort
+    _write_local_artifact(0.1, {"q1": 3.0}, {}, 3.0, 0, path=path, cpus="32")
+    doc = json.loads(open(path).read())
+    assert doc["sf0.1/c32"]["prev"]["queries"] == {"q1": 2.0}
+    assert doc["sf0.1/c32"]["delta_ratio"] == {"q1": 1.5}
