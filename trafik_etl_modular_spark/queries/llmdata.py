@@ -5492,23 +5492,22 @@ def bpe_merge_rounds_frame(
             ),
             eager=True,
         )
-        tokc = cur.agg(
-            F.sum(F.size(F.split(F.trim("s"), " ")))
-            .cast("bigint")
-            .alias("n_tokens_after")
+        # Both post-merge stats in ONE job over the exploded words:
+        # count(*) of exploded tokens ≡ Σ size(split(...)) (split
+        # never yields empty arrays on the padded corpus), so the
+        # separate whole-corpus token-count scan is dead work
+        # (guide §1.2 step 1 — one pass, two aggregates).
+        stats = cur.select(
+            F.explode(F.split(F.trim("s"), " ")).alias("w")
+        ).agg(
+            F.count("*").cast("bigint").alias("n_tokens_after"),
+            F.count_distinct("w").cast("bigint").alias("n_vocab_after"),
         )
-        voc = cur.select(F.explode(F.split(F.trim("s"), " ")).alias("w")).agg(
-            F.count_distinct("w").cast("bigint").alias("n_vocab_after")
-        )
-        row = (
-            top.select(
-                F.lit(rnd).cast("int").alias("round"),
-                F.col("pair").alias("merged_pair"),
-                "pair_count",
-            )
-            .crossJoin(F.broadcast(tokc))
-            .crossJoin(F.broadcast(voc))
-        )
+        row = top.select(
+            F.lit(rnd).cast("int").alias("round"),
+            F.col("pair").alias("merged_pair"),
+            "pair_count",
+        ).crossJoin(F.broadcast(stats))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("round")
 

@@ -830,11 +830,14 @@ def bitmap_distinct_monitor_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     state: dict[str, object] = {"words": None, "n_batches": 0}
 
     def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
+        # No per-batch (day, user_id) DISTINCT: bit_or is idempotent,
+        # so repeated events fold into the identical mask — the
+        # distinct was a full extra shuffle per micro-batch of pure
+        # dead work (guide §2.4: a distinct on data whose consumer
+        # already collapses duplicates).
         bw = (
-            bdf.select(F.to_date("ts").alias("day"), "user_id")
-            .distinct()
-            .select(
-                "day",
+            bdf.select(
+                F.to_date("ts").alias("day"),
                 F.expr("user_id div 32").alias("word_idx"),
                 F.expr(
                     "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
