@@ -1016,7 +1016,10 @@ def test_pq_index_roundtrip_and_probe(spark, sf_dir):
     assert cb.shape == (PQ_SUBSPACES, PQ_CODES, 64 // PQ_SUBSPACES)
     sample = (
         pq_assign(emb, cb)
-        .withColumn("recon", pq_reconstruct(F.col("codes"), cb))
+        # pq_reconstruct takes a plain column NAME (it splices the name
+        # into a rendered SQL expression; ADVICE r12 item 5 made a
+        # Column argument a loud TypeError instead of a silent coercion)
+        .withColumn("recon", pq_reconstruct("codes", cb))
         .orderBy("vec_id")
         .limit(5)
         .collect()
