@@ -298,7 +298,7 @@ def ensure_edge_table(spark, sf_dir: str) -> str:
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     tag = hashlib.sha256(
-        f"{sf_dir}|{_fp('orders')}|{_fp('lineitem')}|v4".encode()
+        f"{sf_dir}|{_fp('orders')}|{_fp('lineitem')}|v5".encode()
     ).hexdigest()[:12]
     path = os.path.join(wh, "purchase_edges", tag)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -337,6 +337,7 @@ def ensure_edge_table(spark, sf_dir: str) -> str:
             F.count("*").alias("n_vertices"),
             F.max("u").alias("max_id"),
             F.max("d").alias("max_degree"),
+            F.sum("d").alias("n_rows"),
         )
         .first()
     )
@@ -348,6 +349,7 @@ def ensure_edge_table(spark, sf_dir: str) -> str:
                 "n_vertices": g["n_vertices"],
                 "max_id": g["max_id"],
                 "max_degree": g["max_degree"],
+                "n_rows": g["n_rows"],
             },
             f,
         )
@@ -379,13 +381,40 @@ def _edges_and_count(spark, sf_dir):
     return ee, stats.get("n_vertices")
 
 
+# Pinned-width sizing for the iterative edge frame: ~2M rows (~32 MB
+# raw at 16 B/row) per partition, floored at 4 so tiny fixtures keep a
+# minimum of task overlap, capped at 4× cluster parallelism so a huge
+# snapshot can't explode the task count.  Derived from the INGEST-TIME
+# row count, not the core count (guide §2.2 "fewer, larger partitions"
+# / §6.1): at sf0.1 the 32-file scan width gave 32 near-empty
+# partitions whose per-task scheduling dominated every iteration —
+# an interleaved A/B of the pinned width on PageRank measured
+# 2.05 s @32 → 1.32 s @8 → 1.14 s @4 warm.
+_EDGE_ROWS_PER_PARTITION = 2_000_000
+_EDGE_MIN_PARTITIONS = 4
+
+
 def _edges_count_stats(spark, sf_dir):
     """(pinned edge frame, full ingest-time stats sidecar dict) — the
     stats-complete sibling of :func:`_edges_and_count` for operators
-    that also want max_id / max_degree (the LPA radix guard)."""
+    that also want max_id / max_degree (the LPA radix guard).  The
+    pin coalesces the scan to the rows-adaptive width above (a
+    narrow, shuffle-free merge); pre-stats tables (no n_rows) keep
+    the raw scan width."""
     path = ensure_edge_table(spark, sf_dir)
-    ee = spark.read.parquet(path).localCheckpoint(eager=True)
-    return ee, edge_table_stats(path)
+    ee = spark.read.parquet(path)
+    stats = edge_table_stats(path)
+    n_rows = stats.get("n_rows")
+    if n_rows:
+        width = max(
+            _EDGE_MIN_PARTITIONS,
+            min(
+                -(-n_rows // _EDGE_ROWS_PER_PARTITION),
+                4 * spark.sparkContext.defaultParallelism,
+            ),
+        )
+        ee = ee.coalesce(width)
+    return ee.localCheckpoint(eager=True), stats
 
 
 def _edges(spark, sf_dir):
@@ -808,9 +837,11 @@ def graph_label_propagation(spark, sf_dir):
     # per-partition duplicates (guide §2.3 "aggregate before you
     # shuffle" — measured 2.65 → 1.9 s for the 3 rounds at sf0.1).
     # Past the gate the rounds revert to shuffle joins on v, where a
-    # u-clustered layout buys nothing — gate both together.
+    # u-clustered layout buys nothing — gate both together.  Width =
+    # the pin's rows-adaptive width (see _edges_count_stats), not the
+    # core count.
     if n_v <= BROADCAST_VERTEX_LIMIT:
-        ee = ee.repartition(spark.sparkContext.defaultParallelism, "u")
+        ee = ee.repartition(ee.rdd.getNumPartitions(), "u")
     lab = ee.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
     )
