@@ -381,6 +381,28 @@ def _edges_and_count(spark, sf_dir):
     return ee, stats.get("n_vertices")
 
 
+# Wedge-expansion width: proportional to the ADJACENCY rows feeding
+# the Σdeg² self-join (~30k adjacency rows ≈ 6–7M probe pairs per
+# task at this graph's degree profile), same floor/cap discipline as
+# the edge pin below.  Replaces a hardcoded 32 that only made sense
+# as "the local core count": at sf0.1 the interleaved A/B of the
+# common-neighbor wedge stage measured 1.76–2.95 s @32 vs
+# 1.4–1.8 s @4–8 — near-empty wedge tasks cost more scheduling than
+# they buy in overlap, while at lake scale the width now grows with
+# the graph instead of freezing at 32.
+_WEDGE_ADJ_ROWS_PER_PARTITION = 30_000
+
+
+def _wedge_width(spark, n_adj_rows: int) -> int:
+    return max(
+        4,
+        min(
+            -(-int(n_adj_rows) // _WEDGE_ADJ_ROWS_PER_PARTITION),
+            4 * spark.sparkContext.defaultParallelism,
+        ),
+    )
+
+
 # Pinned-width sizing for the iterative edge frame: ~2M rows (~32 MB
 # raw at 16 B/row) per partition, floored at 4 so tiny fixtures keep a
 # minimum of task overlap, capped at 4× cluster parallelism so a huge
@@ -664,11 +686,11 @@ def graph_triangle_count(spark, sf_dir):
     # explicit width for the wedge expansion: the oriented edge table
     # is SMALL (≲MBs), so AQE coalesces its shuffle to one partition —
     # and then the Σ out_deg² wedge blow-up runs single-threaded.  An
-    # explicit repartition pins the expansion across the executor
-    # width (the graph edge-table 32-file lesson, PINNED.md), and
-    # both self-join sides share the partitioning, so no further
-    # exchange is inserted.
-    ed = ed.repartition(32, "s")
+    # explicit repartition pins the expansion (the graph edge-table
+    # 32-file lesson, PINNED.md) at the adjacency-derived width
+    # (_wedge_width — ecnt oriented rows), and both self-join sides
+    # share the partitioning, so no further exchange is inserted.
+    ed = ed.repartition(_wedge_width(spark, ecnt), "s")
     w1, w2 = ed.alias("w1"), ed.alias("w2")
     wedges = w1.join(
         w2,
@@ -1184,8 +1206,10 @@ def graph_common_neighbor_linkpred(spark, sf_dir):
     )
     # pin + explicit width for the wedge expansion (the triangle
     # counter's repartition lesson: AQE coalesces the tiny symmetric
-    # frame to one partition and the deg² blow-up runs single-threaded)
-    sym = pin(sym, eager=True).repartition(32, "s")
+    # frame to one partition and the deg² blow-up runs single-threaded);
+    # width derived from the pinned adjacency rows, not the core count
+    sym = pin(sym, eager=True)
+    sym = sym.repartition(_wedge_width(spark, sym.count()), "s")
     w1, w2 = sym.alias("w1"), sym.alias("w2")
     cn = (
         w1.join(
@@ -1552,8 +1576,10 @@ def graph_jaccard_linkpred(spark, sf_dir):
     )
     # pin + explicit width (the triangle counter's repartition lesson:
     # AQE coalesces the tiny symmetric frame to ONE partition and the
-    # deg² wedge blow-up runs single-threaded without this)
-    sym = pin(sym, eager=True).repartition(32, "s")
+    # deg² wedge blow-up runs single-threaded without this); width
+    # derived from the pinned adjacency rows, not the core count
+    sym = pin(sym, eager=True)
+    sym = sym.repartition(_wedge_width(spark, sym.count()), "s")
     deg = sym.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
     sa, sb = sym.alias("sa"), sym.alias("sb")
     cn = (
